@@ -1,0 +1,159 @@
+"""Analyzer kernel: clean / normalize / tokenize / extract.
+
+This module is the single source of truth for text semantics. The same pure
+functions back (a) the in-memory test oracle and (b) the vectorized
+Arrow/pandas UDFs used by the Spark engine, so the engine-vs-oracle
+byte-identity contract holds by construction and is verified by tests.
+
+Semantics reproduced from the reference implementation (not copied — the
+reference is a FastAPI worker; this is a columnar kernel):
+
+- ``normalize_text``: lowercase -> delete ASCII punctuation -> collapse
+  whitespace -> strip  (reference: backend/app/worker/tasks.py:64-71)
+- ``clean_text``: drop header/footer lines ("page N", "N/M",
+  "confidential") -> strip non-printables -> re-join hyphen-broken words ->
+  collapse whitespace -> strip  (reference: backend/app/worker/tasks.py:120-133)
+- ``tokenize``: ``[a-zA-Z0-9]+`` on the lowercased string, drop the 18-word
+  stopword list, drop tokens of length <= 2
+  (reference: backend/app/routers/search.py:33-44)
+- ``extract_text``: HTML bytes -> visible text (script/style removed, tags
+  -> space, entities unescaped) -> ``clean_text``. Plays the role of the
+  reference's PDF page extraction (backend/app/worker/tasks.py:98-117) for
+  Common-Crawl-style pages; per-url byte-identical output is the contract.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+import string
+
+import pandas as pd
+
+# --- pure kernels (shared by oracle and engine) -----------------------------
+
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+_WS_RE = re.compile(r"\s+")
+_HEADER_FOOTER_RE = re.compile(
+    r"(^\s*page\s*\d+\s*$)|(^\s*\d+\s*/\s*\d+\s*$)|(^\s*confidential\s*$)",
+    flags=re.IGNORECASE | re.MULTILINE,
+)
+_NON_PRINTABLE_RE = re.compile(r"[^\x09\x0A\x0D\x20-\x7E\u00A0-\uFFFF]+")
+_HYPHEN_BREAK_RE = re.compile(r"(\w)-\s+(\w)")
+_TOKEN_RE = re.compile(r"[a-zA-Z0-9]+")
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", flags=re.IGNORECASE | re.DOTALL
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+STOPWORDS = frozenset(
+    {
+        "the", "is", "are", "was", "were", "of", "on", "in", "for", "to",
+        "with", "using", "use", "based", "by", "and", "or", "from",
+    }
+)
+MIN_TOKEN_LEN = 3  # reference keeps tokens with len(t) > 2
+MAX_QUERY_TERMS = 12  # reference caps distinct query terms at 12 (utils.py:19)
+
+
+def normalize_text(text: str) -> str:
+    text = text.lower()
+    text = text.translate(_PUNCT_TABLE)
+    text = _WS_RE.sub(" ", text)
+    return text.strip()
+
+
+def clean_text(text: str) -> str:
+    text = _HEADER_FOOTER_RE.sub(" ", text)
+    text = _NON_PRINTABLE_RE.sub(" ", text)
+    text = _HYPHEN_BREAK_RE.sub(r"\1\2", text)
+    text = _WS_RE.sub(" ", text)
+    return text.strip()
+
+
+def tokenize(text: str) -> list[str]:
+    return [
+        t
+        for t in _TOKEN_RE.findall(text.lower())
+        if t not in STOPWORDS and len(t) >= MIN_TOKEN_LEN
+    ]
+
+
+def extract_text(html_bytes: bytes | str) -> str:
+    """HTML -> visible text -> clean_text. Deterministic, pure."""
+    if isinstance(html_bytes, (bytes, bytearray)):
+        raw = bytes(html_bytes).decode("utf-8", errors="replace")
+    else:
+        raw = html_bytes
+    raw = _SCRIPT_STYLE_RE.sub(" ", raw)
+    raw = _TAG_RE.sub(" ", raw)
+    raw = _htmllib.unescape(raw)
+    return clean_text(raw)
+
+
+def analyze(text: str) -> list[str]:
+    """Full document analyzer: clean then tokenize (the index's term stream)."""
+    return tokenize(clean_text(text))
+
+
+def analyze_query(query: str) -> list[str]:
+    """Query analyzer: same token pipeline, deduplicated deterministically.
+
+    The reference dedups via an unordered ``set`` capped at 12
+    (backend/app/services/search/utils.py:13-19) — nondeterministic; we fix
+    that by sorting before the cap (documented deviation, SURVEY.md §2.7 T4).
+    Conjunctive (AND) semantics downstream, per websearch_to_tsquery
+    (backend/app/services/search/fusion.py:42).
+    """
+    return sorted(set(tokenize(query)))[:MAX_QUERY_TERMS]
+
+
+# --- vectorized (Arrow-batch) versions --------------------------------------
+# pandas .str ops run the same `re` engine over whole columns; identical
+# output to the pure kernels is asserted by tests/test_analyzer.py.
+
+
+def normalize_series(s: pd.Series) -> pd.Series:
+    s = s.fillna("").str.lower().str.translate(_PUNCT_TABLE)
+    s = s.str.replace(_WS_RE, " ", regex=True)
+    return s.str.strip()
+
+
+def clean_series(s: pd.Series) -> pd.Series:
+    s = s.fillna("")
+    s = s.str.replace(_HEADER_FOOTER_RE, " ", regex=True)
+    s = s.str.replace(_NON_PRINTABLE_RE, " ", regex=True)
+    s = s.str.replace(_HYPHEN_BREAK_RE, r"\1\2", regex=True)
+    s = s.str.replace(_WS_RE, " ", regex=True)
+    return s.str.strip()
+
+
+def extract_series(html_col: pd.Series) -> pd.Series:
+    s = html_col.map(
+        lambda b: bytes(b).decode("utf-8", errors="replace")
+        if isinstance(b, (bytes, bytearray))
+        else ("" if b is None else b)
+    )
+    s = s.str.replace(_SCRIPT_STYLE_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = s.map(_htmllib.unescape)
+    return clean_series(s)
+
+
+# --- Spark column expressions (JVM-side, whole-stage codegen) ----------------
+# Tokenization for the *index build* stays entirely JVM-side: lower +
+# regexp_extract_all + array filter. Parity with tokenize() is tested.
+
+
+def tokens_col(col):
+    """JVM-side token array: Column-API equivalent of tokenize(). `col` is a
+    string column name or Column of already-cleaned text. Runs entirely in
+    whole-stage codegen — no Python in the index-build hot path."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit("[a-zA-Z0-9]+"), F.lit(0))
+    return F.filter(
+        toks,
+        lambda t: (F.length(t) >= MIN_TOKEN_LEN) & ~t.isin(*sorted(STOPWORDS)),
+    )

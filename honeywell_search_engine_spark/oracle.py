@@ -1,0 +1,88 @@
+"""In-memory reference BM25 engine (the correctness oracle).
+
+A deliberately simple dict-based inverted index + exact exhaustive BM25
+scorer. This is the "reference implementation" the north_rule's
+rank-identity contract is checked against (SURVEY.md §5.2): the reference
+repo delegates lexical ranking to Postgres ``ts_rank_cd``
+(backend/app/services/search/fusion.py:36-45) while its design documents
+name BM25 (PIPELINE.md:144,179,189-190); this oracle realizes that design
+exactly, using the shared analyzer kernel, so engine == oracle is a
+meaningful end-to-end check.
+
+Scoring (Okapi BM25, k1=1.2, b=0.75, Lucene-style idf):
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d) = sum_t idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * doclen/avgdl))
+
+Determinism rules shared with the Spark engine so scores agree to 1e-9:
+- float64 everywhere;
+- per-doc score sums terms in lexicographic term order;
+- total order on results: (-score, docid).
+Conjunctive (AND) semantics: a doc matches only if it contains every query
+term (reference F4, fusion.py:42 websearch_to_tsquery).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass, field
+
+from honeywell_search_engine_spark import B, K1
+from honeywell_search_engine_spark.functions.analyzer import analyze, analyze_query
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int = 0
+    avgdl: float = 0.0
+    doclen: dict[int, int] = field(default_factory=dict)
+    postings: dict[str, dict[int, int]] = field(default_factory=dict)  # term -> {docid: tf}
+
+    @classmethod
+    def build(cls, docs: list[tuple[int, str]]) -> "OracleIndex":
+        """docs: list of (docid, raw_text). Analyzer = shared kernel."""
+        idx = cls()
+        total = 0
+        for docid, text in docs:
+            toks = analyze(text)
+            idx.doclen[docid] = len(toks)
+            total += len(toks)
+            for term, tf in Counter(toks).items():
+                idx.postings.setdefault(term, {})[docid] = tf
+        idx.n_docs = len(docs)
+        idx.avgdl = (total / idx.n_docs) if idx.n_docs else 0.0
+        return idx
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, {}))
+        # log1p, not log(1+x): matches Spark's F.log1p bit-for-bit
+        return math.log1p((self.n_docs - df + 0.5) / (df + 0.5))
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exhaustive conjunctive BM25 top-k: [(docid, score)] sorted by
+        (-score, docid). Unknown term => empty (AND semantics)."""
+        terms = analyze_query(query)
+        if not terms:
+            return []
+        plists = []
+        for t in terms:  # analyze_query returns sorted terms: fixed sum order
+            p = self.postings.get(t)
+            if not p:
+                return []
+            plists.append((t, p))
+        # intersect smallest-first for speed; scoring order stays lexicographic
+        candidate = set(min((p for _, p in plists), key=len))
+        for _, p in plists:
+            candidate &= p.keys()
+        scored = []
+        for docid in candidate:
+            dl = self.doclen[docid]
+            norm = K1 * (1.0 - B + B * dl / self.avgdl)
+            s = 0.0
+            for t, p in plists:
+                tf = float(p[docid])
+                s += self.idf(t) * tf * (K1 + 1.0) / (tf + norm)
+            scored.append((docid, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
