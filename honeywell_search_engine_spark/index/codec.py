@@ -1,0 +1,208 @@
+"""Posting-list codec: docid-delta + varbyte, 128-entry blocks, per-block
+(max_docid, max_u) metadata. Pure numpy, fully vectorized — runs inside
+Arrow-batched pandas UDFs (never per-row Python).
+
+Replaces the reference's Postgres GIN posting lists
+(backend/migrations/003_add_lexical_and_triples.sql:2-7) with an explicit,
+immutable, scan-prunable layout (SURVEY.md §1.4 `postings`).
+
+Block metadata:
+- max_docid: last (largest) docid in the block — drives docid-skipping
+  (decode only blocks whose range can contain a candidate);
+- max_u: max over the block of the idf-free BM25 factor
+      u = tf*(k1+1) / (tf + k1*(1 - b + b*doclen/avgdl))
+  so a block's score upper bound is idf(term) * max_u. Storing the
+  idf-free part means segments never depend on global df and stay valid
+  under corpus growth re-stats (idf is applied at query time from the
+  broadcast term_stats).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from honeywell_search_engine_spark import B, K1
+
+BLOCK = 128
+
+
+def varbyte_encode(values: np.ndarray, block: int | None = None):
+    """Vectorized 7-bit varbyte (LEB128-style, little-endian groups,
+    high bit = continuation). values: non-negative int64/uint64.
+
+    Returns bytes; with ``block`` set, returns (bytes, offsets) where
+    offsets[i] is the byte offset of the first value of block i — the
+    random-access handle for selective block decode.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return (b"", np.zeros(0, dtype=np.int64)) if block else b""
+    # number of 7-bit digits per value (at least 1; v=0 -> 1 digit)
+    nbits = 64 - _clz64(v)
+    ndig = (nbits + 6) // 7
+    ends = np.cumsum(ndig)
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    pos = ends - ndig
+    rem = v.copy()
+    max_d = int(ndig.max())
+    for d in range(max_d):
+        mask = ndig > d
+        idx = pos[mask] + d
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (ndig[mask] > d + 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        rem[mask] >>= np.uint64(7)
+    buf = out.tobytes()
+    if block:
+        offsets = pos[::block].astype(np.int64)
+        return buf, offsets
+    return buf
+
+
+def _clz64(v: np.ndarray) -> np.ndarray:
+    """Count leading zeros per uint64 (vectorized via float exponent for
+    values < 2^53 and a loop fallback for the tail)."""
+    v = v.astype(np.uint64)
+    bits = np.zeros(v.shape, dtype=np.int64)
+    x = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        hi = x >> np.uint64(shift)
+        has = hi > 0
+        bits[has] += shift
+        x = np.where(has, hi, x)
+    # bits = floor(log2(v)) for v>0; bit length = bits+1; define clz
+    bitlen = np.where(v > 0, bits + 1, 1)
+    return 64 - bitlen
+
+
+def varbyte_decode(buf: bytes, n: int) -> np.ndarray:
+    """Decode n values. Vectorized: group bytes by continuation bits."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (raw & 0x80) == 0
+    # index of value each byte belongs to: cumsum of is_last shifted
+    val_idx = np.zeros(raw.size, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=val_idx[1:])
+    # digit position within value
+    starts = np.concatenate(([0], np.flatnonzero(is_last)[:-1] + 1))
+    digit = np.arange(raw.size, dtype=np.int64) - starts[val_idx]
+    out = np.zeros(n, dtype=np.uint64)
+    np.add.at(
+        out,
+        val_idx,
+        (raw & np.uint8(0x7F)).astype(np.uint64) << (7 * digit).astype(np.uint64),
+    )
+    return out
+
+
+def bm25_u(tf: np.ndarray, doclen: np.ndarray, avgdl: float) -> np.ndarray:
+    """Idf-free BM25 factor, float64 (matches stats.bm25_part_col / oracle)."""
+    tf = tf.astype(np.float64)
+    norm = K1 * (1.0 - B + B * doclen.astype(np.float64) / float(avgdl))
+    return tf * (K1 + 1.0) / (tf + norm)
+
+
+@dataclass
+class PostingList:
+    """Decoded in-memory posting list for one (term, shard)."""
+
+    docids: np.ndarray  # uint64, ascending
+    tfs: np.ndarray  # uint64
+    doclens: np.ndarray  # uint64
+
+    @property
+    def n(self) -> int:
+        return int(self.docids.size)
+
+
+@dataclass
+class EncodedList:
+    """One encoded (term, shard) posting list + block metadata."""
+
+    n: int
+    bmax_docid: np.ndarray  # int64 per block (last docid of block)
+    bmax_u: np.ndarray  # float64 per block (score bound / idf)
+    d_off: np.ndarray  # int64 byte offset per block into deltas
+    t_off: np.ndarray
+    l_off: np.ndarray
+    deltas: bytes
+    tfs: bytes
+    doclens: bytes
+
+
+def encode_postings(
+    docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray, avgdl: float
+) -> EncodedList:
+    """Encode one sorted posting list. docids MUST be ascending and unique.
+    tf is stored as tf-1 (tf >= 1 always), doclen as-is."""
+    docids = np.asarray(docids, dtype=np.uint64)
+    n = docids.size
+    assert n > 0
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = docids[0]
+    np.subtract(docids[1:], docids[:-1], out=deltas[1:])
+    u = bm25_u(np.asarray(tfs), np.asarray(doclens), avgdl)
+    nblocks = (n + BLOCK - 1) // BLOCK
+    pad = nblocks * BLOCK - n
+
+    def blockify(a, fill):
+        if pad:
+            a = np.concatenate([a, np.full(pad, fill, dtype=a.dtype)])
+        return a.reshape(nblocks, BLOCK)
+
+    bmax_docid = blockify(docids, 0).max(axis=1).astype(np.int64)
+    bmax_u = blockify(u, -np.inf).max(axis=1).astype(np.float64)
+    d_b, d_off = varbyte_encode(deltas, block=BLOCK)
+    t_b, t_off = varbyte_encode(
+        np.asarray(tfs, dtype=np.uint64) - np.uint64(1), block=BLOCK
+    )
+    l_b, l_off = varbyte_encode(np.asarray(doclens, dtype=np.uint64), block=BLOCK)
+    return EncodedList(int(n), bmax_docid, bmax_u, d_off, t_off, l_off, d_b, t_b, l_b)
+
+
+def decode_postings(enc: EncodedList) -> PostingList:
+    deltas = varbyte_decode(enc.deltas, enc.n)
+    docids = np.cumsum(deltas, dtype=np.uint64)
+    tfs = varbyte_decode(enc.tfs, enc.n) + np.uint64(1)
+    doclens = varbyte_decode(enc.doclens, enc.n)
+    return PostingList(docids=docids, tfs=tfs, doclens=doclens)
+
+
+def _block_bounds(enc: EncodedList, b: int):
+    s = b * BLOCK
+    e = min(s + BLOCK, enc.n)
+    return s, e
+
+
+def decode_blocks(enc: EncodedList, blocks: np.ndarray) -> PostingList:
+    """Selective decode of the given (sorted, unique) block indices only —
+    the skip path: O(bytes of selected blocks), not O(list length).
+
+    Delta base for block b is bmax_docid[b-1] (the last docid of the
+    previous block), so each block is independently decodable.
+    """
+    blocks = np.asarray(blocks, dtype=np.int64)
+    nblocks = enc.bmax_docid.size
+    parts_d, parts_t, parts_l = [], [], []
+    for b in blocks:
+        s, e = _block_bounds(enc, int(b))
+        cnt = e - s
+        d_end = enc.d_off[b + 1] if b + 1 < nblocks else len(enc.deltas)
+        t_end = enc.t_off[b + 1] if b + 1 < nblocks else len(enc.tfs)
+        l_end = enc.l_off[b + 1] if b + 1 < nblocks else len(enc.doclens)
+        d = varbyte_decode(enc.deltas[enc.d_off[b] : d_end], cnt)
+        base = np.uint64(enc.bmax_docid[b - 1]) if b > 0 else np.uint64(0)
+        docids = np.cumsum(d, dtype=np.uint64) + base
+        parts_d.append(docids)
+        parts_t.append(varbyte_decode(enc.tfs[enc.t_off[b] : t_end], cnt) + np.uint64(1))
+        parts_l.append(varbyte_decode(enc.doclens[enc.l_off[b] : l_end], cnt))
+    if not parts_d:
+        z = np.zeros(0, dtype=np.uint64)
+        return PostingList(z, z.copy(), z.copy())
+    return PostingList(
+        np.concatenate(parts_d), np.concatenate(parts_t), np.concatenate(parts_l)
+    )

@@ -54,12 +54,16 @@ def term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
 
 def bm25_part_col(tf, doclen, idf, avgdl: float):
     """The per-(term, doc) BM25 contribution as a float64 Column:
-    idf * tf*(k1+1) / (tf + k1*(1 - b + b*doclen/avgdl))."""
+    idf * (tf*(k1+1) / (tf + k1*(1 - b + b*doclen/avgdl))).
+
+    The association order idf * (u) — u first, then the idf product — is
+    the contract shared with the oracle and the segment codec (bm25_u), so
+    all three paths produce bit-identical float64 scores."""
     tf_d = tf.cast("double")
     norm = F.lit(K1) * (
         F.lit(1.0 - B) + F.lit(B) * doclen.cast("double") / F.lit(float(avgdl))
     )
-    return idf * tf_d * F.lit(K1 + 1.0) / (tf_d + norm)
+    return idf * (tf_d * F.lit(K1 + 1.0) / (tf_d + norm))
 
 
 def build_stats(tok_docs: DataFrame, postings: DataFrame):

@@ -82,7 +82,10 @@ class OracleIndex:
             s = 0.0
             for t, p in plists:
                 tf = float(p[docid])
-                s += self.idf(t) * tf * (K1 + 1.0) / (tf + norm)
+                # idf * u with u = tf*(k1+1)/(tf+norm): the association
+                # order shared by ALL engine paths (naive column expr,
+                # segment codec) so scores are bit-identical, not just close
+                s += self.idf(t) * (tf * (K1 + 1.0) / (tf + norm))
             scored.append((docid, s))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]

@@ -1,0 +1,198 @@
+"""BM25 top-k over encoded segments with block-max pruning.
+
+Distributed plan:
+
+    term_stats lookup (≤12 rows, partition-pruned)      [driver]
+    segments scan: bucket-dir pruning + term pushdown    [executors]
+    -> groupBy(shard).applyInPandas(shard kernel)        [executors,
+       one tiny group per shard: ≤ n_terms encoded rows] parallel]
+    -> global TakeOrderedAndProject(k, (-score, docid))  [k rows/shard]
+
+Because ``shard = pmod(docid, n_shards)`` every document's postings live in
+exactly one shard, so conjunctive evaluation is shard-local and the global
+top-k is the k-merge of per-shard top-k's — exact, no recall loss (tested
+rank-identical to both the naive Catalyst engine and the oracle).
+
+Shard kernel (numpy, per shard):
+
+- AND (default, reference F4 websearch_to_tsquery semantics): iterate
+  terms by ascending df; decode the rarest list fully; every other list is
+  decoded *selectively* — searchsorted over its block-max docids finds the
+  only blocks that can contain surviving candidates, everything else is
+  skipped (block-max docid skipping). Exact scores for survivors, float64,
+  lexicographic term order (bit-identical to the oracle).
+- Single term: blocks are visited in descending idf*bmax_u (block-max
+  score order); once the k-th heap score exceeds the next block's upper
+  bound the remaining blocks are provably irrelevant and never decoded —
+  classic block-max top-k, exact.
+- OR (disjunctive, reference F5 triple-match semantics): per-block upper
+  bound Σ_t idf_t * bmax_u_t over blocks containing the pivot docid; blocks
+  whose bound can't beat the current floor are skipped before any decode
+  (block-max WAND); survivors are scored exactly.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from honeywell_search_engine_spark.functions.analyzer import analyze_query
+from honeywell_search_engine_spark.index import codec
+from honeywell_search_engine_spark.index.segments import SegmentIndex
+
+RESULT_SCHEMA = "docid long, score double"
+
+
+def _enc_from_row(row) -> codec.EncodedList:
+    return codec.EncodedList(
+        n=int(row["n"]),
+        bmax_docid=np.asarray(row["bmax_docid"], dtype=np.int64),
+        bmax_u=np.asarray(row["bmax_u"], dtype=np.float64),
+        d_off=np.asarray(row["d_off"], dtype=np.int64),
+        t_off=np.asarray(row["t_off"], dtype=np.int64),
+        l_off=np.asarray(row["l_off"], dtype=np.int64),
+        deltas=bytes(row["deltas"]),
+        tfs=bytes(row["tfs"]),
+        doclens=bytes(row["doclens"]),
+    )
+
+
+def _u_exact(tfs: np.ndarray, doclens: np.ndarray, avgdl: float) -> np.ndarray:
+    return codec.bm25_u(tfs, doclens, avgdl)
+
+
+def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int):
+    """Exact single-term top-k with block-max score pruning."""
+    order = np.argsort(-enc.bmax_u, kind="stable")
+    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap by score
+    for b in order:
+        bound = idf * enc.bmax_u[b]
+        if len(heap) >= k and bound < heap[0][0]:
+            break  # all remaining blocks have smaller bounds
+        pl = codec.decode_blocks(enc, np.array([b]))
+        scores = idf * _u_exact(pl.tfs, pl.doclens, avgdl)
+        for d, s in zip(pl.docids.astype(np.int64), scores):
+            item = (float(s), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    return [(-nd, s) for s, nd in heap]
+
+
+def _candidate_blocks(enc: codec.EncodedList, cand: np.ndarray) -> np.ndarray:
+    """Block index that could contain each candidate docid: first block
+    whose bmax_docid >= cand (bmax_docid is ascending)."""
+    return np.searchsorted(enc.bmax_docid, cand, side="left")
+
+
+def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float, k: int):
+    """Conjunctive evaluation of one shard. term_rows: (term, EncodedList),
+    all query terms present (caller enforces).
+
+    Rarest list drives; every other list is decoded selectively: only the
+    blocks that can contain a surviving candidate (block-max docid skip).
+    """
+    term_rows = sorted(term_rows, key=lambda tr: tr[1].n)
+    t0, e0 = term_rows[0]
+    pl0 = codec.decode_postings(e0)
+    cand = pl0.docids  # uint64 ascending
+    tf_cols = {t0: (pl0.tfs, pl0.doclens)}
+    for t, enc in term_rows[1:]:
+        if cand.size == 0:
+            return []
+        nblocks = enc.bmax_docid.size
+        blocks = _candidate_blocks(enc, cand.astype(np.int64))
+        valid = blocks < nblocks  # candidates beyond the last block can't match
+        ublocks = np.unique(blocks[valid])
+        pl = codec.decode_blocks(enc, ublocks)  # only candidate blocks decoded
+        cand_v = cand[valid]
+        pos = np.searchsorted(pl.docids, cand_v)
+        ok = pos < pl.docids.size
+        match = np.zeros(cand_v.size, dtype=bool)
+        match[ok] = pl.docids[pos[ok]] == cand_v[ok]
+        keep = np.zeros(cand.size, dtype=bool)
+        keep[np.flatnonzero(valid)[match]] = True
+        sel = pos[match]
+        for tt in list(tf_cols):
+            tf_cols[tt] = (tf_cols[tt][0][keep], tf_cols[tt][1][keep])
+        tf_cols[t] = (pl.tfs[sel], pl.doclens[sel])
+        cand = cand[keep]
+    if cand.size == 0:
+        return []
+    # exact scores, lexicographic term order (oracle bit-parity)
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in sorted(tf_cols):
+        tfs, dls = tf_cols[t]
+        score += idf[t] * _u_exact(tfs, dls, avgdl)
+    idx = np.lexsort((cand, -score))[:k]
+    return list(zip(cand[idx].astype(np.int64), score[idx]))
+
+
+def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float, k: int):
+    """Disjunctive (OR) union scoring of one shard — exact, vectorized.
+
+    Scores every doc that contains ANY query term: union of docids via
+    np.unique, per-term contributions added in lexicographic term order
+    (float64 determinism). Used for the reference's triple-match OR
+    semantics (F5, fusion.py:73-88). Block-max pruning is applied on the
+    AND/single-term paths where the reference's query shapes live; the OR
+    path favors exactness of the full union (a lossy OR-WAND would break
+    the rank-identity contract for returned scores).
+    """
+    term_rows = sorted(term_rows, key=lambda tr: tr[0])
+    decoded = [(t, codec.decode_postings(enc)) for t, enc in term_rows]
+    union = np.unique(np.concatenate([pl.docids for _, pl in decoded]))
+    score = np.zeros(union.size, dtype=np.float64)
+    for t, pl in decoded:  # lexicographic order
+        pos = np.searchsorted(union, pl.docids)
+        score[pos] += idf[t] * _u_exact(pl.tfs, pl.doclens, avgdl)
+    idx = np.lexsort((union, -score))[:k]
+    return list(zip(union[idx].astype(np.int64), score[idx]))
+
+
+def bm25_topk_wand(
+    index: SegmentIndex, query: str, k: int = 10, mode: str = "and"
+) -> DataFrame:
+    """Top-k BM25 over the segment index. mode='and' (conjunctive, default)
+    or 'or' (disjunctive). Returns DataFrame(docid, score) ordered by
+    (-score, docid)."""
+    spark = index.spark
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    idf = index.idf_map(terms)
+    if mode == "and" and len(idf) < len(terms):
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_terms = len(terms)
+    avgdl = index.stats.avgdl
+    idf_b = dict(idf)
+    mode_and = mode == "and"
+
+    def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [(r["term"], _enc_from_row(r)) for _, r in pdf.iterrows()]
+        if mode_and:
+            if len(rows) < n_terms:
+                return pd.DataFrame({"docid": [], "score": []})
+            if n_terms == 1:
+                res = _topk_single(rows[0][1], idf_b[rows[0][0]], avgdl, k)
+                res.sort(key=lambda x: (-x[1], x[0]))
+            else:
+                res = _shard_kernel_and(rows, idf_b, avgdl, k)
+        else:
+            res = _shard_kernel_or(rows, idf_b, avgdl, k)
+        if not res:
+            return pd.DataFrame({"docid": [], "score": []})
+        return pd.DataFrame(
+            {"docid": [int(d) for d, _ in res], "score": [float(s) for _, s in res]}
+        )
+
+    segs = index.segments_for(terms)
+    per_shard = segs.groupBy("shard").applyInPandas(run_shard, schema=RESULT_SCHEMA)
+    return per_shard.orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -1,0 +1,87 @@
+"""Codec invariants: encode∘decode identity, selective block decode,
+block-max metadata dominance (SURVEY.md §5.3)."""
+
+import numpy as np
+import pytest
+
+from honeywell_search_engine_spark.index.codec import (
+    BLOCK,
+    bm25_u,
+    decode_blocks,
+    decode_postings,
+    encode_postings,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_varbyte_roundtrip_random(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 3000))
+    vals = rng.integers(0, 2**60, size=n).astype(np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(vals), n), vals)
+
+
+def test_varbyte_edges():
+    for vals in ([0], [0, 0, 127, 128, 129, 2**56, 2**63 - 1], [1] * 1000):
+        a = np.array(vals, dtype=np.uint64)
+        assert np.array_equal(varbyte_decode(varbyte_encode(a), len(a)), a)
+    assert varbyte_encode(np.array([], dtype=np.uint64)) == b""
+
+
+def test_varbyte_block_offsets():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2**40, size=1000).astype(np.uint64)
+    buf, off = varbyte_encode(vals, block=BLOCK)
+    assert off[0] == 0 and len(off) == (len(vals) + BLOCK - 1) // BLOCK
+    # each block decodes independently from its offset
+    for i in range(len(off)):
+        end = off[i + 1] if i + 1 < len(off) else len(buf)
+        cnt = min(BLOCK, len(vals) - i * BLOCK)
+        got = varbyte_decode(buf[off[i] : end], cnt)
+        assert np.array_equal(got, vals[i * BLOCK : i * BLOCK + cnt])
+
+
+def _random_plist(rng, n):
+    docids = np.sort(rng.choice(2**60, size=n, replace=False)).astype(np.uint64)
+    tfs = rng.integers(1, 50, size=n).astype(np.uint64)
+    dls = rng.integers(8, 4000, size=n).astype(np.uint64)
+    return docids, tfs, dls
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_postings_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    docids, tfs, dls = _random_plist(rng, int(rng.integers(1, 2000)))
+    enc = encode_postings(docids, tfs, dls, 250.0)
+    pl = decode_postings(enc)
+    assert np.array_equal(pl.docids, docids)
+    assert np.array_equal(pl.tfs, tfs)
+    assert np.array_equal(pl.doclens, dls)
+
+
+def test_block_metadata_dominates():
+    rng = np.random.default_rng(9)
+    docids, tfs, dls = _random_plist(rng, 1000)
+    enc = encode_postings(docids, tfs, dls, 250.0)
+    u = bm25_u(tfs, dls, 250.0)
+    for b in range(enc.bmax_docid.size):
+        s, e = b * BLOCK, min((b + 1) * BLOCK, 1000)
+        assert enc.bmax_docid[b] == docids[s:e].max()
+        assert enc.bmax_u[b] == u[s:e].max()  # tight, not just >=
+
+
+def test_selective_decode_equals_slices():
+    rng = np.random.default_rng(11)
+    docids, tfs, dls = _random_plist(rng, 1500)
+    enc = encode_postings(docids, tfs, dls, 250.0)
+    nb = enc.bmax_docid.size
+    sel = np.unique(rng.integers(0, nb, size=5))
+    part = decode_blocks(enc, sel)
+    exp = np.concatenate(
+        [np.arange(b * BLOCK, min((b + 1) * BLOCK, 1500)) for b in sel]
+    )
+    assert np.array_equal(part.docids, docids[exp])
+    assert np.array_equal(part.tfs, tfs[exp])
+    assert np.array_equal(part.doclens, dls[exp])

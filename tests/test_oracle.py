@@ -15,7 +15,8 @@ DOCS = [
 
 def _bm25(tf, dl, avgdl, n, df):
     idf = math.log1p((n - df + 0.5) / (df + 0.5))
-    return idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+    # idf * (u): the shared association-order contract (see oracle.py)
+    return idf * (tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl)))
 
 
 def test_stats():
