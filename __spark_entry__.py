@@ -1,38 +1,422 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship conjunctive BM25 over sf0.001 documents.
+queries()      -> one entry per implemented operator (SURVEY.md §2 + the
+                  training-data pipeline ops).
+oracle_sql()   -> DuckDB-ANSI mirrors with identical column names and —
+                  where floats appear — identical operation order, rounded
+                  to 1e-6.
+
+All callables are lazy single-plan DataFrames over the sf_dir parquet
+tables (documents / embeddings / events); index-free in-flight operators
+from honeywell_search_engine_spark.operators.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from honeywell_search_engine_spark.functions.analyzer import STOPWORDS
+from honeywell_search_engine_spark.operators import dedup, relational, search, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+# tokens per doc — mirrors analyzer.tokenize / tokens_col exactly
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     t -> length(t) >= 3 AND NOT list_contains([{_STOP_SQL}], t)) AS toks
+  FROM documents
+),
+doclen AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(doclen) AS BIGINT) AS total_tokens,
+                 avg(doclen) AS avgdl FROM doclen),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+       GROUP BY doc_id, term)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _bm25_sql(query: str, k: int = 10) -> str:
+    from honeywell_search_engine_spark.functions.analyzer import analyze_query
+
+    terms = analyze_query(query)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    n = len(terms)
+    return f"""
+WITH {_TOK_CTE},
+qtf AS (SELECT * FROM tf WHERE term IN ({tlist})),
+dft AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, count(*) AS nt,
+         list_sum(list(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (CAST(q.tf AS DOUBLE) * 2.2
+              / (CAST(q.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(l.doclen AS DOUBLE) / s.avgdl)))
+           ORDER BY q.term)) AS score
+  FROM qtf q JOIN dft d USING (term) JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rnk,
+       doc_id AS docid, round(score, 6) AS score_r
+FROM scored WHERE nt = {n}
+ORDER BY round(score, 6) DESC, doc_id LIMIT {k}
+"""
+
+
+def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+    return search.bm25_inflight(_docs(spark, sf_dir), query, k)
+
+
+FLAGSHIP_QUERY = "data table query"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: conjunctive BM25 top-10 on sf0.001 documents."""
+    return _bm25_spark(spark, "/root/testdata/sf0.001", FLAGSHIP_QUERY, 10)
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- search core (SURVEY §2: F4/F5, A7/A8, K1/K4/K5, T1/T3) ----------
+    q["corpus_stats"] = lambda s, d: search.corpus_stats_row(_docs(s, d))
+    q["doclens"] = lambda s, d: search.doc_tokens(_docs(s, d), "doc_id", "text").select(
+        F.col("docid").cast("long"), "doclen"
+    ).orderBy("docid")
+    q["term_stats_top100"] = lambda s, d: search.term_stats_table(_docs(s, d))
+    q["bm25_single"] = lambda s, d: _bm25_spark(s, d, "spark")
+    q["bm25_conj"] = lambda s, d: _bm25_spark(s, d, FLAGSHIP_QUERY)
+    q["match_and"] = lambda s, d: search.match_all_terms(_docs(s, d), "spark merge vector")
+    q["match_or"] = lambda s, d: search.match_any_terms(_docs(s, d), "spark vector")
+
+    # --- text analysis (training-data ops) --------------------------------
+    q["fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d), "doc_id", "text").orderBy("docid")
+    q["token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d), "doc_id", "text").orderBy("docid")
+    q["quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d), "doc_id", "text").orderBy("docid")
+    q["langid"] = lambda s, d: textstats.langid_en(_docs(s, d), "doc_id", "text").orderBy("docid")
+
+    # --- dedup -------------------------------------------------------------
+    q["exact_dupes"] = lambda s, d: dedup.exact_duplicates(_docs(s, d), "doc_id", "text")
+    q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_docs(s, d), "doc_id", "text").orderBy("docid")
+    q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), "doc_id", "text", n=3, threshold=0.04, max_docid=150
+    )
+    # rows-only checks (no practical SQL mirror):
+    q["minhash_lsh_candidates"] = lambda s, d: dedup.minhash_lsh_candidates(_docs(s, d), "doc_id", "text")
+    q["simhash"] = lambda s, d: dedup.simhash64(_docs(s, d), "doc_id", "text").orderBy("docid")
+
+    # --- similarity search over embeddings ---------------------------------
+    def _query_vec(s, d):
+        row = _embeddings(s, d).filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+        return [float(x) for x in row["embedding"]]
+
+    q["knn_bruteforce"] = lambda s, d: similarity.cosine_topk_bruteforce(
+        _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
+    )
+    q["embedding_norms"] = lambda s, d: _embeddings(s, d).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            ),
+            6,
+        ).alias("norm_r"),
+    ).orderBy("vec_id")
+    q["cosine_dupes"] = lambda s, d: similarity.pairwise_cosine_dupes(
+        _embeddings(s, d), threshold=0.60, max_id=150
+    )
+    # rows-only (approximate by construction):
+    q["knn_lsh"] = lambda s, d: similarity.cosine_ann_lsh(
+        _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
+    )
+
+    # --- relational operators over events (SURVEY §2.3-2.5) ----------------
+    q["latest_dedup"] = lambda s, d: relational.latest_dedup(
+        _events(s, d).select("user_id", "event_type", "ts", "event_id"),
+        ["user_id", "event_type"],
+        "ts",
+        tie_col="event_id",
+    ).select("user_id", "event_type", F.col("event_id").cast("long")).orderBy(
+        "user_id", "event_type"
+    )
+    q["topk_per_group"] = lambda s, d: relational.topk_per_group(
+        _events(s, d).select("user_id", "event_id", "value"),
+        "user_id",
+        "value",
+        k=2,
+        tie_col="event_id",
+    ).select("user_id", F.col("event_id").cast("long"), "rnk").orderBy(
+        "user_id", "rnk"
+    )
+    q["incremental_anti_join"] = lambda s, d: relational.incremental_anti_join(
+        _events(s, d),
+        _events(s, d).filter(F.col("event_id") % 5 == 0).select("event_id"),
+        "event_id",
+    ).groupBy("event_type").agg(F.count("*").alias("n_pending")).orderBy("event_type")
+    q["fusion_confidence"] = lambda s, d: _fusion_confidence(s, d)
+
+    return q
+
+
+def _fusion_confidence(s: SparkSession, d: str) -> DataFrame:
+    """J3+R4: three pseudo-channels from events, full-outer fused, linear
+    confidence (reference fusion.py:101-114 + search.py:157-158)."""
+    ev = _events(s, d)
+    sem = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value") / 100.0, 6).alias("sem_score"))
+    )
+    lex = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value") / 100.0, 6).alias("lex_score"))
+    )
+    tri = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value") / 100.0, 6).alias("tri_score"))
+    )
+    fused = relational.fusion_merge(sem, lex, tri, "user_id")
+    return (
+        relational.linear_confidence(fused)
+        .select("user_id", "confidence")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from honeywell_search_engine_spark.functions.analyzer import analyze_query
+
+    o: dict[str, str] = {}
+
+    o["corpus_stats"] = f"WITH {_TOK_CTE} SELECT n_docs, total_tokens, round(avgdl, 6) AS avgdl_r FROM stats"
+
+    o["doclens"] = f"WITH {_TOK_CTE} SELECT doc_id AS docid, CAST(doclen AS INT) AS doclen FROM doclen ORDER BY docid"
+
+    o["term_stats_top100"] = f"""
+WITH {_TOK_CTE}
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ctf FROM tf
+GROUP BY term ORDER BY df DESC, term LIMIT 100"""
+
+    o["bm25_single"] = _bm25_sql("spark")
+    o["bm25_conj"] = _bm25_sql(FLAGSHIP_QUERY)
+
+    terms_and = analyze_query("spark merge vector")
+    o["match_and"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id AS docid FROM tf
+WHERE term IN ({', '.join(f"'{t}'" for t in terms_and)})
+GROUP BY doc_id HAVING count(*) = {len(terms_and)} ORDER BY docid"""
+
+    terms_or = analyze_query("spark vector")
+    o["match_or"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id AS docid, count(*) AS n_matched FROM tf
+WHERE term IN ({', '.join(f"'{t}'" for t in terms_or)})
+GROUP BY doc_id ORDER BY docid"""
+
+    _punct = "".join(chr(c) for c in range(33, 127) if not chr(c).isalnum())
+    punct_sql = _punct.replace("'", "''")
+    o["fingerprints"] = f"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(translate(lower(text), '{punct_sql}', ''), '\\s+', ' ', 'g')) AS nt
+  FROM documents)
+SELECT doc_id AS docid, md5(nt) AS norm_md5,
+       CAST(('0x' || substr(md5(nt), 1, 15)) AS BIGINT) AS fp60
+FROM n ORDER BY docid"""
+
+    o["token_counts"] = """
+SELECT doc_id AS docid,
+       len(regexp_extract_all(trim(text), '\\S+')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+FROM documents ORDER BY docid"""
+
+    stopw = ", ".join(f"'{w}'" for w in textstats.EN_FUNCTION_WORDS)
+    o["quality_scores"] = f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(list_filter(words, x -> list_contains([{stopw}], x))) AS n_stop,
+         length(text) - length(translate(text, '{punct_sql}', '')) AS n_punct,
+         length(text) AS n_chars,
+         list_sum(list_transform(words, x -> length(x))) AS total_wchars
+  FROM w),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN total_wchars / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_wlen
+  FROM m)
+SELECT doc_id AS docid, CAST(n_words AS INT) AS n_words,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(mean_wlen, 6) AS mean_wlen,
+       round(0.4 * least(n_words / 100.0, 1.0)
+             + 0.4 * (1.0 - least(abs(stop_ratio - 0.3) / 0.3, 1.0))
+             + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality
+FROM r ORDER BY docid"""
+
+    o["langid"] = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents),
+r AS (
+  SELECT doc_id, len(words) AS n_words,
+         len(list_filter(words, x -> list_contains([{stopw}], x))) AS n_en
+  FROM w)
+SELECT doc_id AS docid,
+       round(CASE WHEN n_words > 0 THEN CAST(n_en AS DOUBLE) / n_words ELSE 0.0 END, 6) AS en_ratio,
+       (CASE WHEN n_words > 0 THEN CAST(n_en AS DOUBLE) / n_words ELSE 0.0 END) >= 0.05 AS is_en
+FROM r ORDER BY docid"""
+
+    o["exact_dupes"] = f"""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(translate(lower(text), '{punct_sql}', ''), '\\s+', ' ', 'g'))) AS norm_md5
+  FROM documents)
+SELECT norm_md5, count(*) AS n_dupes, min(doc_id) AS keep_docid,
+       list_sort(list(doc_id)) AS dupe_docids
+FROM n GROUP BY norm_md5 HAVING count(*) > 1 ORDER BY norm_md5"""
+
+    mh_cols = ", ".join(
+        f"list_min(list_transform(grams, g -> CAST(('0x' || substr(md5('{salt}' || g), 1, 15)) AS BIGINT))) AS {salt}"
+        for salt in dedup.MINHASH_SALTS
+    )
+    o["minhash_signatures"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM t)
+SELECT doc_id AS docid, {mh_cols} FROM g ORDER BY docid"""
+
+    o["ngram_jaccard"] = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id <= 150),
+g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM t),
+sh AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS docid_a, r.doc_id AS docid_b, count(*) AS n_inter
+  FROM sh l JOIN sh r USING (shingle)
+  WHERE l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id)
+SELECT docid_a, docid_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(a.n_sh + b.n_sh - n_inter AS DOUBLE), 6) AS jaccard_r
+FROM inter
+JOIN sizes a ON a.doc_id = docid_a
+JOIN sizes b ON b.doc_id = docid_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(a.n_sh + b.n_sh - n_inter AS DOUBLE) >= 0.04
+ORDER BY docid_a, docid_b"""
+
+    # knn_bruteforce / embedding_norms / cosine_dupes: manual dot products,
+    # left-to-right list_sum order == Spark F.aggregate order
+    o["embedding_norms"] = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_r
+FROM embeddings ORDER BY vec_id"""
+
+    o["knn_bruteforce"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rnk,
+       vec_id, round(cos, 6) AS cos_r
+FROM s ORDER BY cos DESC, vec_id LIMIT 10"""
+
+    o["cosine_dupes"] = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 150),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.60 ORDER BY id_a, id_b"""
+
+    o["latest_dedup"] = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id, event_type"""
+
+    o["topk_per_group"] = """
+SELECT user_id, event_id, rnk FROM (
+  SELECT user_id, event_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rnk
+  FROM events) WHERE rnk <= 2 ORDER BY user_id, rnk"""
+
+    o["incremental_anti_join"] = """
+SELECT event_type, count(*) AS n_pending FROM events
+WHERE event_id % 5 != 0 GROUP BY event_type ORDER BY event_type"""
+
+    o["fusion_confidence"] = """
+WITH sem AS (SELECT user_id, round(avg(value) / 100.0, 6) AS sem_score FROM events WHERE event_type = 'view' GROUP BY user_id),
+lex AS (SELECT user_id, round(avg(value) / 100.0, 6) AS lex_score FROM events WHERE event_type = 'click' GROUP BY user_id),
+tri AS (SELECT user_id, round(avg(value) / 100.0, 6) AS tri_score FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+f AS (
+  SELECT coalesce(sem.user_id, lex.user_id, tri.user_id) AS user_id,
+         sem_score, lex_score, tri_score
+  FROM sem FULL OUTER JOIN lex ON sem.user_id = lex.user_id
+  FULL OUTER JOIN tri ON coalesce(sem.user_id, lex.user_id) = tri.user_id)
+SELECT user_id,
+       CAST(floor(least(1.0, 0.55 * coalesce(sem_score, 0.0)
+                             + 0.35 * coalesce(lex_score, 0.0)
+                             + 0.10 * coalesce(tri_score, 0.0)) * 100) AS INT) AS confidence
+FROM f ORDER BY user_id"""
+
+    return o

@@ -1,0 +1,230 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup — the standard
+toolbox for cleaning a 100 TB web corpus before indexing/training.
+
+Scale design:
+- exact dedup: one hash-shuffle on the content hash (map-side combined);
+- MinHash: signatures are per-row column expressions (no Python, no
+  shuffle); LSH banding turns all-pairs O(n²) into a groupBy on band
+  values — only docs sharing a band bucket ever meet;
+- SimHash: per-row 64-bit fingerprint via bit-vote aggregation over token
+  hashes, Hamming-adjacent buckets via bit-band grouping;
+- n-gram Jaccard: exact verification join, run only on LSH candidates
+  (or bounded doc subsets), never blindly all-pairs.
+
+Every hash is built from md5/crc32-class primitives that exist identically
+in DuckDB, so the driver's SQL oracle can replay them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from honeywell_search_engine_spark.operators.textstats import _tokens_word
+
+# deterministic salts for the minhash family (any fixed strings work; the
+# oracle SQL embeds the same list)
+MINHASH_SALTS = [f"mh{i:02d}" for i in range(8)]
+
+
+def _norm_text(text_col):
+    import string
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(
+        F.regexp_replace(F.translate(F.lower(c), string.punctuation, ""), r"\s+", " ")
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (after normalize) docs:
+    (norm_md5, n_dupes, keep_docid=min, dupe_docids sorted). Only groups
+    with n>1. One shuffle on the 128-bit hash — uniform, skew-free."""
+    h = F.md5(_norm_text(text_col))
+    return (
+        docs.select(F.col(id_col).alias("docid"), h.alias("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min("docid").alias("keep_docid"),
+            F.sort_array(F.collect_list("docid")).alias("dupe_docids"),
+        )
+        .filter(F.col("n_dupes") > 1)
+        .orderBy("norm_md5")
+    )
+
+
+def _gram_array(toks, n: int):
+    """Distinct word n-grams of an in-row token array as a column. Guarded:
+    Spark's sequence(0, x) DESCENDS for x<0, so short docs get an explicit
+    empty array."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(docid, shingle) distinct word n-grams. Pure column expressions:
+    sliding window via transform over token indices."""
+    grams = _gram_array(_tokens_word(text_col), n)
+    return docs.select(
+        F.col(id_col).alias("docid"), F.explode(grams).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, n_gram: int = 3
+) -> DataFrame:
+    """(docid, mh00..mh07): per-salt min over shingles of a 60-bit hash
+    derived from md5(salt || shingle). No shuffle — ONE aggregate over the
+    in-row shingle array computes all salts at once.
+
+    Implementation note: this must be a single higher-order-function
+    lambda — Spark 4.1 resolves same-named lambda variables across sibling
+    HOF calls in one projection to the same binding, so N separate
+    transform() calls would silently compute identical columns."""
+    grams = _gram_array(_tokens_word(text_col), n_gram)
+    maxl = F.lit((1 << 62)).cast("long")
+    init = F.struct(*[maxl.alias(s) for s in MINHASH_SALTS])
+
+    def step(acc, g):
+        return F.struct(
+            *[
+                F.least(
+                    acc[s],
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(s), g)), 1, 15), 16, 10
+                    ).cast("long"),
+                ).alias(s)
+                for s in MINHASH_SALTS
+            ]
+        )
+
+    agg = F.aggregate(grams, init, step)
+    return docs.select(
+        F.col(id_col).alias("docid"),
+        *[
+            F.when(F.size(grams) > 0, agg[s]).alias(s)
+            for s in MINHASH_SALTS
+        ],
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, id_col: str, text_col: str, bands: int = 4
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding over the 8-slot minhash
+    signature (2 rows per band by default): (docid_a < docid_b, n_bands).
+
+    The only shuffle is groupBy(band_id, band_hash); all-pairs never
+    materializes. At 100 TB add more bands/rows and a secondary salt on
+    giant buckets."""
+    sig = minhash_signatures(docs, id_col, text_col)
+    rows_per_band = len(MINHASH_SALTS) // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = MINHASH_SALTS[b * rows_per_band : (b + 1) * rows_per_band]
+        band_exprs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *cols)).alias("bh"))
+        )
+    exploded = sig.select("docid", F.explode(F.array(*band_exprs)).alias("b")).select(
+        "docid", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    pairs = (
+        exploded.alias("l")
+        .join(exploded.alias("r"), ["band", "bh"])
+        .filter(F.col("l.docid") < F.col("r.docid"))
+        .groupBy(F.col("l.docid").alias("docid_a"), F.col("r.docid").alias("docid_b"))
+        .agg(F.count("*").alias("n_bands"))
+        .orderBy("docid_a", "docid_b")
+    )
+    return pairs
+
+
+def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(docid, simhash) 64-bit SimHash over word tokens: per-bit majority
+    vote of md5-derived token-hash bits, tf-weighted.
+
+    Vectorized Arrow UDF (numpy bit matrix per batch) — 64 per-bit column
+    aggregates would blow past whole-stage-codegen limits, and this is
+    exactly the "Python only as Arrow-batched kernels" surface the
+    input_hint allows. Deterministic across engines/partitionings (md5)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's hint inference rejects; hint-less defaults to the
+    # scalar Arrow eval type, which is what we want
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts):
+        import re
+        from collections import Counter
+
+        tok_re = re.compile(r"[a-z0-9]+")
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            toks = tok_re.findall(t.lower())
+            if not toks:
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for tok, tf in Counter(toks).items():
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                )
+                bits = (h >> shifts) & np.uint64(1)
+                votes += np.where(bits == 1, tf, -tf)
+            sim = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            out[i] = sim - 2**64 if sim >= 2**63 else sim
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col).alias("docid"), _simhash(F.col(text_col)).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_docid: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold:
+    (docid_a, docid_b, round(jaccard,6)). Inverted-index join on shingles
+    (candidates = pairs sharing >=1 shingle), then |∩| / (|A|+|B|-|∩|).
+
+    `max_docid` bounds the corpus slice for test/oracle parity; production
+    path feeds LSH candidates instead of a raw self-join."""
+    d = docs
+    if max_docid is not None:
+        d = d.filter(F.col(id_col) <= max_docid)
+    sh = shingles(d, id_col, text_col, n)
+    sizes = sh.groupBy("docid").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .filter(F.col("l.docid") < F.col("r.docid"))
+        .groupBy(F.col("l.docid").alias("docid_a"), F.col("r.docid").alias("docid_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("docid", "docid_a").withColumnRenamed("n_sh", "sh_a"), "docid_a")
+        .join(sizes.withColumnRenamed("docid", "docid_b").withColumnRenamed("n_sh", "sh_b"), "docid_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("docid_a", "docid_b", F.round("jaccard", 6).alias("jaccard_r"))
+        .orderBy("docid_a", "docid_b")
+    )

@@ -1,0 +1,183 @@
+"""In-flight (index-free) search operators over any (id, text) DataFrame.
+
+These run the same analyzer + BM25 semantics as the segment engine but as a
+single lazy Catalyst plan — no persisted index. They exist for (a) the
+driver's DuckDB-oracle correctness gate, (b) ad-hoc one-shot queries where
+building an index isn't worth it, and (c) defining the reference operator
+semantics (F4 AND-match, F5 OR-match, K1 lexical top-k, K4 rank assignment;
+reference fusion.py:36-88, search.py:33-44).
+
+Determinism contract (same as the oracle / segment engine): float64,
+per-doc term contributions summed in lexicographic term order, rank order
+(-score, docid). The matching DuckDB SQL in __spark_entry__.oracle_sql uses
+the identical operation order, making scores bit-comparable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from honeywell_search_engine_spark import B, K1
+from honeywell_search_engine_spark.functions.analyzer import analyze_query
+from honeywell_search_engine_spark.functions.analyzer import tokens_col
+
+
+def doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tokens, doclen) — JVM-side tokenization, whole-stage codegen."""
+    return docs.select(
+        F.col(id_col).alias("docid"),
+        tokens_col(text_col).alias("tokens"),
+    ).withColumn("doclen", F.size("tokens"))
+
+
+def doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(docid, term, tf, doclen) rows — map-side combined hash aggregate."""
+    t = doc_tokens(docs, id_col, text_col)
+    return (
+        t.select("docid", "doclen", F.explode("tokens").alias("term"))
+        .groupBy("docid", "term")
+        .agg(F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
+    )
+
+
+def bm25_inflight(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive BM25 top-k as one lazy plan: returns
+    (rnk int, docid long, score_r double[rounded 1e-6]).
+
+    Plan shape: tokenize -> tf hash-agg -> term filter (only the ≤12 query
+    terms survive into the join) -> broadcast df/idf -> conjunctive
+    group-filter -> deterministic ordered sum -> TakeOrderedAndProject(k).
+    """
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    empty = spark.createDataFrame([], "rnk int, docid long, score_r double")
+    if not terms:
+        return empty
+    n_terms = len(terms)
+
+    tf = doc_term_freqs(docs, id_col, text_col)
+    # corpus stats (over all docs, not just matches)
+    tok = doc_tokens(docs, id_col, text_col)
+    stats = tok.agg(
+        F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("term").isin(terms))
+    df_per_term = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log1p(
+                (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (
+                F.col("tf").cast("double")
+                * F.lit(K1 + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B)
+                        * F.col("doclen").cast("double")
+                        / F.col("avgdl")
+                    )
+                )
+            ),
+        )
+        .groupBy("docid")
+        .agg(
+            F.count("*").alias("nt"),
+            F.sort_array(F.collect_list(F.struct("term", "part"))).alias("parts"),
+        )
+        .filter(F.col("nt") == n_terms)
+        .select(
+            "docid",
+            F.aggregate("parts", F.lit(0.0), lambda a, x: a + x["part"]).alias(
+                "score"
+            ),
+        )
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("docid"))
+    return topk.select(
+        F.row_number().over(w).alias("rnk"),
+        F.col("docid").cast("long").alias("docid"),
+        F.round("score", 6).alias("score_r"),
+    )
+
+
+def match_all_terms(
+    docs: DataFrame, query: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """F4 semantics (websearch_to_tsquery AND): docids containing every
+    query term, ascending. Posting-list intersection via group-filter."""
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], "docid long")
+    tf = doc_term_freqs(docs, id_col, text_col)
+    return (
+        tf.filter(F.col("term").isin(terms))
+        .groupBy("docid")
+        .agg(F.count("*").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select(F.col("docid").cast("long"))
+        .orderBy("docid")
+    )
+
+
+def match_any_terms(
+    docs: DataFrame, query: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """F5 semantics (triple-match OR): docids containing any query term,
+    with how many distinct query terms matched (docid asc)."""
+    spark = docs.sparkSession
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], "docid long, n_matched long")
+    tf = doc_term_freqs(docs, id_col, text_col)
+    return (
+        tf.filter(F.col("term").isin(terms))
+        .groupBy("docid")
+        .agg(F.count("*").alias("n_matched"))
+        .select(F.col("docid").cast("long"), "n_matched")
+        .orderBy("docid")
+    )
+
+
+def term_stats_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", top: int = 100
+) -> DataFrame:
+    """(term, df, ctf) for the `top` most frequent terms (A8 analog)."""
+    tf = doc_term_freqs(docs, id_col, text_col)
+    return (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("ctf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top)
+    )
+
+
+def corpus_stats_row(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(n_docs, total_tokens, avgdl rounded) — A7 doclen/avgdl aggregate."""
+    tok = doc_tokens(docs, id_col, text_col)
+    return tok.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("total_tokens"),
+        F.round(F.avg("doclen"), 6).alias("avgdl_r"),
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure JVM column expressions (whole-stage codegen; zero Python) so they
+hold up on a 100 TB corpus: no shuffle at all — these are embarrassingly
+parallel per-row maps that Catalyst fuses into the scan.
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import DataFrame, functions as F
+
+from honeywell_search_engine_spark.functions.analyzer import STOPWORDS
+
+_PUNCT = string.punctuation
+
+# 30 high-frequency English function words (language-ID signal)
+EN_FUNCTION_WORDS = sorted(
+    STOPWORDS
+    | {"a", "an", "that", "this", "it", "as", "at", "be", "has", "have", "not", "but"}
+)
+
+
+def _tokens_ws(text_col):
+    """Whitespace tokens (token-count semantics of the reference's fallback
+    `words/0.75` counter, chunking.py:22-43 — whitespace words, no filter).
+    regexp_extract_all (not split) so empty text yields 0 tokens, matching
+    SQL semantics."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(F.trim(c), F.lit(r"\S+"), F.lit(0))
+
+
+def _tokens_word(text_col):
+    """Word tokens: [a-z0-9]+ on lowercase (analyzer T3 without the
+    stopword/minlen filter)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), F.lit(0))
+
+
+def token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(docid, ws_tokens, word_tokens, bpe_est): whitespace count, regex
+    word count, and a BPE-ish estimate (ceil(chars/4) — the usual ~4
+    chars/token heuristic, cf. reference token fallback words/0.75)."""
+    return docs.select(
+        F.col(id_col).alias("docid"),
+        F.size(_tokens_ws(text_col)).alias("ws_tokens"),
+        F.size(_tokens_word(text_col)).alias("word_tokens"),
+        F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("long").alias("bpe_est"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features + composite score (rounded 1e-6):
+    length, punctuation ratio, stopword ratio, mean word length.
+    Score = heuristic in [0,1]: rewards mid-length docs with a natural
+    stopword share and low punctuation density."""
+    c = F.col(text_col)
+    words = _tokens_word(text_col)
+    n_words = F.size(words)
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*EN_FUNCTION_WORDS))
+    )
+    n_punct = F.length(c) - F.length(F.translate(c, _PUNCT, ""))
+    total_wchars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    nw = n_words.cast("double")
+    stop_ratio = F.when(n_words > 0, n_stop / nw).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.length(c) > 0, n_punct.cast("double") / F.length(c)
+    ).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_words > 0, total_wchars / nw).otherwise(F.lit(0.0))
+    len_score = F.least(nw / F.lit(100.0), F.lit(1.0))
+    stop_score = F.lit(1.0) - F.least(
+        F.abs(stop_ratio - F.lit(0.3)) / F.lit(0.3), F.lit(1.0)
+    )
+    punct_score = F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score + F.lit(0.4) * stop_score + F.lit(0.2) * punct_score
+    )
+    return docs.select(
+        F.col(id_col).alias("docid"),
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_wlen, 6).alias("mean_wlen"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def langid_en(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: share of tokens that are English function
+    words; is_en = ratio >= 0.05. (n-gram-free variant that is exactly
+    SQL-expressible for the oracle; a char-trigram scorer would be the
+    production upgrade.)"""
+    words = _tokens_word(text_col)
+    n_words = F.size(words)
+    n_en = F.size(F.filter(words, lambda w: w.isin(*EN_FUNCTION_WORDS)))
+    ratio = F.when(n_words > 0, n_en.cast("double") / n_words.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        F.col(id_col).alias("docid"),
+        F.round(ratio, 6).alias("en_ratio"),
+        (ratio >= 0.05).alias("is_en"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic document fingerprints:
+    - norm_md5: md5 of the normalized text (lowercase, punctuation deleted,
+      whitespace collapsed — analyzer T1 semantics, JVM-side);
+    - sim64: a 60-bit content fingerprint from the md5 hex (cheap stand-in
+      for a rolling hash; stable across engines)."""
+    c = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(F.translate(F.lower(c), _PUNCT, ""), r"\s+", " ")
+    )
+    md5 = F.md5(norm)
+    return docs.select(
+        F.col(id_col).alias("docid"),
+        md5.alias("norm_md5"),
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("fp60"),
+    )

@@ -1,0 +1,81 @@
+"""Replicates the driver's correctness gate: every __spark_entry__ query
+with an oracle must match DuckDB on sf0.001 (sf0.01 is the driver's scale;
+0.001 keeps CI fast — same code path)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "documents", "embeddings", "events", "lineitem", "orders",
+    "part", "customer", "supplier", "nation", "region",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    return df.sort_values(list(df.columns)).reset_index(drop=True).astype(str)
+
+
+ORACLED = sorted(set(E.queries()) & set(E.oracle_sql()))
+ROWS_ONLY = sorted(set(E.queries()) - set(E.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, ddb, name):
+    got = _canon(E.queries()[name](spark, SF).toPandas())
+    exp = _canon(ddb.sql(E.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), f"{name}: columns"
+    assert len(got) == len(exp), f"{name}: row count"
+    assert got.equals(exp), f"{name}: values"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = E.queries()[name](spark, SF)
+    assert df.count() >= 0  # runs without error, stable schema
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    rows = E.entry(spark).collect()
+    assert len(rows) > 0
+    assert [f.name for f in E.entry(spark).schema.fields] == ["rnk", "docid", "score_r"]
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """knn_lsh is approximate but must be a subset-of-corpus exact scorer:
+    every returned (vec_id, cos) must appear in the brute-force ranking
+    with the same cosine."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    from honeywell_search_engine_spark.operators.similarity import (
+        cosine_ann_lsh,
+        cosine_topk_bruteforce,
+    )
+
+    rest = emb.filter(F.col("vec_id") != 0)
+    bf = {
+        r["vec_id"]: r["cos_r"]
+        for r in cosine_topk_bruteforce(rest, qv, k=1000).collect()
+    }
+    for r in cosine_ann_lsh(rest, qv, k=10).collect():
+        assert r["vec_id"] in bf and bf[r["vec_id"]] == r["cos_r"]
