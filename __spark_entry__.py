@@ -44,16 +44,26 @@ tf AS (SELECT doc_id, term, count(*) AS tf
 """
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The testdata tables are single small parquet files -> Spark scans
+    them as ONE partition, serializing every downstream expression. One
+    round-robin repartition to the session's parallelism unlocks all
+    cores; the shuffled payload is tiny relative to the expression work.
+    (On a real lake the files are already split; this is a small-file fix.)
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _bm25_sql(query: str, k: int = 10) -> str:

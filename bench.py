@@ -1,0 +1,174 @@
+"""Per-round benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extra": {index build + scaling evidence}}
+
+Parts:
+1. headline driver-table queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+   on local[$SPARK_GRAFT_CPUS];
+2. inverted-index build throughput (docs/sec) + segment BM25 top-10 query
+   latency on the synthetic pages corpus (north metric);
+3. scaling evidence for the north_rule's N-vs-4N criterion: the same
+   index build at local[N_LOW] and local[N_HIGH] on the same input,
+   throughput at both + efficiency (sandbox stand-in for 2 cluster sizes).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_PAGES_DOCS (default 50000), BENCH_SCALING=0 to skip part 3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_PAGES_DOCS", "50000"))
+N_LOW = int(os.environ.get("BENCH_SCALING_LOW", "8"))
+RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
+WORK = os.environ.get("BENCH_WORKDIR", "/tmp/hse_bench")
+
+HEADLINE = [
+    "bm25_single",
+    "bm25_conj",
+    "match_and",
+    "term_stats_top100",
+    "fingerprints",
+    "quality_scores",
+    "minhash_signatures",
+    "knn_bruteforce",
+    "latest_dedup",
+    "fusion_confidence",
+]
+
+
+def fresh_spark(cores: int, app: str):
+    from honeywell_search_engine_spark.session import get_spark
+
+    return get_spark(app_name=app, cores=cores, shuffle_partitions=max(cores, 8))
+
+
+def ensure_pages(spark, path: str, n: int):
+    marker = f"{path}/_GEN_{n}"
+    if os.path.exists(marker):
+        return
+    from honeywell_search_engine_spark.sources.pages import write_pages_table_spark
+
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    write_pages_table_spark(spark, path, n, partitions=max(CPUS * 2, 16))
+    open(marker, "w").write(str(n))
+    log(f"[bench] generated {n}-doc pages corpus in {time.time()-t0:.1f}s")
+
+
+def build_index(spark, pages_path: str, index_dir: str) -> float:
+    """Build the segment index from scratch; returns wall seconds."""
+    from honeywell_search_engine_spark.index.corpus import docs_from_pages, tokenized_docs
+    from honeywell_search_engine_spark.index.segments import build_segments
+    from honeywell_search_engine_spark.sources.pages import read_pages
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    pages = read_pages(spark, pages_path)
+    tok = tokenized_docs(docs_from_pages(pages))
+    build_segments(
+        tok, index_dir, pages_path,
+        n_buckets=32, n_shards=16, buckets_per_job=32,
+    )
+    return time.time() - t0
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(WORK, exist_ok=True)
+    import __spark_entry__ as E
+
+    results: dict[str, float] = {}
+    extra: dict = {}
+
+    # ---- part 1: headline queries at SF_DIR ------------------------------
+    spark = fresh_spark(CPUS, "bench-headline")
+    qs = E.queries()
+    # warm the JVM/parquet footprint once so per-query numbers are query
+    # cost, not first-touch cost
+    qs["corpus_stats"](spark, SF_DIR).collect()
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        dt = time.time() - t0
+        results[name] = round(dt, 3)
+        total += dt
+        log(f"[bench] {name}: {dt:.2f}s")
+
+    # ---- part 2: index build + query latency on pages corpus -------------
+    pages_path = f"{WORK}/pages_{N_DOCS}"
+    ensure_pages(spark, pages_path, N_DOCS)
+    idx_dir = f"{WORK}/idx_main"
+    build_sec = build_index(spark, pages_path, idx_dir)
+    docs_per_sec = N_DOCS / build_sec
+    log(f"[bench] index build: {build_sec:.1f}s ({docs_per_sec:.0f} docs/s)")
+
+    from honeywell_search_engine_spark.index.segments import SegmentIndex
+    from honeywell_search_engine_spark.query.wand import bm25_topk_wand
+    from honeywell_search_engine_spark.sources.pages import reference_queries
+
+    idx = SegmentIndex(spark, idx_dir)
+    qtimes = []
+    t0 = time.time()
+    for qname, qtext in reference_queries().items():
+        tq = time.time()
+        bm25_topk_wand(idx, qtext, k=10).collect()
+        qtimes.append(time.time() - tq)
+    wand_total = time.time() - t0
+    qtimes.sort()
+    results["wand_20_queries"] = round(wand_total, 3)
+    extra["index_build_sec"] = round(build_sec, 2)
+    extra["index_build_docs_per_sec"] = round(docs_per_sec, 1)
+    extra["bm25_latency_median_sec"] = round(qtimes[len(qtimes) // 2], 3)
+    extra["bm25_latency_p95_sec"] = round(qtimes[int(len(qtimes) * 0.95) - 1], 3)
+    extra["pages_docs"] = N_DOCS
+    spark.stop()
+
+    # ---- part 3: scaling evidence (N vs 4N parallelism) ------------------
+    if RUN_SCALING:
+        times = {}
+        for cores in (N_LOW, CPUS):
+            s = fresh_spark(cores, f"bench-scale-{cores}")
+            times[cores] = build_index(s, pages_path, f"{WORK}/idx_scale_{cores}")
+            s.stop()
+            log(f"[bench] build at local[{cores}]: {times[cores]:.1f}s")
+        thr = {c: N_DOCS / t for c, t in times.items()}
+        eff = (thr[CPUS] / thr[N_LOW]) / (CPUS / N_LOW)
+        extra["scaling"] = {
+            "cores_low": N_LOW,
+            "cores_high": CPUS,
+            "build_sec_low": round(times[N_LOW], 2),
+            "build_sec_high": round(times[CPUS], 2),
+            "docs_per_sec_low": round(thr[N_LOW], 1),
+            "docs_per_sec_high": round(thr[CPUS], 1),
+            "efficiency": round(eff, 3),
+        }
+        log(f"[bench] scaling efficiency {N_LOW}->{CPUS} cores: {eff:.2f}")
+
+    out = {
+        "metric": "headline_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "extra": extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

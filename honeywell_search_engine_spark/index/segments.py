@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from honeywell_search_engine_spark.index import codec
 from honeywell_search_engine_spark.index.corpus import term_frequencies
 from honeywell_search_engine_spark.index.naive import bucket_col, bucket_of
-from honeywell_search_engine_spark.index.stats import CorpusStats, corpus_stats, term_stats
+from honeywell_search_engine_spark.index.stats import CorpusStats, term_stats
 
 N_BUCKETS = 64
 N_SHARDS = 8
@@ -187,21 +187,38 @@ def input_fingerprint(spark: SparkSession, input_path: str) -> str:
     return f"{zlib.crc32(blob):08x}:{len(jvm_files)}"
 
 
-def bucket_checksum(spark: SparkSession, seg_path: str, b: int) -> dict:
-    """Order-independent content checksum of one bucket's segment rows."""
-    df = spark.read.schema(SEGMENT_SCHEMA).parquet(f"{seg_path}/bucket={b}")
-    row = df.agg(
-        F.count("*").alias("rows"),
-        F.sum("n").alias("postings"),
-        F.sum(
-            F.xxhash64("term", "shard", "n", "deltas", "tfs", "doclens")
-        ).alias("checksum"),
-    ).collect()[0]
-    return {
-        "rows": row["rows"] or 0,
-        "postings": int(row["postings"] or 0),
-        "checksum": int(row["checksum"] or 0),
+def bucket_checksums(spark: SparkSession, seg_path: str, buckets: list[int]) -> dict[int, dict]:
+    """Order-independent content checksums for many buckets in ONE job
+    (per-bucket jobs would add ~0.3s fixed cost × n_buckets)."""
+    df = spark.read.parquet(seg_path).filter(F.col("bucket").isin(buckets))
+    rows = (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("n").alias("postings"),
+            # bit_xor, not sum: order-independent AND overflow-free under
+            # ANSI mode (sum of 64-bit hashes overflows LongType)
+            F.bit_xor(
+                F.xxhash64("term", "shard", "n", "deltas", "tfs", "doclens")
+            ).alias("checksum"),
+        )
+        .collect()
+    )
+    out = {
+        int(r["bucket"]): {
+            "rows": r["rows"],
+            "postings": int(r["postings"] or 0),
+            "checksum": int(r["checksum"] or 0),
+        }
+        for r in rows
     }
+    for b in buckets:  # buckets with zero terms still get a manifest
+        out.setdefault(b, {"rows": 0, "postings": 0, "checksum": 0})
+    return out
+
+
+def bucket_checksum(spark: SparkSession, seg_path: str, b: int) -> dict:
+    return bucket_checksums(spark, seg_path, [b])[b]
 
 
 # --------------------------------------------------------------------------
@@ -244,8 +261,21 @@ def build_segments(
             .partitionBy("bucket")
             .parquet(f"{index_dir}/postings")
         )
-        cs = corpus_stats(tok_docs)
+        # stats WITHOUT re-tokenizing the corpus: doclen rides on every
+        # posting row, so (docid, doclen) distinct + the input doc count
+        # give N/avgdl; zero-token docs contribute doclen 0 to the sum.
+        n_input = tok_docs.select("docid").count()
         pr = spark.read.parquet(f"{index_dir}/postings")
+        drow = (
+            pr.groupBy("docid")
+            .agg(F.first("doclen").alias("doclen"))
+            .agg(F.sum("doclen").alias("sum_dl"), F.count("*").alias("nd"))
+            .collect()[0]
+        )
+        cs = CorpusStats(
+            n_docs=n_input,
+            avgdl=float(drow["sum_dl"] or 0) / n_input if n_input else 0.0,
+        )
         ts = term_stats(pr.select("term", "docid", "tf"), cs.n_docs)
         ts.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/term_stats")
         n_postings = pr.count()
@@ -307,11 +337,8 @@ def build_segments(
             .parquet(f"{index_dir}/segments")
         )
         elapsed = round(time.time() - t0, 2)
+        chks = bucket_checksums(spark, f"{index_dir}/segments", chunk)
         for b in chunk:
-            try:
-                chk = bucket_checksum(spark, f"{index_dir}/segments", b)
-            except Exception:
-                chk = {"rows": 0, "postings": 0, "checksum": 0}
             _write_manifest(
                 index_dir,
                 f"bucket_{b}.json",
@@ -320,7 +347,7 @@ def build_segments(
                     "bucket": b,
                     "input_fingerprint": fp,
                     "chunk_elapsed_sec": elapsed,
-                    **chk,
+                    **chks[b],
                 },
             )
         if progress:
@@ -353,14 +380,24 @@ class SegmentIndex:
             raise ValueError(f"index at {path} incomplete: buckets {missing[:8]}...")
         self.segments = spark.read.parquet(f"{path}/segments")
         self.term_stats = spark.read.parquet(f"{path}/term_stats")
+        self._idf_cache: dict[str, float | None] = {}
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
-        rows = (
-            self.term_stats.filter(F.col("term").isin(terms))
-            .select("term", "idf")
-            .collect()
-        )
-        return {r["term"]: float(r["idf"]) for r in rows}
+        """idf for the given terms (absent term => absent key). Driver-side
+        memoized: repeated query terms never re-launch the lookup job. The
+        underlying scan is partition/row-group pruned — never a full
+        dictionary read."""
+        missing = [t for t in terms if t not in self._idf_cache]
+        if missing:
+            rows = (
+                self.term_stats.filter(F.col("term").isin(missing))
+                .select("term", "idf")
+                .collect()
+            )
+            found = {r["term"]: float(r["idf"]) for r in rows}
+            for t in missing:
+                self._idf_cache[t] = found.get(t)
+        return {t: v for t in terms if (v := self._idf_cache[t]) is not None}
 
     def segments_for(self, terms: list[str]) -> DataFrame:
         buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})

@@ -1,0 +1,58 @@
+"""spark-submit entry point: run BM25 top-k queries against a built index.
+
+    spark-submit --py-files hse.zip jobs/run_queries.py \\
+        --index s3://bucket/index_v1 --k 10 --query "spark inverted index"
+
+    # or the fixed 20-query reference set with timings:
+    python jobs/run_queries.py --index /tmp/idx --cores 32 --reference-set
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", action="append", default=[])
+    ap.add_argument("--reference-set", action="store_true")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", choices=["and", "or"], default="and")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    if args.cores:
+        from honeywell_search_engine_spark.session import get_spark
+
+        spark = get_spark(app_name="hse-run-queries", cores=args.cores)
+    else:
+        spark = SparkSession.builder.appName("hse-run-queries").getOrCreate()
+
+    from honeywell_search_engine_spark.index.segments import SegmentIndex
+    from honeywell_search_engine_spark.query.wand import bm25_topk_wand
+    from honeywell_search_engine_spark.sources.pages import reference_queries
+
+    idx = SegmentIndex(spark, args.index)
+    queries = dict(enumerate(args.query))
+    if args.reference_set:
+        queries = reference_queries()
+    out = {}
+    for name, q in queries.items():
+        t0 = time.time()
+        rows = bm25_topk_wand(idx, q, k=args.k, mode=args.mode).collect()
+        out[str(name)] = {
+            "sec": round(time.time() - t0, 3),
+            "hits": [(r["docid"], r["score"]) for r in rows],
+        }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
