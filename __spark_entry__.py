@@ -193,8 +193,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id",
     ).groupBy("event_type").agg(F.count("*").alias("n_pending")).orderBy("event_type")
     q["fusion_confidence"] = lambda s, d: _fusion_confidence(s, d)
+    q["rrf_fusion"] = lambda s, d: _rrf_fusion(s, d)
+
+    # --- scoring / NLP scalar operators ------------------------------------
+    q["token_overlap"] = lambda s, d: search.token_overlap_score(
+        _docs(s, d), FLAGSHIP_QUERY
+    )
+    q["highlights"] = lambda s, d: search.highlight_terms(_docs(s, d), FLAGSHIP_QUERY)
+    q["naive_triples"] = lambda s, d: search.naive_triples(_docs(s, d))
+    # rows-only: hierarchical chunking stats (pure-Python oracle lives in
+    # tests/test_chunking.py instead of SQL)
+    q["chunk_stats"] = lambda s, d: _chunk_stats(s, d)
 
     return q
+
+
+def _chunk_stats(s: SparkSession, d: str) -> DataFrame:
+    from honeywell_search_engine_spark.operators.chunking import chunk_documents
+
+    ch = chunk_documents(_docs(s, d), "doc_id", "text")
+    return (
+        ch.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("tokens").alias("total_tokens"),
+            F.max("tokens").alias("max_tokens"),
+        )
+        .orderBy("kind")
+    )
+
+
+def _rrf_fusion(s: SparkSession, d: str) -> DataFrame:
+    """R6 over three event channels ranked by mean value per user."""
+    from pyspark.sql import Window
+
+    ev = _events(s, d)
+    chans = []
+    for et in ("view", "click", "purchase"):
+        agg = (
+            ev.filter(F.col("event_type") == et)
+            .groupBy("user_id")
+            .agg(F.avg("value").alias("v"))
+        )
+        w = Window.orderBy(F.desc("v"), F.asc("user_id"))
+        chans.append(agg.select("user_id", F.row_number().over(w).alias("rnk")))
+    return relational.rrf_fusion(chans, "user_id")
 
 
 def _fusion_confidence(s: SparkSession, d: str) -> DataFrame:
@@ -428,5 +471,66 @@ SELECT user_id,
                              + 0.35 * coalesce(lex_score, 0.0)
                              + 0.10 * coalesce(tri_score, 0.0)) * 100) AS INT) AS confidence
 FROM f ORDER BY user_id"""
+
+    fq_terms = analyze_query(FLAGSHIP_QUERY)
+    fq_list = ", ".join(f"'{t}'" for t in fq_terms)
+    o["token_overlap"] = f"""
+WITH {_TOK_CTE},
+ov AS (
+  SELECT doc_id,
+         len(list_filter(list_distinct(toks), t -> list_contains([{fq_list}], t)))
+           / CAST({len(fq_terms)} AS DOUBLE) AS overlap
+  FROM tok)
+SELECT doc_id AS docid, round(overlap, 6) AS overlap_r,
+       CASE WHEN overlap >= 0.9 THEN 1.0 WHEN overlap >= 0.75 THEN 0.7
+            WHEN overlap >= 0.5 THEN 0.5 ELSE 0.0 END AS step_score
+FROM ov ORDER BY docid"""
+
+    o["highlights"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id AS docid,
+       list_sort(list_filter(list_distinct(toks),
+                             t -> list_contains([{fq_list}], t)))[1:8] AS highlights
+FROM tok ORDER BY docid"""
+
+    o["naive_triples"] = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+\s+'),
+                                    x -> trim(x)),
+                     x -> length(x) > 0)[1:3] AS sents
+  FROM documents),
+e AS (
+  SELECT doc_id, unnest(sents) AS sent,
+         generate_subscripts(sents, 1) - 1 AS sent_idx
+  FROM s),
+w AS (SELECT doc_id, sent_idx, regexp_split_to_array(sent, '\s+') AS ws FROM e)
+SELECT doc_id AS docid, CAST(sent_idx AS INT) AS sent_idx,
+       ws[1] AS subj, ws[2] AS pred, array_to_string(ws[3:], ' ') AS obj
+FROM w WHERE len(ws) >= 3 ORDER BY docid, sent_idx"""
+
+    o["rrf_fusion"] = """
+WITH ranks AS (
+  SELECT event_type, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY avg_v DESC, user_id) AS rnk
+  FROM (SELECT event_type, user_id, avg(value) AS avg_v FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY event_type, user_id)),
+v AS (SELECT user_id, rnk FROM ranks WHERE event_type = 'view'),
+c AS (SELECT user_id, rnk FROM ranks WHERE event_type = 'click'),
+p AS (SELECT user_id, rnk FROM ranks WHERE event_type = 'purchase'),
+f AS (
+  SELECT coalesce(v.user_id, c.user_id, p.user_id) AS user_id,
+         v.rnk AS r0, c.rnk AS r1, p.rnk AS r2
+  FROM v FULL OUTER JOIN c ON v.user_id = c.user_id
+  FULL OUTER JOIN p ON coalesce(v.user_id, c.user_id) = p.user_id)
+SELECT user_id,
+       round(
+         (CASE WHEN r0 IS NOT NULL THEN 1.0 / (60.0 + r0) ELSE 0.0 END)
+         + (CASE WHEN r1 IS NOT NULL THEN 1.0 / (60.0 + r1) ELSE 0.0 END)
+         + (CASE WHEN r2 IS NOT NULL THEN 1.0 / (60.0 + r2) ELSE 0.0 END), 6)
+         AS rrf_score
+FROM f ORDER BY rrf_score DESC, user_id"""
 
     return o

@@ -56,7 +56,7 @@ N_BUCKETS = 64
 N_SHARDS = 8
 
 SEGMENT_SCHEMA = (
-    "term string, shard int, n long, "
+    "term string, shard int, n long, ctf long, "
     "bmax_docid array<long>, bmax_u array<double>, "
     "d_off array<long>, t_off array<long>, l_off array<long>, "
     "deltas binary, tfs binary, doclens binary, bucket int"
@@ -79,6 +79,7 @@ def _encode_group(term: str, shard: int, bucket: int,
         "term": term,
         "shard": int(shard),
         "n": enc.n,
+        "ctf": int(np.asarray(tfs, dtype=np.int64).sum()),
         "bmax_docid": enc.bmax_docid.tolist(),
         "bmax_u": enc.bmax_u.tolist(),
         "d_off": enc.d_off.tolist(),
@@ -264,12 +265,19 @@ def build_segments(
         # stats WITHOUT re-tokenizing the corpus: doclen rides on every
         # posting row, so (docid, doclen) distinct + the input doc count
         # give N/avgdl; zero-token docs contribute doclen 0 to the sum.
+        # The doclen table is persisted — compaction re-derives avgdl from
+        # it, and it is the docvalues side of the forward index.
         n_input = tok_docs.select("docid").count()
         pr = spark.read.parquet(f"{index_dir}/postings")
-        drow = (
+        (
             pr.groupBy("docid")
             .agg(F.first("doclen").alias("doclen"))
-            .agg(F.sum("doclen").alias("sum_dl"), F.count("*").alias("nd"))
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/doclens")
+        )
+        drow = (
+            spark.read.parquet(f"{index_dir}/doclens")
+            .agg(F.sum("doclen").alias("sum_dl"))
             .collect()[0]
         )
         cs = CorpusStats(
@@ -354,6 +362,19 @@ def build_segments(
             print(f"[build_segments] buckets {chunk[0]}..{chunk[-1]} in {elapsed}s")
 
 
+def load_tombstones(index_dir: str) -> frozenset[int]:
+    """Union of all tombstoned docids (see maintenance.delete_docs)."""
+    tdir = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(tdir):
+        return frozenset()
+    dead: set[int] = set()
+    for fn in sorted(os.listdir(tdir)):
+        if fn.endswith(".json"):
+            with open(os.path.join(tdir, fn)) as f:
+                dead.update(json.load(f)["docids"])
+    return frozenset(dead)
+
+
 # --------------------------------------------------------------------------
 # reader
 # --------------------------------------------------------------------------
@@ -381,6 +402,7 @@ class SegmentIndex:
         self.segments = spark.read.parquet(f"{path}/segments")
         self.term_stats = spark.read.parquet(f"{path}/term_stats")
         self._idf_cache: dict[str, float | None] = {}
+        self.tombstones = load_tombstones(path)
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         """idf for the given terms (absent term => absent key). Driver-side

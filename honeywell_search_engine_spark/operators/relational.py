@@ -84,3 +84,25 @@ def child_parent_coalesce(
         .withColumn("composite_text", F.coalesce(F.col("_ptext"), F.col(child_text)))
         .drop("_ppk", "_ptext")
     )
+
+
+def rrf_fusion(channels: list[DataFrame], key: str, rank_col: str = "rnk",
+               k: int = 60) -> DataFrame:
+    """R6: reciprocal-rank fusion, the reference's *documented* fusion
+    design (PIPELINE.md:216-220): RRF(d) = Σ_channels 1/(k + rank_c(d)).
+    Inputs carry (key, rank_col); absent channel contributes 0.
+    Returns (key, rrf_score rounded 1e-6) sorted desc, tie on key."""
+    out = None
+    for i, ch in enumerate(channels):
+        c = ch.select(F.col(key), F.col(rank_col).alias(f"_r{i}"))
+        out = c if out is None else out.join(c, key, "full_outer")
+    score = None
+    for i in range(len(channels)):
+        part = F.when(
+            F.col(f"_r{i}").isNotNull(), F.lit(1.0) / (F.lit(float(k)) + F.col(f"_r{i}"))
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    return (
+        out.select(F.col(key), F.round(score, 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(key))
+    )

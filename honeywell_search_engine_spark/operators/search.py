@@ -181,3 +181,92 @@ def corpus_stats_row(
         F.sum("doclen").alias("total_tokens"),
         F.round(F.avg("doclen"), 6).alias("avgdl_r"),
     )
+
+
+def token_overlap_score(
+    docs: DataFrame, query: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """R2: the reference's lexical step score (search.py:47-59):
+    overlap = |tokens(text) ∩ tokens(query)| / |tokens(query)|, mapped to
+    {1.0 if >=0.9, 0.7 if >=0.75, 0.5 if >=0.5, else 0.0}.
+    Returns (docid, overlap_r, step_score)."""
+    spark = docs.sparkSession
+    qts = analyze_query(query)
+    if not qts:
+        return spark.createDataFrame([], "docid long, overlap_r double, step_score double")
+    toks = F.array_distinct(tokens_col(text_col))
+    n_hit = F.size(F.array_intersect(toks, F.array(*[F.lit(t) for t in qts])))
+    overlap = n_hit.cast("double") / F.lit(float(len(qts)))
+    step = (
+        F.when(overlap >= 0.9, F.lit(1.0))
+        .when(overlap >= 0.75, F.lit(0.7))
+        .when(overlap >= 0.5, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("docid"),
+        F.round(overlap, 6).alias("overlap_r"),
+        step.alias("step_score"),
+    ).orderBy("docid")
+
+
+def highlight_terms(
+    docs: DataFrame, query: str, id_col: str = "doc_id", text_col: str = "text",
+    cap: int = 8,
+) -> DataFrame:
+    """R9: highlight tokens = tokens(snippet) ∩ tokens(query), capped at 8
+    (reference search.py:165). Deterministically sorted before the cap
+    (the reference's set-order is nondeterministic — documented fix,
+    SURVEY.md §2.7 T4). Returns (docid, highlights array<string>)."""
+    spark = docs.sparkSession
+    qts = analyze_query(query)
+    if not qts:
+        return spark.createDataFrame([], "docid long, highlights array<string>")
+    toks = F.array_distinct(tokens_col(text_col))
+    inter = F.slice(
+        F.array_sort(F.array_intersect(toks, F.array(*[F.lit(t) for t in qts]))),
+        1,
+        cap,
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("docid"), inter.alias("highlights")
+    ).orderBy("docid")
+
+
+def naive_triples(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", cap: int = 3
+) -> DataFrame:
+    """N2: the reference's fallback OpenIE — first `cap` sentences each
+    yield (first word, second word, rest) if >= 3 words (reference
+    tasks.py:147-155). Sentence boundary is `[.!?]+\\s+` — the reference's
+    lookbehind variant is not RE2-expressible, so the engine AND the SQL
+    oracle share this delimiter-consuming split (documented deviation).
+    Returns (docid, sent_idx, subj, pred, obj)."""
+    sents = F.slice(
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), r"[.!?]+\s+"),
+                lambda s: F.trim(s),
+            ),
+            lambda s: F.length(s) > 0,
+        ),
+        1,
+        cap,
+    )
+    exploded = docs.select(
+        F.col(id_col).cast("long").alias("docid"),
+        F.posexplode(sents).alias("sent_idx", "sent"),
+    )
+    words = F.split(F.col("sent"), r"\s+")
+    return (
+        exploded.withColumn("w", words)
+        .filter(F.size("w") >= 3)
+        .select(
+            "docid",
+            "sent_idx",
+            F.col("w")[0].alias("subj"),
+            F.col("w")[1].alias("pred"),
+            F.concat_ws(" ", F.slice("w", 3, 100000)).alias("obj"),
+        )
+        .orderBy("docid", "sent_idx")
+    )

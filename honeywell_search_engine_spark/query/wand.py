@@ -25,10 +25,13 @@ Shard kernel (numpy, per shard):
   score order); once the k-th heap score exceeds the next block's upper
   bound the remaining blocks are provably irrelevant and never decoded —
   classic block-max top-k, exact.
-- OR (disjunctive, reference F5 triple-match semantics): per-block upper
-  bound Σ_t idf_t * bmax_u_t over blocks containing the pivot docid; blocks
-  whose bound can't beat the current floor are skipped before any decode
-  (block-max WAND); survivors are scored exactly.
+- OR (disjunctive, reference F5 triple-match semantics): exact vectorized
+  union scoring — see _shard_kernel_or for why the OR path trades pruning
+  for guaranteed-exact returned scores.
+
+Deleted documents (tombstones, index/maintenance.py) are filtered inside
+the kernels from the broadcast tombstone set until compaction folds them
+into the segments.
 """
 
 from __future__ import annotations
@@ -64,7 +67,8 @@ def _u_exact(tfs: np.ndarray, doclens: np.ndarray, avgdl: float) -> np.ndarray:
     return codec.bm25_u(tfs, doclens, avgdl)
 
 
-def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int):
+def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int,
+                 dead: frozenset = frozenset()):
     """Exact single-term top-k with block-max score pruning."""
     order = np.argsort(-enc.bmax_u, kind="stable")
     heap: list[tuple[float, int]] = []  # (score, -docid) min-heap by score
@@ -75,6 +79,8 @@ def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int):
         pl = codec.decode_blocks(enc, np.array([b]))
         scores = idf * _u_exact(pl.tfs, pl.doclens, avgdl)
         for d, s in zip(pl.docids.astype(np.int64), scores):
+            if int(d) in dead:
+                continue
             item = (float(s), -int(d))
             if len(heap) < k:
                 heapq.heappush(heap, item)
@@ -89,7 +95,8 @@ def _candidate_blocks(enc: codec.EncodedList, cand: np.ndarray) -> np.ndarray:
     return np.searchsorted(enc.bmax_docid, cand, side="left")
 
 
-def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float, k: int):
+def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
+                      k: int, dead: frozenset = frozenset()):
     """Conjunctive evaluation of one shard. term_rows: (term, EncodedList),
     all query terms present (caller enforces).
 
@@ -101,6 +108,10 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float, k: i
     pl0 = codec.decode_postings(e0)
     cand = pl0.docids  # uint64 ascending
     tf_cols = {t0: (pl0.tfs, pl0.doclens)}
+    if dead:
+        alive = ~np.isin(cand.astype(np.int64), np.fromiter(dead, dtype=np.int64))
+        cand = cand[alive]
+        tf_cols[t0] = (pl0.tfs[alive], pl0.doclens[alive])
     for t, enc in term_rows[1:]:
         if cand.size == 0:
             return []
@@ -132,7 +143,8 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float, k: i
     return list(zip(cand[idx].astype(np.int64), score[idx]))
 
 
-def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float, k: int):
+def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
+                     k: int, dead: frozenset = frozenset()):
     """Disjunctive (OR) union scoring of one shard — exact, vectorized.
 
     Scores every doc that contains ANY query term: union of docids via
@@ -146,10 +158,15 @@ def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float, k: in
     term_rows = sorted(term_rows, key=lambda tr: tr[0])
     decoded = [(t, codec.decode_postings(enc)) for t, enc in term_rows]
     union = np.unique(np.concatenate([pl.docids for _, pl in decoded]))
+    if dead:
+        union = union[~np.isin(union.astype(np.int64), np.fromiter(dead, dtype=np.int64))]
     score = np.zeros(union.size, dtype=np.float64)
     for t, pl in decoded:  # lexicographic order
         pos = np.searchsorted(union, pl.docids)
-        score[pos] += idf[t] * _u_exact(pl.tfs, pl.doclens, avgdl)
+        ok = pos < union.size
+        ok[ok] = union[pos[ok]] == pl.docids[ok]  # tombstoned ids don't match
+        contrib = idf[t] * _u_exact(pl.tfs, pl.doclens, avgdl)
+        score[pos[ok]] += contrib[ok]
     idx = np.lexsort((union, -score))[:k]
     return list(zip(union[idx].astype(np.int64), score[idx]))
 
@@ -174,6 +191,7 @@ def bm25_topk_wand(
     avgdl = index.stats.avgdl
     idf_b = dict(idf)
     mode_and = mode == "and"
+    dead = index.tombstones  # broadcast with the closure; empty frozenset usually
 
     def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rows = [(r["term"], _enc_from_row(r)) for _, r in pdf.iterrows()]
@@ -181,12 +199,12 @@ def bm25_topk_wand(
             if len(rows) < n_terms:
                 return pd.DataFrame({"docid": [], "score": []})
             if n_terms == 1:
-                res = _topk_single(rows[0][1], idf_b[rows[0][0]], avgdl, k)
+                res = _topk_single(rows[0][1], idf_b[rows[0][0]], avgdl, k, dead)
                 res.sort(key=lambda x: (-x[1], x[0]))
             else:
-                res = _shard_kernel_and(rows, idf_b, avgdl, k)
+                res = _shard_kernel_and(rows, idf_b, avgdl, k, dead)
         else:
-            res = _shard_kernel_or(rows, idf_b, avgdl, k)
+            res = _shard_kernel_or(rows, idf_b, avgdl, k, dead)
         if not res:
             return pd.DataFrame({"docid": [], "score": []})
         return pd.DataFrame(

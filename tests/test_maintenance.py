@@ -1,0 +1,59 @@
+"""Deletion (tombstones) + compaction: queries exclude dead docs
+immediately; compaction folds them in and matches a from-scratch rebuild
+of the reduced corpus (scores included, since stats shift)."""
+
+import pytest
+
+from honeywell_search_engine_spark.index.corpus import docid_py, docs_from_pages, tokenized_docs
+from honeywell_search_engine_spark.index.maintenance import compact, delete_docs
+from honeywell_search_engine_spark.index.segments import SegmentIndex, build_segments
+from honeywell_search_engine_spark.oracle import OracleIndex
+from honeywell_search_engine_spark.query.wand import bm25_topk_wand
+from honeywell_search_engine_spark.sources.pages import marker_term, read_pages
+
+
+@pytest.fixture()
+def small_index(spark, pages_path, tmp_path):
+    out = str(tmp_path / "idx")
+    pages = read_pages(spark, pages_path)
+    tok = tokenized_docs(docs_from_pages(pages))
+    build_segments(tok, out, pages_path, n_buckets=8, n_shards=4, buckets_per_job=8)
+    return SegmentIndex(spark, out)
+
+
+def test_tombstone_then_compact(spark, small_index, pages_pdf, oracle):
+    q = marker_term(0)
+    before = [r["docid"] for r in bm25_topk_wand(small_index, q, k=100).collect()]
+    assert before
+    victims = before[:2]
+
+    # 1) tombstones take effect immediately (no rewrite)
+    delete_docs(small_index.path, victims, reason="test")
+    idx2 = SegmentIndex(spark, small_index.path)
+    after = [r["docid"] for r in bm25_topk_wand(idx2, q, k=100).collect()]
+    assert set(after) == set(before) - set(victims)
+
+    # OR mode also filters
+    after_or = [
+        r["docid"] for r in bm25_topk_wand(idx2, q, k=100, mode="or").collect()
+    ]
+    assert set(after_or) == set(before) - set(victims)
+
+    # 2) compaction folds tombstones in; scores equal a from-scratch oracle
+    # built on the reduced corpus (N and df change!)
+    summary = compact(spark, small_index.path)
+    assert summary["compacted"] == 2
+    idx3 = SegmentIndex(spark, small_index.path)
+    assert not idx3.tombstones
+    assert idx3.stats.n_docs == small_index.stats.n_docs - 2
+
+    en = pages_pdf[pages_pdf.lang == "en"]
+    reduced = [
+        (docid_py(u), t)
+        for u, t in zip(en.url, en.text)
+        if docid_py(u) not in set(victims)
+    ]
+    reduced_oracle = OracleIndex.build(reduced)
+    exp = reduced_oracle.search(q, k=10)
+    got = [(r["docid"], r["score"]) for r in bm25_topk_wand(idx3, q, k=10).collect()]
+    assert got == exp
