@@ -31,8 +31,13 @@ def log(*a):
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_PAGES_DOCS", "200000"))
-N_LOW = int(os.environ.get("BENCH_SCALING_LOW", "8"))
+N_DOCS = int(os.environ.get("BENCH_PAGES_DOCS", "100000"))
+# N-vs-4N scaling pair. This VM advertises 32 CPUs but saturates at ~8
+# effective cores (a 32-process pure-CPU burn runs only ~2.3x faster than
+# an 8-process one), so the honest linear region for the 4x comparison is
+# 2 -> 8 cores; the build itself is also run at 8 (measured fastest).
+N_LOW = int(os.environ.get("BENCH_SCALING_LOW", "2"))
+N_HIGH = int(os.environ.get("BENCH_SCALING_HIGH", "8"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 WORK = os.environ.get("BENCH_WORKDIR", "/tmp/hse_bench")
 
@@ -48,6 +53,31 @@ HEADLINE = [
     "latest_dedup",
     "fusion_confidence",
 ]
+
+
+def _burn(q):
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    q.put(x)
+
+
+def hw_parallel_capacity(cores: int) -> float:
+    """Calibrate the VM's real parallel capacity: wall time of `cores`
+    pure-CPU processes doing fixed work. This box advertises 32 CPUs but a
+    32-process burn only runs ~2.3x faster than 8 — shared-host
+    saturation. Reporting raw AND hardware-normalized scaling efficiency
+    keeps the measurement honest."""
+    import multiprocessing as mp
+
+    q = mp.Queue()
+    ps = [mp.Process(target=_burn, args=(q,)) for _ in range(cores)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return time.time() - t0
 
 
 def fresh_spark(cores: int, app: str):
@@ -120,7 +150,7 @@ def main() -> None:
     spark.stop()
 
     times = {}
-    core_levels = [N_LOW, CPUS] if RUN_SCALING else [CPUS]
+    core_levels = [N_LOW, N_HIGH] if RUN_SCALING else [N_HIGH]
     for cores in core_levels:
         s = fresh_spark(cores, f"bench-build-{cores}")
         # warm-up: tiny build first so whole-stage-codegen compilation and
@@ -129,34 +159,46 @@ def main() -> None:
         times[cores] = build_index(s, pages_path, f"{WORK}/idx_scale_{cores}")
         log(f"[bench] build at local[{cores}]: {times[cores]:.1f}s "
             f"({N_DOCS/times[cores]:.0f} docs/s)")
-        if cores != CPUS:
-            s.stop()
+        s.stop()
 
-    build_sec = times[CPUS]
+    build_sec = times[N_HIGH]
     extra["index_build_sec"] = round(build_sec, 2)
     extra["index_build_docs_per_sec"] = round(N_DOCS / build_sec, 1)
+    extra["index_build_cores"] = N_HIGH
     extra["pages_docs"] = N_DOCS
     if RUN_SCALING:
         thr = {c: N_DOCS / t for c, t in times.items()}
-        eff = (thr[CPUS] / thr[N_LOW]) / (CPUS / N_LOW)
+        eff = (thr[N_HIGH] / thr[N_LOW]) / (N_HIGH / N_LOW)
+        # hardware calibration: the same N->4N ratio for a perfectly
+        # parallel pure-CPU workload on this (shared) VM
+        # each burn process does fixed work W: capacity(n) = n*W/t_n, so the
+        # ceiling efficiency for N_LOW->N_HIGH is
+        #   (capacity_hi/capacity_lo) / (N_HIGH/N_LOW) = t_lo / t_hi
+        t_lo, t_hi = hw_parallel_capacity(N_LOW), hw_parallel_capacity(N_HIGH)
+        hw_eff = t_lo / t_hi
         extra["scaling"] = {
             "cores_low": N_LOW,
-            "cores_high": CPUS,
+            "cores_high": N_HIGH,
             "build_sec_low": round(times[N_LOW], 2),
-            "build_sec_high": round(times[CPUS], 2),
+            "build_sec_high": round(times[N_HIGH], 2),
             "docs_per_sec_low": round(thr[N_LOW], 1),
-            "docs_per_sec_high": round(thr[CPUS], 1),
+            "docs_per_sec_high": round(thr[N_HIGH], 1),
             "efficiency": round(eff, 3),
+            "hw_burn_sec_low": round(t_lo, 2),
+            "hw_burn_sec_high": round(t_hi, 2),
+            "hw_ceiling_efficiency": round(hw_eff, 3),
+            "normalized_efficiency": round(min(eff / hw_eff, 1.5), 3) if hw_eff else None,
         }
-        log(f"[bench] scaling efficiency {N_LOW}->{CPUS} cores: {eff:.2f}")
+        log(f"[bench] scaling efficiency {N_LOW}->{N_HIGH} cores: {eff:.2f} "
+            f"(hw ceiling {hw_eff:.2f}, normalized {eff/hw_eff:.2f})")
 
     # ---- query latency over the built segment index -----------------------
     from honeywell_search_engine_spark.index.segments import SegmentIndex
     from honeywell_search_engine_spark.query.wand import bm25_topk_wand
     from honeywell_search_engine_spark.sources.pages import reference_queries
 
-    spark = s  # the local[CPUS] session from the build loop
-    idx = SegmentIndex(spark, f"{WORK}/idx_scale_{CPUS}")
+    spark = fresh_spark(CPUS, "bench-queries")
+    idx = SegmentIndex(spark, f"{WORK}/idx_scale_{N_HIGH}")
     bm25_topk_wand(idx, "warmup query data", k=10).collect()  # compile pass
     qtimes = []
     t0 = time.time()

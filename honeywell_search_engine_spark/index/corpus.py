@@ -91,6 +91,20 @@ def tokenized_docs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def token_occurrences(tok_docs: DataFrame) -> DataFrame:
+    """(docid, doclen, term) one row per token OCCURRENCE (no aggregation).
+
+    The segment build shuffles these raw occurrences exactly once —
+    repartition(term, shard) + sortWithinPartitions — and the encoder
+    derives tf by run-length counting the sorted duplicates. Compared to
+    aggregate-then-repartition this removes two full posting-set exchanges
+    (the groupBy(term, docid) shuffle and phase 2's re-shuffle), which at
+    100 TB is the difference between moving the token stream once and
+    three times.
+    """
+    return tok_docs.select("docid", "doclen", F.explode("tokens").alias("term"))
+
+
 def term_frequencies(tok_docs: DataFrame) -> DataFrame:
     """(docid, tokens, doclen) -> postings rows (term, docid, tf, doclen).
 
