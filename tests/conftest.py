@@ -45,6 +45,22 @@ def oracle(pages_pdf):
 
 
 @pytest.fixture(scope="session")
+def seg_index(spark, pages_path, tmp_path_factory):
+    from honeywell_search_engine_spark.index.corpus import (
+        docs_from_pages,
+        tokenized_docs,
+    )
+    from honeywell_search_engine_spark.index.segments import SegmentIndex, build_segments
+    from honeywell_search_engine_spark.sources.pages import read_pages
+
+    out = str(tmp_path_factory.mktemp("segidx") / "idx")
+    pages = read_pages(spark, pages_path)
+    tok = tokenized_docs(docs_from_pages(pages))
+    build_segments(tok, out, pages_path, n_buckets=16, n_shards=4, buckets_per_job=8)
+    return SegmentIndex(spark, out)
+
+
+@pytest.fixture(scope="session")
 def naive_index(spark, pages_path, tmp_path_factory):
     from honeywell_search_engine_spark.index.corpus import (
         docs_from_pages,

@@ -25,14 +25,6 @@ def _build(spark, pages_path, out, **kw):
     return SegmentIndex(spark, out)
 
 
-@pytest.fixture(scope="session")
-def seg_index(spark, pages_path, tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("segidx") / "idx")
-    return _build(
-        spark, pages_path, out, n_buckets=16, n_shards=4, buckets_per_job=8
-    )
-
-
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_wand_bit_identical_to_oracle(seg_index, oracle, name):
     q = QUERIES[name]
