@@ -127,9 +127,10 @@ def main() -> None:
     # ---- part 1: headline queries at SF_DIR ------------------------------
     spark = fresh_spark(CPUS, "bench-headline")
     qs = E.queries()
-    # warm the JVM/parquet footprint once so per-query numbers are query
-    # cost, not first-touch cost
-    qs["corpus_stats"](spark, SF_DIR).collect()
+    # warm the JVM once (codegen compile + parquet footprint) so per-query
+    # numbers measure query cost, not first-touch cost; the BM25 plan has
+    # the most codegen surface, so warm with it
+    qs["bm25_single"](spark, SF_DIR).collect()
     total = 0.0
     for name in HEADLINE:
         t0 = time.time()
@@ -211,6 +212,17 @@ def main() -> None:
     results["wand_20_queries"] = round(wand_total, 3)
     extra["bm25_latency_median_sec"] = round(qtimes[len(qtimes) // 2], 3)
     extra["bm25_latency_p95_sec"] = round(qtimes[int(len(qtimes) * 0.95) - 1], 3)
+
+    # batch mode: the whole reference set in ONE job (query-throughput path)
+    from honeywell_search_engine_spark.query.wand import bm25_topk_wand_batch
+
+    t0 = time.time()
+    n_rows = bm25_topk_wand_batch(idx, reference_queries(), k=10).count()
+    batch_sec = time.time() - t0
+    results["wand_20_queries_batch"] = round(batch_sec, 3)
+    extra["bm25_batch_qps"] = round(len(reference_queries()) / batch_sec, 1)
+    log(f"[bench] batch 20 queries: {batch_sec:.2f}s "
+        f"({20/batch_sec:.1f} q/s, {n_rows} rows)")
     spark.stop()
 
     out = {

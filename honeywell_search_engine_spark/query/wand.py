@@ -214,3 +214,81 @@ def bm25_topk_wand(
     segs = index.segments_for(terms)
     per_shard = segs.groupBy("shard").applyInPandas(run_shard, schema=RESULT_SCHEMA)
     return per_shard.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+BATCH_RESULT_SCHEMA = "qid string, rnk int, docid long, score double"
+
+
+def bm25_topk_wand_batch(
+    index: SegmentIndex, queries: dict[str, str], k: int = 10, mode: str = "and"
+) -> DataFrame:
+    """Evaluate a whole query batch in ONE Spark job.
+
+    Per-query jobs pay ~0.3-0.5 s of scheduling each; a search engine's
+    natural unit is the query *stream* (the reference's design target is
+    100 q/s, PIPELINE.md:350). Here: one pruned segment scan over the
+    union of all queries' terms, one applyInPandas over shards where each
+    shard kernel answers every query it can serve, one final per-query
+    rank window over <= n_queries * n_shards * k tiny rows.
+
+    Returns DataFrame(qid, rnk, docid, score), rank per query by
+    (-score, docid) — identical results to per-query bm25_topk_wand
+    (tested)."""
+    from pyspark.sql import Window
+
+    spark = index.spark
+    q_terms = {qid: analyze_query(q) for qid, q in queries.items()}
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+    idf = index.idf_map(all_terms)
+    mode_and = mode == "and"
+    # resolve which queries can produce results at all
+    live: dict[str, list[str]] = {}
+    for qid, ts in q_terms.items():
+        known = [t for t in ts if t in idf]
+        if not ts or (mode_and and len(known) < len(ts)) or not known:
+            continue
+        live[qid] = known if not mode_and else ts
+    if not live:
+        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+    scan_terms = sorted({t for ts in live.values() for t in ts})
+    avgdl = index.stats.avgdl
+    dead = index.tombstones
+    idf_b = dict(idf)
+    live_b = dict(live)
+
+    def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
+        out_q, out_d, out_s = [], [], []
+        for qid, ts in live_b.items():
+            rows = [(t, by_term[t]) for t in ts if t in by_term]
+            if mode_and:
+                if len(rows) < len(ts):
+                    continue  # some term absent in this shard => no AND hit here
+                if len(ts) == 1:
+                    res = _topk_single(rows[0][1], idf_b[rows[0][0]], avgdl, k, dead)
+                    res.sort(key=lambda x: (-x[1], x[0]))
+                else:
+                    res = _shard_kernel_and(rows, idf_b, avgdl, k, dead)
+            else:
+                if not rows:
+                    continue
+                res = _shard_kernel_or(rows, idf_b, avgdl, k, dead)
+            for d, s in res:
+                out_q.append(qid)
+                out_d.append(int(d))
+                out_s.append(float(s))
+        return pd.DataFrame({"qid": out_q, "docid": out_d, "score": out_s})
+
+    segs = index.segments_for(scan_terms)
+    per_shard = segs.groupBy("shard").applyInPandas(
+        run_shard, schema="qid string, docid long, score double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        per_shard.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "docid", "score")
+        .orderBy("qid", "rnk")
+    )

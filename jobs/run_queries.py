@@ -22,6 +22,8 @@ def main(argv=None) -> None:
     ap.add_argument("--reference-set", action="store_true")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["and", "or"], default="and")
+    ap.add_argument("--batch", action="store_true",
+                    help="evaluate all queries in one Spark job")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -39,17 +41,28 @@ def main(argv=None) -> None:
     from honeywell_search_engine_spark.sources.pages import reference_queries
 
     idx = SegmentIndex(spark, args.index)
-    queries = dict(enumerate(args.query))
+    queries = {str(i): q for i, q in enumerate(args.query)}
     if args.reference_set:
         queries = reference_queries()
     out = {}
-    for name, q in queries.items():
+    if args.batch:
+        from honeywell_search_engine_spark.query.wand import bm25_topk_wand_batch
+
         t0 = time.time()
-        rows = bm25_topk_wand(idx, q, k=args.k, mode=args.mode).collect()
-        out[str(name)] = {
-            "sec": round(time.time() - t0, 3),
-            "hits": [(r["docid"], r["score"]) for r in rows],
-        }
+        rows = bm25_topk_wand_batch(idx, queries, k=args.k, mode=args.mode).collect()
+        for r in rows:
+            out.setdefault(r["qid"], {"hits": []})["hits"].append(
+                (r["docid"], r["score"])
+            )
+        out["_batch_sec"] = round(time.time() - t0, 3)
+    else:
+        for name, q in queries.items():
+            t0 = time.time()
+            rows = bm25_topk_wand(idx, q, k=args.k, mode=args.mode).collect()
+            out[str(name)] = {
+                "sec": round(time.time() - t0, 3),
+                "hits": [(r["docid"], r["score"]) for r in rows],
+            }
     print(json.dumps(out))
     spark.stop()
 

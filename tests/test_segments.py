@@ -111,3 +111,22 @@ def test_partition_count_invariance(spark, pages_path, tmp_path_factory, seg_ind
         m2 = json.load(open(f"{out2}/manifests/bucket_{b}.json"))
         assert m1["checksum"] == m2["checksum"], b
         assert m1["postings"] == m2["postings"], b
+
+
+def test_batch_wand_equals_per_query(seg_index):
+    """The one-job batch path returns exactly the per-query results."""
+    from honeywell_search_engine_spark.query.wand import (
+        bm25_topk_wand,
+        bm25_topk_wand_batch,
+    )
+
+    batch = bm25_topk_wand_batch(seg_index, QUERIES, k=10)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+    for name, q in QUERIES.items():
+        exp = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_wand(seg_index, q, k=10).collect()
+        ]
+        assert got.get(name, []) == exp, name
