@@ -31,7 +31,7 @@ def log(*a):
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_PAGES_DOCS", "100000"))
+N_DOCS = int(os.environ.get("BENCH_PAGES_DOCS", "60000"))
 # N-vs-4N scaling pair. This VM advertises 32 CPUs but saturates at ~8
 # effective cores (a 32-process pure-CPU burn runs only ~2.3x faster than
 # an 8-process one), so the honest linear region for the 4x comparison is
