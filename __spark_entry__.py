@@ -162,7 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).alias("norm_r"),
     ).orderBy("vec_id")
     q["cosine_dupes"] = lambda s, d: similarity.pairwise_cosine_dupes(
-        _embeddings(s, d), threshold=0.60, max_id=150
+        _embeddings(s, d), threshold=0.35, max_id=150
     )
     # rows-only (approximate by construction):
     q["knn_lsh"] = lambda s, d: similarity.cosine_ann_lsh(
@@ -439,7 +439,7 @@ p AS (
          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
   FROM e a JOIN e b ON a.vec_id < b.vec_id)
-SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.60 ORDER BY id_a, id_b"""
+SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.35 ORDER BY id_a, id_b"""
 
     o["latest_dedup"] = """
 SELECT user_id, event_type, event_id FROM (

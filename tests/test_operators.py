@@ -1,0 +1,58 @@
+"""Operator unit tests on synthetic micro-inputs where the testdata is
+degenerate (no exact dupes exist in the driver tables)."""
+
+from pyspark.sql import functions as F
+
+
+def test_exact_duplicates_finds_groups(spark):
+    from honeywell_search_engine_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [
+            (1, "Same Text here!"),
+            (2, "same text  HERE"),   # normalizes identically
+            (3, "different entirely"),
+            (4, "same, text. here"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_dupes"] == 3 and g["keep_docid"] == 1
+    assert list(g["dupe_docids"]) == [1, 2, 4]
+
+
+def test_lsh_candidates_catch_near_dupes(spark):
+    from honeywell_search_engine_spark.operators.dedup import minhash_lsh_candidates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    near = base.replace("kappa", "lambda", 1)  # one token changed
+    far = "completely different words nothing shared at all " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["docid_a"], r["docid_b"])
+        for r in minhash_lsh_candidates(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming_close_for_near_dupes(spark):
+    from honeywell_search_engine_spark.operators.dedup import simhash64
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    near = base.replace("kappa", "lambda", 1)
+    far = "completely different words nothing shared at all " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    h = {r["docid"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+
+    def ham(a, b):
+        return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+    assert ham(h[1], h[2]) <= 8
+    assert ham(h[1], h[3]) > 16
