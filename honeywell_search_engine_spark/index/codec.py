@@ -106,6 +106,17 @@ def bm25_u(tf: np.ndarray, doclen: np.ndarray, avgdl: float) -> np.ndarray:
     return tf * (K1 + 1.0) / (tf + norm)
 
 
+def bm25_u_bound(tf: np.ndarray) -> np.ndarray:
+    """Stats-independent upper bound on u: norm >= k1*(1-b) for every
+    doclen/avgdl, so u <= tf*(k1+1)/(tf + k1*(1-b)). Block metadata stores
+    THIS bound — segments stay exactly prunable after corpus growth shifts
+    avgdl (incremental merges never invalidate untouched buckets).
+    Slightly looser than the avgdl-aware max (more blocks decoded for very
+    long docs), never lossy."""
+    tf = tf.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B))
+
+
 @dataclass
 class PostingList:
     """Decoded in-memory posting list for one (term, shard)."""
@@ -145,7 +156,7 @@ def encode_postings(
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = docids[0]
     np.subtract(docids[1:], docids[:-1], out=deltas[1:])
-    u = bm25_u(np.asarray(tfs), np.asarray(doclens), avgdl)
+    u = bm25_u_bound(np.asarray(tfs))  # stats-independent bound (see above)
     nblocks = (n + BLOCK - 1) // BLOCK
     pad = nblocks * BLOCK - n
 

@@ -152,3 +152,101 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         )
     shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
     return {"compacted": len(dead), "n_docs": new_n, "avgdl": new_avgdl}
+
+
+def merge_deltas(spark: SparkSession, index_dir: str, delta_dir: str) -> dict:
+    """Fold streaming posting deltas (streaming/ingest.py) into the main
+    index, exactly.
+
+    New documents shift N/avgdl and per-term df — scores of EVERY document
+    legitimately change. Segments stay cheap to update because:
+    - block score bounds are stats-independent (codec.bm25_u_bound), so
+      untouched buckets stay validly prunable under the new stats;
+    - exact scores are always computed from stored (tf, doclen) with the
+      CURRENT broadcast stats, so only buckets whose posting lists gained
+      rows need re-encoding;
+    - term_stats/idf are re-derived from segment metadata at finalize.
+
+    Steps: delta tf rows -> occurrence rows -> union with the affected
+    buckets' base occurrences -> the same salted repartition+sort ->
+    dynamic-overwrite those bucket dirs -> refresh doclens/N/avgdl ->
+    invalidate affected bucket manifests -> re-encode + finalize.
+    Assumes delta docids are NEW documents (re-ingest of an existing docid
+    should go through delete_docs + compact first)."""
+    from honeywell_search_engine_spark.index.segments import (
+        encode_pending_buckets,
+        input_fingerprint,
+    )
+    from honeywell_search_engine_spark.streaming.ingest import delta_postings
+
+    delta = delta_postings(spark, delta_dir)
+    affected = sorted(
+        r["bucket"] for r in delta.select("bucket").distinct().collect()
+    )
+    if not affected:
+        return {"merged_batches": 0, "affected_buckets": 0}
+
+    with open(f"{index_dir}/stats.json") as f:
+        meta = json.load(f)
+
+    # delta tf rows -> occurrence rows (tf duplicates), matching the base
+    # postings layout
+    occ_delta = (
+        delta.withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("tf"))))
+        .select("docid", "doclen", "term", "shard", "bucket")
+    )
+    base = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(affected))
+        .select("docid", "doclen", "term", "shard", "bucket")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        base.unionByName(occ_delta)
+        .repartition(F.col("term"), F.col("shard"))
+        .sortWithinPartitions("bucket", "term", "shard", "docid")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+
+    # refresh forward index + corpus stats
+    new_docs = delta.groupBy("docid").agg(F.first("doclen").alias("doclen"))
+    doclens = spark.read.parquet(f"{index_dir}/doclens").unionByName(new_docs)
+    doclens.write.mode("overwrite").parquet(f"{index_dir}/doclens_new")
+    row = spark.read.parquet(f"{index_dir}/doclens_new").agg(
+        F.sum("doclen").alias("s")
+    ).collect()[0]
+    n_added = delta.select("docid").distinct().count()
+    new_n = meta["n_docs"] + n_added
+    new_avgdl = float(row["s"] or 0) / new_n if new_n else 0.0
+    shutil.rmtree(f"{index_dir}/doclens", ignore_errors=True)
+    os.replace(f"{index_dir}/doclens_new", f"{index_dir}/doclens")
+    meta.update({"n_docs": new_n, "avgdl": new_avgdl})
+    with open(f"{index_dir}/stats.json", "w") as f:
+        json.dump(meta, f)
+
+    # invalidate affected buckets + finalize marker, then re-encode
+    for b in affected:
+        p = os.path.join(index_dir, "manifests", f"bucket_{b}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    fin = os.path.join(index_dir, "manifests", "finalize.json")
+    if os.path.exists(fin):
+        os.remove(fin)
+    fp = input_fingerprint(spark, delta_dir)
+    encode_pending_buckets(spark, index_dir, fp)
+    _write_manifest(
+        index_dir,
+        f"merge_{int(time.time() * 1000)}.json",
+        {
+            "status": "complete",
+            "delta_dir": delta_dir,
+            "delta_fingerprint": fp,
+            "docs_added": n_added,
+            "affected_buckets": len(affected),
+            "n_docs": new_n,
+            "avgdl": new_avgdl,
+        },
+    )
+    return {"docs_added": n_added, "affected_buckets": len(affected), "n_docs": new_n}

@@ -337,7 +337,21 @@ def build_segments(
             },
         )
 
-    # ---- phase 2: encode segments, bucket-chunk at a time, NO shuffle ----
+    # ---- phase 2 + finalize ------------------------------------------------
+    encode_pending_buckets(spark, index_dir, fp, buckets_per_job, progress)
+
+
+def encode_pending_buckets(
+    spark: SparkSession,
+    index_dir: str,
+    fp: str,
+    buckets_per_job: int = 16,
+    progress: bool = False,
+) -> None:
+    """Phase 2: encode every bucket whose manifest is missing/incomplete
+    (NO shuffle — groups are file-contiguous by construction), then
+    finalize term_stats from segment metadata. Idempotent; also the merge
+    path after deltas invalidate buckets."""
     with open(f"{index_dir}/stats.json") as f:
         meta = json.load(f)
     avgdl = meta["avgdl"]
@@ -482,3 +496,10 @@ class SegmentIndex:
         return self.segments.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
+
+    def segments_with_idf(self, terms: list[str]) -> DataFrame:
+        """Pruned segment rows with `idf` attached via a broadcast join of
+        the (filtered) term dictionary — lets a query run as ONE Spark job
+        with no separate idf-lookup action."""
+        ts = self.term_stats.filter(F.col("term").isin(terms)).select("term", "idf")
+        return self.segments_for(terms).join(F.broadcast(ts), "term")

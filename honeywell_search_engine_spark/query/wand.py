@@ -176,25 +176,24 @@ def bm25_topk_wand(
 ) -> DataFrame:
     """Top-k BM25 over the segment index. mode='and' (conjunctive, default)
     or 'or' (disjunctive). Returns DataFrame(docid, score) ordered by
-    (-score, docid)."""
+    (-score, docid).
+
+    Single Spark job: idf rides into the shard kernels via a broadcast
+    join of the (pruned) term_stats — no separate driver-side idf lookup
+    job. AND semantics stay exact when a query term is unknown globally:
+    no shard can then hold all terms, so every kernel returns empty."""
     spark = index.spark
     terms = analyze_query(query)
     if not terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    idf = index.idf_map(terms)
-    if mode == "and" and len(idf) < len(terms):
-        return spark.createDataFrame([], RESULT_SCHEMA)
-    terms = [t for t in terms if t in idf]
-    if not terms:
-        return spark.createDataFrame([], RESULT_SCHEMA)
     n_terms = len(terms)
     avgdl = index.stats.avgdl
-    idf_b = dict(idf)
     mode_and = mode == "and"
     dead = index.tombstones  # broadcast with the closure; empty frozenset usually
 
     def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rows = [(r["term"], _enc_from_row(r)) for _, r in pdf.iterrows()]
+        idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         if mode_and:
             if len(rows) < n_terms:
                 return pd.DataFrame({"docid": [], "score": []})
@@ -211,7 +210,7 @@ def bm25_topk_wand(
             {"docid": [int(d) for d, _ in res], "score": [float(s) for _, s in res]}
         )
 
-    segs = index.segments_for(terms)
+    segs = index.segments_with_idf(terms)
     per_shard = segs.groupBy("shard").applyInPandas(run_shard, schema=RESULT_SCHEMA)
     return per_shard.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
@@ -238,28 +237,17 @@ def bm25_topk_wand_batch(
 
     spark = index.spark
     q_terms = {qid: analyze_query(q) for qid, q in queries.items()}
-    all_terms = sorted({t for ts in q_terms.values() for t in ts})
-    if not all_terms:
+    live_b = {qid: ts for qid, ts in q_terms.items() if ts}
+    scan_terms = sorted({t for ts in live_b.values() for t in ts})
+    if not scan_terms:
         return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
-    idf = index.idf_map(all_terms)
     mode_and = mode == "and"
-    # resolve which queries can produce results at all
-    live: dict[str, list[str]] = {}
-    for qid, ts in q_terms.items():
-        known = [t for t in ts if t in idf]
-        if not ts or (mode_and and len(known) < len(ts)) or not known:
-            continue
-        live[qid] = known if not mode_and else ts
-    if not live:
-        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
-    scan_terms = sorted({t for ts in live.values() for t in ts})
     avgdl = index.stats.avgdl
     dead = index.tombstones
-    idf_b = dict(idf)
-    live_b = dict(live)
 
     def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
+        idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         out_q, out_d, out_s = [], [], []
         for qid, ts in live_b.items():
             rows = [(t, by_term[t]) for t in ts if t in by_term]
@@ -281,7 +269,7 @@ def bm25_topk_wand_batch(
                 out_s.append(float(s))
         return pd.DataFrame({"qid": out_q, "docid": out_d, "score": out_s})
 
-    segs = index.segments_for(scan_terms)
+    segs = index.segments_with_idf(scan_terms)
     per_shard = segs.groupBy("shard").applyInPandas(
         run_shard, schema="qid string, docid long, score double"
     )

@@ -62,14 +62,19 @@ def test_postings_roundtrip(seed):
 
 
 def test_block_metadata_dominates():
+    from honeywell_search_engine_spark.index.codec import bm25_u_bound
+
     rng = np.random.default_rng(9)
     docids, tfs, dls = _random_plist(rng, 1000)
     enc = encode_postings(docids, tfs, dls, 250.0)
-    u = bm25_u(tfs, dls, 250.0)
     for b in range(enc.bmax_docid.size):
         s, e = b * BLOCK, min((b + 1) * BLOCK, 1000)
         assert enc.bmax_docid[b] == docids[s:e].max()
-        assert enc.bmax_u[b] == u[s:e].max()  # tight, not just >=
+        # stored bound is the stats-independent max and dominates the true
+        # u under ANY avgdl (so corpus growth never makes pruning lossy)
+        assert enc.bmax_u[b] == bm25_u_bound(tfs[s:e]).max()
+        for avgdl in (10.0, 250.0, 5000.0):
+            assert enc.bmax_u[b] >= bm25_u(tfs[s:e], dls[s:e], avgdl).max()
 
 
 def test_selective_decode_equals_slices():

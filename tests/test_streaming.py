@@ -67,3 +67,44 @@ def test_incremental_ingest(spark, tmp_path):
     # idempotent re-run with nothing new: no new rows
     stream_postings_delta(spark, pages_dir, out_dir, n_buckets=8, n_shards=4)
     assert delta_postings(spark, out_dir).count() == total_rows
+
+
+def test_merge_deltas_exact(spark, tmp_path):
+    """Streamed deltas merged into a base index == a from-scratch build of
+    the full corpus: bit-exact query results vs a full-corpus oracle."""
+    from honeywell_search_engine_spark.index.corpus import docid_py
+    from honeywell_search_engine_spark.index.maintenance import merge_deltas
+    from honeywell_search_engine_spark.index.segments import SegmentIndex, build_segments
+    from honeywell_search_engine_spark.oracle import OracleIndex
+    from honeywell_search_engine_spark.query.wand import bm25_topk_wand
+    from honeywell_search_engine_spark.sources.pages import marker_term
+
+    pdf = generate_pages_pdf(400)
+    base_dir = str(tmp_path / "pages_base")
+    idx_dir = str(tmp_path / "idx")
+    _write_slice(spark, pdf, 0, 250, base_dir)
+    base = spark.read.schema(PAGES_SCHEMA).parquet(base_dir)
+    build_segments(
+        tokenized_docs(docs_from_pages(base)), idx_dir, base_dir,
+        n_buckets=8, n_shards=4, buckets_per_job=8,
+    )
+
+    # stream the remaining 150 docs as a delta, then merge
+    stream_dir = str(tmp_path / "pages_stream2")
+    delta_dir = str(tmp_path / "delta2")
+    _write_slice(spark, pdf, 250, 400, stream_dir)
+    stream_postings_delta(spark, stream_dir, delta_dir, n_buckets=8, n_shards=4)
+    summary = merge_deltas(spark, idx_dir, delta_dir)
+    assert summary["docs_added"] > 0
+
+    idx = SegmentIndex(spark, idx_dir)
+    en = pdf[pdf.lang == "en"]
+    oracle = OracleIndex.build([(docid_py(u), t) for u, t in zip(en.url, en.text)])
+    assert idx.stats.n_docs == oracle.n_docs
+    assert abs(idx.stats.avgdl - oracle.avgdl) < 1e-9
+    for q in ("data", "data search", marker_term(0), marker_term(2)):
+        exp = oracle.search(q, k=10)
+        got = [
+            (r["docid"], r["score"]) for r in bm25_topk_wand(idx, q, k=10).collect()
+        ]
+        assert got == exp, q
