@@ -136,7 +136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), "doc_id", "text", n=3, threshold=0.04, max_docid=150
     )
-    # rows-only checks (no practical SQL mirror):
     q["minhash_lsh_candidates"] = lambda s, d: dedup.minhash_lsh_candidates(_docs(s, d), "doc_id", "text")
     q["simhash"] = lambda s, d: dedup.simhash64(_docs(s, d), "doc_id", "text").orderBy("docid")
 
@@ -164,7 +163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_dupes"] = lambda s, d: similarity.pairwise_cosine_dupes(
         _embeddings(s, d), threshold=0.35, max_id=150
     )
-    # rows-only (approximate by construction):
     q["knn_lsh"] = lambda s, d: similarity.cosine_ann_lsh(
         _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
     )
@@ -199,7 +197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_overlap"] = lambda s, d: search.token_overlap_score(
         _docs(s, d), FLAGSHIP_QUERY
     )
-    q["highlights"] = lambda s, d: search.highlight_terms(_docs(s, d), FLAGSHIP_QUERY)
+    # string projection of the array (concat_ws): the driver's canonicalizer
+    # hashes scalar columns only — array<string> cells are unhashable
+    q["highlights"] = lambda s, d: search.highlight_terms(
+        _docs(s, d), FLAGSHIP_QUERY
+    ).select("docid", F.concat_ws(" ", "highlights").alias("highlights"))
     q["naive_triples"] = lambda s, d: search.naive_triples(_docs(s, d))
     # rows-only: hierarchical chunking stats (pure-Python oracle lives in
     # tests/test_chunking.py instead of SQL)
@@ -410,6 +412,90 @@ JOIN sizes b ON b.doc_id = docid_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(a.n_sh + b.n_sh - n_inter AS DOUBLE) >= 0.04
 ORDER BY docid_a, docid_b"""
 
+    # LSH banding over the same signature CTE: Spark's concat_ws(':') over
+    # long columns == DuckDB concat_ws over BIGINT (same decimal text);
+    # NULL slots (docs with no shingles) are skipped identically.
+    o["minhash_lsh_candidates"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM t),
+sig AS (SELECT doc_id AS docid, {mh_cols} FROM g),
+bands AS (
+  SELECT docid, 0 AS band, md5(concat_ws(':', mh00, mh01)) AS bh FROM sig
+  UNION ALL SELECT docid, 1, md5(concat_ws(':', mh02, mh03)) FROM sig
+  UNION ALL SELECT docid, 2, md5(concat_ws(':', mh04, mh05)) FROM sig
+  UNION ALL SELECT docid, 3, md5(concat_ws(':', mh06, mh07)) FROM sig)
+SELECT l.docid AS docid_a, r.docid AS docid_b, count(*) AS n_bands
+FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.docid < r.docid
+GROUP BY l.docid, r.docid ORDER BY docid_a, docid_b"""
+
+    # SimHash mirror: same md5(token)[:16 hex] -> uint64, tf-weighted per-bit
+    # majority vote, reassembled and reinterpreted as signed int64.
+    o["simhash"] = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+h AS (
+  SELECT doc_id, tf, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h64 FROM tf),
+votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (h64 >> b) & 1 = 1 THEN tf ELSE -tf END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b),
+sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                  ELSE 0 END) AS u
+  FROM votes GROUP BY doc_id)
+SELECT d.doc_id AS docid,
+       CAST(CASE WHEN coalesce(u, 0) >= 9223372036854775808
+                 THEN coalesce(u, 0) - 18446744073709551616
+                 ELSE coalesce(u, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sims s ON s.doc_id = d.doc_id
+ORDER BY docid"""
+
+    # knn_lsh mirror: md5-derived hyperplanes (similarity.rp_planes_md5),
+    # sign signatures, hamming<=1 probe vs the vec_id=0 query, exact cosine
+    # top-10 inside the bucket — the same plan the Spark op executes.
+    o["knn_lsh"] = """
+WITH planes AS (
+  SELECT p, i,
+         CAST(('0x' || substr(md5(concat('rp', CAST(p AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 - 0.5 AS v
+  FROM (SELECT unnest(range(12)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS i)),
+ei AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, p, list_sum(list(x * v ORDER BY i)) AS dot
+  FROM ei JOIN planes USING (i) GROUP BY vec_id, p),
+sigs AS (
+  SELECT vec_id, sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS sig
+  FROM dots GROUP BY vec_id),
+qsig AS (SELECT sig AS qs FROM sigs WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id FROM sigs s CROSS JOIN qsig
+  WHERE s.vec_id != 0 AND bit_count(xor(s.sig, qs)) <= 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM cand))
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rnk,
+       vec_id, round(cos, 6) AS cos_r
+FROM s ORDER BY cos DESC, vec_id LIMIT 10"""
+
     # knn_bruteforce / embedding_norms / cosine_dupes: manual dot products,
     # left-to-right list_sum order == Spark F.aggregate order
     o["embedding_norms"] = """
@@ -489,8 +575,8 @@ FROM ov ORDER BY docid"""
     o["highlights"] = f"""
 WITH {_TOK_CTE}
 SELECT doc_id AS docid,
-       list_sort(list_filter(list_distinct(toks),
-                             t -> list_contains([{fq_list}], t)))[1:8] AS highlights
+       coalesce(array_to_string(list_sort(list_filter(list_distinct(toks),
+                             t -> list_contains([{fq_list}], t)))[1:8], ' '), '') AS highlights
 FROM tok ORDER BY docid"""
 
     o["naive_triples"] = r"""

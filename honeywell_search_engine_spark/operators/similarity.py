@@ -69,6 +69,47 @@ def rp_signature(dim: int, n_planes: int = 16, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def rp_planes_md5(dim: int, n_planes: int = 12) -> np.ndarray:
+    """md5-derived hyperplanes: plane[p][i] = md5('rp{p}:{i}')[:15 hex] /
+    2^60 - 0.5, uniform in [-0.5, 0.5). Engine-portable: DuckDB replays the
+    same values bit-for-bit ('0x'||hex cast), so the driver's SQL oracle can
+    reproduce the exact buckets (scaling an int by a power of two after the
+    int->double rounding is exact in IEEE-754 in both engines)."""
+    import hashlib
+
+    vals = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = int(hashlib.md5(f"rp{p}:{i}".encode()).hexdigest()[:15], 16)
+            vals[p, i] = h / 2**60 - 0.5
+    return vals
+
+
+def rp_signatures_col(embeddings: DataFrame, planes: np.ndarray, vec_col: str):
+    """(df with `sig` long column): sign-LSH signature via ONE Arrow-batched
+    numpy matmul per batch (V @ planes.T), NOT n_planes chained aggregate()
+    HOFs — struct-accumulator HOFs fall out of whole-stage codegen and were
+    measured ~50x slower on the minhash path (dedup.py)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_planes = planes.shape[0]
+    pows = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    planes_t = planes.T.copy()
+
+    # hint-less pandas_udf: `from __future__ import annotations` stringifies
+    # type hints, breaking eval-type inference (NOTES.md pitfall d)
+    @F.pandas_udf(T.LongType())
+    def _sig(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (V @ planes_t) > 0.0
+        return pd.Series((bits * pows).sum(axis=1).astype(np.int64))
+
+    return embeddings.withColumn("sig", _sig(F.col(vec_col)))
+
+
 def cosine_ann_lsh(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -82,29 +123,17 @@ def cosine_ann_lsh(
     whose signature is within `probe_hamming` of the query's signature are
     exactly scored. Same output shape as the brute-force op.
 
-    Scale: signatures are a per-row expression; the probe filter prunes
-    ~(1 - sum_{i<=h} C(p,i)/2^p) of the corpus before any dot product."""
+    Scale: signatures are one numpy matmul per Arrow batch; the probe filter
+    prunes ~(1 - sum_{i<=h} C(p,i)/2^p) of the corpus before any dot
+    product. Planes are md5-derived (rp_planes_md5) so the DuckDB oracle
+    replays the identical buckets."""
     dim = len(query_vec)
-    planes = rp_signature(dim, n_planes)
+    planes = rp_planes_md5(dim, n_planes)
     q = np.asarray(query_vec, dtype=np.float64)
-    qsig_bits = (planes @ q > 0).astype(int)
-
-    # signature as int: sum of bits — computed as column expression
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        dot_p = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in planes[p]]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(dot_p > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
+    qsig_bits = (planes @ q > 0.0).astype(int)
     qsig = int(sum(int(b) << p for p, b in enumerate(qsig_bits)))
 
-    with_sig = embeddings.withColumn("sig", sig)
+    with_sig = rp_signatures_col(embeddings, planes, vec_col)
     # accept signatures within hamming distance h of qsig
     accept = [qsig]
     if probe_hamming >= 1:
