@@ -154,9 +154,56 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     return {"compacted": len(dead), "n_docs": new_n, "avgdl": new_avgdl}
 
 
-def merge_deltas(spark: SparkSession, index_dir: str, delta_dir: str) -> dict:
+def _read_merge_state(index_dir: str) -> dict:
+    st = _read_manifest(index_dir, "merge_state.json")
+    return st or {"merged_batches": {}, "inflight": None}
+
+
+def _write_merge_state(index_dir: str, state: dict) -> None:
+    # ONE atomic file carries both the merged-batch registry and the
+    # inflight journal — no cross-file ordering hazards
+    _write_manifest(index_dir, "merge_state.json", state)
+
+
+def _delta_batch_registry(delta_dir: str) -> dict[str, dict]:
+    """batch_key -> manifest for every complete delta batch. The key binds
+    batch id AND content checksum, so a batch is never merged twice and a
+    changed batch (shouldn't happen — deltas are immutable) reads as new."""
+    mdir = os.path.join(delta_dir, "manifests")
+    out: dict[str, dict] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for fn in sorted(os.listdir(mdir)):
+        if fn.startswith("batch_") and fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                m = json.load(f)
+            if m.get("status") == "complete":
+                out[f"{m['batch_id']}:{m['checksum']}"] = m
+    return out
+
+
+def _swap_bucket_dir(dst: str, src: str) -> None:
+    """Crash-tolerant directory swap: every intermediate state is repaired
+    by simply calling this again (decidable from which dirs exist)."""
+    bak = dst + ".bak"
+    if os.path.isdir(src):
+        if os.path.isdir(dst):
+            if os.path.isdir(bak):
+                shutil.rmtree(bak)
+            os.rename(dst, bak)
+        os.rename(src, dst)
+    if os.path.isdir(bak) and os.path.isdir(dst):
+        shutil.rmtree(bak)
+
+
+def merge_deltas(
+    spark: SparkSession,
+    index_dir: str,
+    delta_dir: str,
+    _fail_at: str | None = None,
+) -> dict:
     """Fold streaming posting deltas (streaming/ingest.py) into the main
-    index, exactly.
+    index, exactly, idempotently, and crash-safely.
 
     New documents shift N/avgdl and per-term df — scores of EVERY document
     legitimately change. Segments stay cheap to update because:
@@ -167,86 +214,169 @@ def merge_deltas(spark: SparkSession, index_dir: str, delta_dir: str) -> dict:
       rows need re-encoding;
     - term_stats/idf are re-derived from segment metadata at finalize.
 
-    Steps: delta tf rows -> occurrence rows -> union with the affected
-    buckets' base occurrences -> the same salted repartition+sort ->
-    dynamic-overwrite those bucket dirs -> refresh doclens/N/avgdl ->
-    invalidate affected bucket manifests -> re-encode + finalize.
-    Assumes delta docids are NEW documents (re-ingest of an existing docid
-    should go through delete_docs + compact first)."""
+    Durability protocol (manifests/merge_state.json is ONE atomic json that
+    holds both the merged-batch registry and the inflight journal):
+
+    1. pending = complete delta batches (id:checksum) not in the registry;
+       no pending -> no-op. Re-running with an already-merged delta_dir is
+       a no-op — tf can never double.
+    2. STAGE (journal "staging" -> "staged"): merged bucket data is written
+       to postings_merged/ and the doc-length table to doclens_staged/;
+       the live index is NOT touched. A crash here restages from scratch.
+    3. COMMIT (journal "staged" -> "swapped"): invalidate affected bucket
+       manifests + finalize marker FIRST (readers now refuse the index
+       instead of trusting stale manifests), then swap each bucket dir and
+       the doclens dir via rename-with-backup (_swap_bucket_dir — every
+       crash point is repaired by re-running), then rewrite stats.json from
+       journal-recorded values.
+    4. ENCODE (journal "swapped" -> registry updated, inflight cleared):
+       encode_pending_buckets re-encodes exactly the invalidated buckets
+       and refinalizes term_stats (already idempotent).
+
+    Re-invoking merge_deltas after a crash at ANY point resumes from the
+    journal and converges to the same bytes as an uninterrupted run
+    (tests/test_maintenance.py kill-between-steps tests).
+
+    shard/bucket are RECOMPUTED here from the target index's stats.json —
+    a delta streamed with a different modulus can't corrupt the layout.
+    `_fail_at` is a test-only fault-injection point ("staged",
+    "invalidated", "mid_swap", "swapped")."""
+    from honeywell_search_engine_spark.index.naive import bucket_col
     from honeywell_search_engine_spark.index.segments import (
         encode_pending_buckets,
         input_fingerprint,
     )
     from honeywell_search_engine_spark.streaming.ingest import delta_postings
 
-    delta = delta_postings(spark, delta_dir)
-    affected = sorted(
-        r["bucket"] for r in delta.select("bucket").distinct().collect()
-    )
-    if not affected:
-        return {"merged_batches": 0, "affected_buckets": 0}
+    def _boom(point: str) -> None:
+        if _fail_at == point:
+            raise RuntimeError(f"injected failure at {point}")
 
     with open(f"{index_dir}/stats.json") as f:
         meta = json.load(f)
+    n_shards, n_buckets = meta["n_shards"], meta["n_buckets"]
 
-    # delta tf rows -> occurrence rows (tf duplicates), matching the base
-    # postings layout
-    occ_delta = (
-        delta.withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("tf"))))
-        .select("docid", "doclen", "term", "shard", "bucket")
-    )
-    base = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .filter(F.col("bucket").isin(affected))
-        .select("docid", "doclen", "term", "shard", "bucket")
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        base.unionByName(occ_delta)
-        .repartition(F.col("term"), F.col("shard"))
-        .sortWithinPartitions("bucket", "term", "shard", "docid")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{index_dir}/postings")
-    )
+    state = _read_merge_state(index_dir)
+    registry = _delta_batch_registry(delta_dir)
+    pending_keys = sorted(k for k in registry if k not in state["merged_batches"])
+    inflight = state.get("inflight")
+    if inflight and inflight.get("delta_dir") != delta_dir:
+        raise ValueError(
+            f"merge of {inflight['delta_dir']} is in flight; re-run it first"
+        )
+    if not pending_keys and not inflight:
+        return {"docs_added": 0, "affected_buckets": 0, "n_docs": meta["n_docs"]}
 
-    # refresh forward index + corpus stats
-    new_docs = delta.groupBy("docid").agg(F.first("doclen").alias("doclen"))
-    doclens = spark.read.parquet(f"{index_dir}/doclens").unionByName(new_docs)
-    doclens.write.mode("overwrite").parquet(f"{index_dir}/doclens_new")
-    row = spark.read.parquet(f"{index_dir}/doclens_new").agg(
-        F.sum("doclen").alias("s")
-    ).collect()[0]
-    n_added = delta.select("docid").distinct().count()
-    new_n = meta["n_docs"] + n_added
-    new_avgdl = float(row["s"] or 0) / new_n if new_n else 0.0
-    shutil.rmtree(f"{index_dir}/doclens", ignore_errors=True)
-    os.replace(f"{index_dir}/doclens_new", f"{index_dir}/doclens")
-    meta.update({"n_docs": new_n, "avgdl": new_avgdl})
-    with open(f"{index_dir}/stats.json", "w") as f:
-        json.dump(meta, f)
+    staged_dir = f"{index_dir}/postings_merged"
+    doclens_staged = f"{index_dir}/doclens_staged"
 
-    # invalidate affected buckets + finalize marker, then re-encode
-    for b in affected:
-        p = os.path.join(index_dir, "manifests", f"bucket_{b}.json")
-        if os.path.exists(p):
-            os.remove(p)
-    fin = os.path.join(index_dir, "manifests", "finalize.json")
-    if os.path.exists(fin):
-        os.remove(fin)
+    # ---- STAGE ------------------------------------------------------------
+    if inflight is None or inflight["status"] == "staging":
+        batch_ids = [int(k.split(":", 1)[0]) for k in pending_keys]
+        state["inflight"] = inflight = {
+            "status": "staging",
+            "delta_dir": delta_dir,
+            "batch_keys": pending_keys,
+            "batch_ids": batch_ids,
+        }
+        _write_merge_state(index_dir, state)
+
+        # delta layout columns are untrusted: recompute shard/bucket from
+        # THIS index's moduli
+        delta = (
+            delta_postings(spark, delta_dir)
+            .filter(F.col("delta_batch").isin(batch_ids))
+            .select("docid", "doclen", "term", "tf")
+            .withColumn("shard", F.pmod(F.col("docid"), F.lit(n_shards)).cast("int"))
+            .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+        )
+        affected = sorted(
+            r["bucket"] for r in delta.select("bucket").distinct().collect()
+        )
+        # tf rows -> occurrence rows (tf duplicates), matching base layout
+        occ_delta = delta.withColumn(
+            "_i", F.explode(F.sequence(F.lit(1), F.col("tf")))
+        ).select("docid", "doclen", "term", "shard", "bucket")
+        base = (
+            spark.read.parquet(f"{index_dir}/postings")
+            .filter(F.col("bucket").isin(affected))
+            .select("docid", "doclen", "term", "shard", "bucket")
+        )
+        (
+            base.unionByName(occ_delta)
+            .repartition(F.col("term"), F.col("shard"))
+            .sortWithinPartitions("bucket", "term", "shard", "docid")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staged_dir)
+        )
+        # staged doc-length table: dropDuplicates guards a docid appearing
+        # in both base and delta (re-ingest should go through delete_docs +
+        # compact, but a duplicate must not double-count doclen)
+        new_docs = delta.groupBy("docid").agg(F.first("doclen").alias("doclen"))
+        base_dl = spark.read.parquet(f"{index_dir}/doclens")
+        n_added = (
+            new_docs.join(base_dl, "docid", "left_anti").count()
+        )
+        base_dl.unionByName(new_docs).dropDuplicates(["docid"]).write.mode(
+            "overwrite"
+        ).parquet(doclens_staged)
+        srow = spark.read.parquet(doclens_staged).agg(
+            F.sum("doclen").alias("s")
+        ).collect()[0]
+        new_n = meta["n_docs"] + n_added
+        new_avgdl = float(srow["s"] or 0) / new_n if new_n else 0.0
+        inflight.update(
+            {
+                "status": "staged",
+                "affected_buckets": affected,
+                "docs_added": n_added,
+                "n_docs": new_n,
+                "avgdl": new_avgdl,
+            }
+        )
+        _write_merge_state(index_dir, state)
+    _boom("staged")
+
+    # ---- COMMIT -----------------------------------------------------------
+    if inflight["status"] == "staged":
+        affected = inflight["affected_buckets"]
+        # invalidate BEFORE mutating: a crash mid-swap leaves an index that
+        # refuses to open rather than one whose manifests lie
+        for b in affected:
+            p = os.path.join(index_dir, "manifests", f"bucket_{b}.json")
+            if os.path.exists(p):
+                os.remove(p)
+        fin = os.path.join(index_dir, "manifests", "finalize.json")
+        if os.path.exists(fin):
+            os.remove(fin)
+        _boom("invalidated")
+        for i, b in enumerate(affected):
+            _swap_bucket_dir(
+                f"{index_dir}/postings/bucket={b}", f"{staged_dir}/bucket={b}"
+            )
+            if i == 0:
+                _boom("mid_swap")
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        if os.path.isdir(doclens_staged):
+            _swap_bucket_dir(f"{index_dir}/doclens", doclens_staged)
+        meta.update({"n_docs": inflight["n_docs"], "avgdl": inflight["avgdl"]})
+        with open(f"{index_dir}/stats.json", "w") as f:
+            json.dump(meta, f)
+        inflight["status"] = "swapped"
+        _write_merge_state(index_dir, state)
+    _boom("swapped")
+
+    # ---- ENCODE + register --------------------------------------------------
     fp = input_fingerprint(spark, delta_dir)
     encode_pending_buckets(spark, index_dir, fp)
-    _write_manifest(
-        index_dir,
-        f"merge_{int(time.time() * 1000)}.json",
-        {
-            "status": "complete",
-            "delta_dir": delta_dir,
-            "delta_fingerprint": fp,
-            "docs_added": n_added,
-            "affected_buckets": len(affected),
-            "n_docs": new_n,
-            "avgdl": new_avgdl,
-        },
-    )
-    return {"docs_added": n_added, "affected_buckets": len(affected), "n_docs": new_n}
+    for k in inflight["batch_keys"]:
+        state["merged_batches"][k] = {"delta_dir": delta_dir}
+    result = {
+        "docs_added": inflight["docs_added"],
+        "affected_buckets": len(inflight["affected_buckets"]),
+        "n_docs": inflight["n_docs"],
+    }
+    state["inflight"] = None
+    _write_merge_state(index_dir, state)
+    return result

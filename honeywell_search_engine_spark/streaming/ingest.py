@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from honeywell_search_engine_spark.index.corpus import docs_from_pages, tokenized_docs, term_frequencies
 from honeywell_search_engine_spark.index.naive import bucket_col
+from honeywell_search_engine_spark.index.segments import N_BUCKETS, N_SHARDS
 from honeywell_search_engine_spark.sources.pages import PAGES_SCHEMA
 
 
@@ -33,8 +34,8 @@ def stream_postings_delta(
     pages_dir: str,
     out_dir: str,
     checkpoint_dir: str | None = None,
-    n_buckets: int = 64,
-    n_shards: int = 16,
+    n_buckets: int = N_BUCKETS,
+    n_shards: int = N_SHARDS,
     lang: str = "en",
 ) -> int:
     """Drain all currently-available new page files into posting-row delta

@@ -5,6 +5,8 @@ import json
 import os
 import shutil
 
+import pytest
+
 from honeywell_search_engine_spark.index.corpus import (
     docs_from_pages,
     term_frequencies,
@@ -108,3 +110,80 @@ def test_merge_deltas_exact(spark, tmp_path):
             (r["docid"], r["score"]) for r in bm25_topk_wand(idx, q, k=10).collect()
         ]
         assert got == exp, q
+
+    # idempotence: re-running the merge with the same delta_dir is a no-op
+    # (the batch registry remembers merged batches — tf can never double)
+    before = _index_signature(spark, idx_dir)
+    again = merge_deltas(spark, idx_dir, delta_dir)
+    assert again["docs_added"] == 0
+    assert _index_signature(spark, idx_dir) == before
+
+
+def _index_signature(spark, idx_dir):
+    """(stats.json n/avgdl, per-bucket content checksums) — byte-level
+    identity of the queryable index state."""
+    from honeywell_search_engine_spark.index.segments import bucket_checksums
+
+    with open(f"{idx_dir}/stats.json") as f:
+        meta = json.load(f)
+    chks = bucket_checksums(
+        spark, f"{idx_dir}/segments", list(range(meta["n_buckets"]))
+    )
+    return (meta["n_docs"], meta["avgdl"], tuple(sorted(chks.items())))
+
+
+@pytest.fixture(scope="module")
+def merge_fixture(spark, tmp_path_factory):
+    """Base index (160 docs) + streamed delta (80 docs) + a from-scratch
+    full-corpus oracle index, built once per module."""
+    from honeywell_search_engine_spark.index.segments import build_segments
+
+    root = tmp_path_factory.mktemp("mergecrash")
+    pdf = generate_pages_pdf(240)
+    base_dir, stream_dir = str(root / "pages_base"), str(root / "pages_stream")
+    delta_dir, full_dir = str(root / "delta"), str(root / "pages_full")
+    _write_slice(spark, pdf, 0, 160, base_dir)
+    _write_slice(spark, pdf, 160, 240, stream_dir)
+    _write_slice(spark, pdf, 0, 240, full_dir)
+
+    idx_tpl = str(root / "idx_template")
+    base = spark.read.schema(PAGES_SCHEMA).parquet(base_dir)
+    build_segments(
+        tokenized_docs(docs_from_pages(base)), idx_tpl, base_dir,
+        n_buckets=8, n_shards=4, buckets_per_job=8,
+    )
+    stream_postings_delta(spark, stream_dir, delta_dir, n_buckets=8, n_shards=4)
+
+    idx_oracle = str(root / "idx_oracle")
+    full = spark.read.schema(PAGES_SCHEMA).parquet(full_dir)
+    build_segments(
+        tokenized_docs(docs_from_pages(full)), idx_oracle, full_dir,
+        n_buckets=8, n_shards=4, buckets_per_job=8,
+    )
+    return root, idx_tpl, delta_dir, idx_oracle
+
+
+@pytest.mark.parametrize(
+    "fail_at", ["staged", "invalidated", "mid_swap", "swapped"]
+)
+def test_merge_deltas_crash_resume(spark, merge_fixture, fail_at):
+    """Kill the merge between each pair of durability steps; a plain re-run
+    must converge to byte-identical segments vs a from-scratch full build."""
+    from honeywell_search_engine_spark.index.maintenance import merge_deltas
+    from honeywell_search_engine_spark.index.segments import SegmentIndex
+
+    root, idx_tpl, delta_dir, idx_oracle = merge_fixture
+    work = str(root / f"idx_crash_{fail_at}")
+    shutil.copytree(idx_tpl, work)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        merge_deltas(spark, work, delta_dir, _fail_at=fail_at)
+    if fail_at in ("invalidated", "mid_swap"):
+        # mid-commit: the index must REFUSE to open, not serve stale bytes
+        with pytest.raises(ValueError, match="incomplete"):
+            SegmentIndex(spark, work)
+
+    summary = merge_deltas(spark, work, delta_dir)  # plain re-run resumes
+    assert summary["docs_added"] > 0 or fail_at == "swapped"
+    assert _index_signature(spark, work) == _index_signature(spark, idx_oracle)
+    SegmentIndex(spark, work)  # opens clean
