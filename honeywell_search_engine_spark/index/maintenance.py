@@ -51,10 +51,12 @@ def delete_docs(index_dir: str, docids: list[int], reason: str = "") -> str:
     return path
 
 
-def _rewrite_kernel(dead: frozenset[int], avgdl: float):
-    dead_arr = np.fromiter(dead, dtype=np.int64) if dead else np.zeros(0, np.int64)
+def _rewrite_kernel(dead_bc, avgdl: float):
+    """dead_bc: Spark broadcast of a sorted int64 tombstone array — one
+    copy per executor, not a per-task closure set."""
 
     def rewrite(batches):
+        dead_arr = dead_bc.value
         from honeywell_search_engine_spark.index.segments import _encode_group
 
         for pdf in batches:
@@ -96,22 +98,34 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     with open(f"{index_dir}/stats.json") as f:
         meta = json.load(f)
 
-    # refresh corpus stats from the doclen table minus the dead docs
+    # refresh corpus stats from the doclen table minus the dead docs.
+    # left-anti join against a tombstone DataFrame — NOT ~isin([literals]):
+    # a million tombstones must not become a million-node Catalyst
+    # expression. The dead side is broadcast (small relative to the corpus).
+    dead_sorted = np.array(sorted(dead), dtype=np.int64)
+    dead_df = spark.createDataFrame(
+        [(int(d),) for d in dead_sorted], "docid long"
+    )
     doclens = spark.read.parquet(f"{index_dir}/doclens")
-    alive = doclens.filter(~F.col("docid").isin([int(d) for d in dead]))
+    alive = doclens.join(F.broadcast(dead_df), "docid", "left_anti")
     alive.write.mode("overwrite").parquet(f"{index_dir}/doclens_new")
     row = spark.read.parquet(f"{index_dir}/doclens_new").agg(
         F.sum("doclen").alias("s")
     ).collect()[0]
-    # every tombstoned id is assumed to be a real doc (zero-token docs are
-    # absent from the doclen table but still count in N, contributing 0)
-    new_n = meta["n_docs"] - len(dead)
+    # N drops only by tombstones that actually exist (semi-join count) —
+    # bulk tombstone sets may contain already-deleted or never-ingested
+    # ids. (Zero-token docs are absent from the doclen table yet counted
+    # in N; tombstoning one leaves N high by one until a rebuild — the
+    # documented residual.)
+    n_removed = doclens.join(F.broadcast(dead_df), "docid", "left_semi").count()
+    new_n = meta["n_docs"] - n_removed
     new_avgdl = float(row["s"] or 0) / new_n if new_n else 0.0
 
     # rewrite segments (decode -> mask -> re-encode), regenerate stats
+    dead_bc = spark.sparkContext.broadcast(dead_sorted)
     rewritten = (
         spark.read.parquet(f"{index_dir}/segments")
-        .mapInPandas(_rewrite_kernel(dead, new_avgdl), schema=SEGMENT_SCHEMA)
+        .mapInPandas(_rewrite_kernel(dead_bc, new_avgdl), schema=SEGMENT_SCHEMA)
     )
     rewritten.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/segments_new"
@@ -151,7 +165,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
             {**prev, **chks[b], "status": "complete", "generation": gen},
         )
     shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
-    return {"compacted": len(dead), "n_docs": new_n, "avgdl": new_avgdl}
+    return {"compacted": n_removed, "n_docs": new_n, "avgdl": new_avgdl}
 
 
 def _read_merge_state(index_dir: str) -> dict:

@@ -473,6 +473,18 @@ class SegmentIndex:
         self.term_stats = spark.read.parquet(f"{path}/term_stats")
         self._idf_cache: dict[str, float | None] = {}
         self.tombstones = load_tombstones(path)
+        self._dead_bc = None
+
+    def dead_broadcast(self):
+        """Tombstones as a memoized Spark broadcast of a sorted int64 numpy
+        array (None when empty). A million tombstones is one 8 MB broadcast
+        shipped once per executor — never a per-task closure set."""
+        if not self.tombstones:
+            return None
+        if self._dead_bc is None:
+            arr = np.array(sorted(self.tombstones), dtype=np.int64)
+            self._dead_bc = self.spark.sparkContext.broadcast(arr)
+        return self._dead_bc
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         """idf for the given terms (absent term => absent key). Driver-side

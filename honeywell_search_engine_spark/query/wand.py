@@ -67,9 +67,14 @@ def _u_exact(tfs: np.ndarray, doclens: np.ndarray, avgdl: float) -> np.ndarray:
     return codec.bm25_u(tfs, doclens, avgdl)
 
 
+_NO_DEAD = np.zeros(0, dtype=np.int64)
+
+
 def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int,
-                 dead: frozenset = frozenset()):
-    """Exact single-term top-k with block-max score pruning."""
+                 dead: np.ndarray = _NO_DEAD):
+    """Exact single-term top-k with block-max score pruning. `dead` is a
+    sorted int64 tombstone array (a Spark broadcast variable's .value at
+    scale — never a per-task Python set)."""
     order = np.argsort(-enc.bmax_u, kind="stable")
     heap: list[tuple[float, int]] = []  # (score, -docid) min-heap by score
     for b in order:
@@ -77,10 +82,12 @@ def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int,
         if len(heap) >= k and bound < heap[0][0]:
             break  # all remaining blocks have smaller bounds
         pl = codec.decode_blocks(enc, np.array([b]))
+        docids = pl.docids.astype(np.int64)
         scores = idf * _u_exact(pl.tfs, pl.doclens, avgdl)
-        for d, s in zip(pl.docids.astype(np.int64), scores):
-            if int(d) in dead:
-                continue
+        if dead.size:
+            alive = ~np.isin(docids, dead, assume_unique=False)
+            docids, scores = docids[alive], scores[alive]
+        for d, s in zip(docids, scores):
             item = (float(s), -int(d))
             if len(heap) < k:
                 heapq.heappush(heap, item)
@@ -96,7 +103,7 @@ def _candidate_blocks(enc: codec.EncodedList, cand: np.ndarray) -> np.ndarray:
 
 
 def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
-                      k: int, dead: frozenset = frozenset()):
+                      k: int, dead: np.ndarray = _NO_DEAD):
     """Conjunctive evaluation of one shard. term_rows: (term, EncodedList),
     all query terms present (caller enforces).
 
@@ -108,8 +115,8 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
     pl0 = codec.decode_postings(e0)
     cand = pl0.docids  # uint64 ascending
     tf_cols = {t0: (pl0.tfs, pl0.doclens)}
-    if dead:
-        alive = ~np.isin(cand.astype(np.int64), np.fromiter(dead, dtype=np.int64))
+    if dead.size:
+        alive = ~np.isin(cand.astype(np.int64), dead)
         cand = cand[alive]
         tf_cols[t0] = (pl0.tfs[alive], pl0.doclens[alive])
     for t, enc in term_rows[1:]:
@@ -144,7 +151,7 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
 
 
 def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
-                     k: int, dead: frozenset = frozenset()):
+                     k: int, dead: np.ndarray = _NO_DEAD):
     """Disjunctive (OR) union scoring of one shard — exact, vectorized.
 
     Scores every doc that contains ANY query term: union of docids via
@@ -158,8 +165,8 @@ def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
     term_rows = sorted(term_rows, key=lambda tr: tr[0])
     decoded = [(t, codec.decode_postings(enc)) for t, enc in term_rows]
     union = np.unique(np.concatenate([pl.docids for _, pl in decoded]))
-    if dead:
-        union = union[~np.isin(union.astype(np.int64), np.fromiter(dead, dtype=np.int64))]
+    if dead.size:
+        union = union[~np.isin(union.astype(np.int64), dead)]
     score = np.zeros(union.size, dtype=np.float64)
     for t, pl in decoded:  # lexicographic order
         pos = np.searchsorted(union, pl.docids)
@@ -189,9 +196,10 @@ def bm25_topk_wand(
     n_terms = len(terms)
     avgdl = index.stats.avgdl
     mode_and = mode == "and"
-    dead = index.tombstones  # broadcast with the closure; empty frozenset usually
+    dead_bc = index.dead_broadcast()  # broadcast variable handle (or None)
 
     def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dead = dead_bc.value if dead_bc is not None else _NO_DEAD
         rows = [(r["term"], _enc_from_row(r)) for _, r in pdf.iterrows()]
         idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         if mode_and:
@@ -243,9 +251,10 @@ def bm25_topk_wand_batch(
         return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
     mode_and = mode == "and"
     avgdl = index.stats.avgdl
-    dead = index.tombstones
+    dead_bc = index.dead_broadcast()
 
     def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dead = dead_bc.value if dead_bc is not None else _NO_DEAD
         by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
         idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         out_q, out_d, out_s = [], [], []

@@ -57,3 +57,43 @@ def test_tombstone_then_compact(spark, small_index, pages_pdf, oracle):
     exp = reduced_oracle.search(q, k=10)
     got = [(r["docid"], r["score"]) for r in bm25_topk_wand(idx3, q, k=10).collect()]
     assert got == exp
+
+
+def test_bulk_tombstones_100k(spark, small_index, pages_pdf, oracle):
+    """A 100k-id tombstone set (retention churn at scale) must (a) never
+    become a Catalyst literal list or per-task closure set — kernels get a
+    broadcast numpy array, compact anti-joins a DataFrame — and (b) leave
+    results exactly equal to a from-scratch oracle on the reduced corpus.
+    Most of the 100k ids don't exist in the index; N must only drop by the
+    ones that do."""
+    q = marker_term(0)
+    before = [r["docid"] for r in bm25_topk_wand(small_index, q, k=100).collect()]
+    victims = before[:2]
+    bulk = victims + list(range(10_000_000, 10_100_000))  # 2 real + ~100k fake
+    delete_docs(small_index.path, bulk, reason="bulk churn")
+
+    # query-time: broadcast tombstone array filters, AND + OR paths
+    idx2 = SegmentIndex(spark, small_index.path)
+    assert len(idx2.tombstones) == len(bulk)
+    after = [r["docid"] for r in bm25_topk_wand(idx2, q, k=100).collect()]
+    assert set(after) == set(before) - set(victims)
+    after_or = [
+        r["docid"] for r in bm25_topk_wand(idx2, q, k=100, mode="or").collect()
+    ]
+    assert set(after_or) == set(before) - set(victims)
+
+    # compact: anti-join path; only the 2 real docs leave N
+    summary = compact(spark, small_index.path)
+    assert summary["compacted"] == 2
+    idx3 = SegmentIndex(spark, small_index.path)
+    assert idx3.stats.n_docs == small_index.stats.n_docs - 2
+
+    en = pages_pdf[pages_pdf.lang == "en"]
+    reduced = [
+        (docid_py(u), t)
+        for u, t in zip(en.url, en.text)
+        if docid_py(u) not in set(victims)
+    ]
+    exp = OracleIndex.build(reduced).search(q, k=10)
+    got = [(r["docid"], r["score"]) for r in bm25_topk_wand(idx3, q, k=10).collect()]
+    assert got == exp
