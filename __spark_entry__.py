@@ -19,7 +19,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from honeywell_search_engine_spark.functions.analyzer import STOPWORDS
-from honeywell_search_engine_spark.operators import dedup, relational, search, similarity, textstats
+from honeywell_search_engine_spark.operators import (
+    dedup,
+    relational,
+    search,
+    serving,
+    similarity,
+    textstats,
+)
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect)
@@ -203,6 +210,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), FLAGSHIP_QUERY
     ).select("docid", F.concat_ws(" ", "highlights").alias("highlights"))
     q["naive_triples"] = lambda s, d: search.naive_triples(_docs(s, d))
+
+    # --- serving-layer composition (R8 / T11 / F6+R5 / history sink) -------
+    q["snippets"] = lambda s, d: serving.best_snippet(_docs(s, d), FLAGSHIP_QUERY)
+    q["intent_expansion"] = lambda s, d: _docs(s, d).select(
+        F.col("doc_id").cast("long").alias("docid"),
+        serving.expand_intent_col(F.substring("text", 1, 80)).alias("expanded"),
+    ).orderBy("docid")
+    q["guardrail_fallback"] = lambda s, d: _guardrail_fallback(s, d)
+    q["search_history"] = lambda s, d: _search_history(s, d)
     # rows-only: hierarchical chunking stats (pure-Python oracle lives in
     # tests/test_chunking.py instead of SQL)
     q["chunk_stats"] = lambda s, d: _chunk_stats(s, d)
@@ -222,6 +238,59 @@ def _chunk_stats(s: SparkSession, d: str) -> DataFrame:
             F.max("tokens").alias("max_tokens"),
         )
         .orderBy("kind")
+    )
+
+
+def _channels(s: SparkSession, d: str):
+    """Three pseudo-channels from events (same construction as
+    _fusion_confidence) for the serving-composition gates."""
+    ev = _events(s, d)
+
+    def chan(et, name):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .groupBy("user_id")
+            .agg(F.round(F.avg("value") / 100.0, 6).alias(name))
+        )
+
+    return chan("view", "sem_score"), chan("click", "lex_score"), chan(
+        "purchase", "tri_score"
+    )
+
+
+def _guardrail_fallback(s: SparkSession, d: str) -> DataFrame:
+    """F6+R5 over the fused pseudo-channels, multi-sentence mode."""
+    sem, lex, tri = _channels(s, d)
+    fused = relational.fusion_merge(sem, lex, tri, "user_id")
+    return (
+        serving.search_with_fallback(fused, multi_sentence=True)
+        .select("user_id", "confidence", "channel")
+        .orderBy("user_id")
+    )
+
+
+def _search_history(s: SparkSession, d: str) -> DataFrame:
+    """Query-log dedup-upsert: history = first-half events, additions =
+    second half; same (user_id, query) refreshes ts instead of duplicating."""
+    ev = _events(s, d).select(
+        "user_id",
+        F.col("event_type").alias("query"),
+        "ts",
+        "event_id",
+    )
+    history = ev.filter(F.col("event_id") % 2 == 0)
+    additions = ev.filter(F.col("event_id") % 2 == 1)
+    return (
+        serving.search_history_upsert(history, additions)
+        .select(
+            "user_id",
+            "query",
+            # tz-free (ts is TIMESTAMP_NTZ): microseconds since a fixed epoch
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+            ).alias("ts_us"),
+        )
+        .orderBy("user_id", "query")
     )
 
 
@@ -594,6 +663,91 @@ w AS (SELECT doc_id, sent_idx, regexp_split_to_array(sent, '\s+') AS ws FROM e)
 SELECT doc_id AS docid, CAST(sent_idx AS INT) AS sent_idx,
        ws[1] AS subj, ws[2] AS pred, array_to_string(ws[3:], ' ') AS obj
 FROM w WHERE len(ws) >= 3 ORDER BY docid, sent_idx"""
+
+    o["snippets"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+\\s+'),
+                                    x -> trim(x)),
+                     x -> length(x) > 20) AS sents
+  FROM documents),
+e AS (
+  SELECT doc_id, unnest(sents) AS sent,
+         generate_subscripts(sents, 1) - 1 AS sent_idx
+  FROM s),
+ov AS (
+  SELECT doc_id, sent, sent_idx,
+         len(list_filter(list_distinct(
+               list_filter(regexp_extract_all(lower(sent), '[a-z0-9]+'),
+                           t -> length(t) >= 3 AND NOT list_contains([{_STOP_SQL}], t))),
+             t -> list_contains([{fq_list}], t)))
+           / CAST({len(fq_terms)} AS DOUBLE) AS overlap
+  FROM e),
+best AS (
+  SELECT doc_id, sent, overlap,
+         row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, sent_idx) AS rn
+  FROM ov)
+SELECT d.doc_id AS docid,
+       coalesce(b.sent, '') AS snippet,
+       round(coalesce(b.overlap, 0.0), 6) AS overlap_r,
+       CASE WHEN coalesce(b.overlap, 0.0) >= 0.9 THEN 1.0
+            WHEN coalesce(b.overlap, 0.0) >= 0.75 THEN 0.7
+            WHEN coalesce(b.overlap, 0.0) >= 0.5 THEN 0.5 ELSE 0.0 END AS lex_score
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY docid"""
+
+    o["intent_expansion"] = """
+WITH q AS (SELECT doc_id, substr(text, 1, 80) AS qs FROM documents)
+SELECT doc_id AS docid,
+       trim(concat(qs, '. ',
+         CASE WHEN regexp_matches(lower(qs), 'drawback|shortcoming|limitation')
+              THEN 'limitations drawbacks shortcomings disadvantages'
+              WHEN regexp_matches(lower(qs), 'investigate|investigation|examine|study|effect')
+              THEN 'investigation study analysis effect'
+              ELSE '' END)) AS expanded
+FROM q ORDER BY docid"""
+
+    o["guardrail_fallback"] = """
+WITH sem AS (SELECT user_id, round(avg(value) / 100.0, 6) AS sem_score FROM events WHERE event_type = 'view' GROUP BY user_id),
+lex AS (SELECT user_id, round(avg(value) / 100.0, 6) AS lex_score FROM events WHERE event_type = 'click' GROUP BY user_id),
+tri AS (SELECT user_id, round(avg(value) / 100.0, 6) AS tri_score FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+fused AS (
+  SELECT coalesce(sem.user_id, lex.user_id, tri.user_id) AS user_id,
+         sem_score, lex_score, tri_score
+  FROM sem FULL OUTER JOIN lex ON sem.user_id = lex.user_id
+  FULL OUTER JOIN tri ON coalesce(sem.user_id, lex.user_id) = tri.user_id),
+prim AS (
+  SELECT user_id,
+         CAST(floor(least(1.0, 0.55 * coalesce(sem_score, 0.0)
+                               + 0.35 * coalesce(lex_score, 0.0)
+                               + 0.10 * coalesce(tri_score, 0.0)) * 100) AS INT) AS confidence,
+         'primary' AS channel
+  FROM fused
+  WHERE NOT (coalesce(sem_score, 0.0) < 0.4 AND coalesce(lex_score, 0.0) < 0.5
+             AND tri_score IS NULL)),
+cnt AS (SELECT count(*) AS n FROM prim),
+fb AS (
+  SELECT user_id,
+         CAST(floor(least(1.0, coalesce(sem_score, 0.0)) * 100) AS INT) AS confidence,
+         'fallback' AS channel
+  FROM fused)
+SELECT user_id, confidence, channel FROM prim CROSS JOIN cnt WHERE n > 0
+UNION ALL
+SELECT user_id, confidence, channel FROM fb CROSS JOIN cnt WHERE n = 0
+ORDER BY user_id"""
+
+    o["search_history"] = """
+WITH log AS (
+  SELECT user_id, event_type AS query, ts,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS src
+  FROM events),
+r AS (
+  SELECT user_id, query, ts,
+         row_number() OVER (PARTITION BY user_id, query
+                            ORDER BY ts DESC, src DESC) AS rn
+  FROM log)
+SELECT user_id, query, datediff('microseconds', TIMESTAMP '2024-01-01', ts) AS ts_us
+FROM r WHERE rn = 1 ORDER BY user_id, query"""
 
     o["rrf_fusion"] = """
 WITH ranks AS (
