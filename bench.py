@@ -236,6 +236,50 @@ def main() -> None:
     extra["bm25_batch_qps"] = round(len(reference_queries()) / batch_sec, 1)
     log(f"[bench] batch 20 queries: {batch_sec:.2f}s "
         f"({20/batch_sec:.1f} q/s, {n_rows} rows)")
+
+    # concurrent per-query streams (the reference's 100 q/s target is a
+    # CONCURRENT-clients figure, PIPELINE.md:350): N threads share the
+    # session; Spark interleaves their jobs. Sustained q/s over 3 rounds
+    # of the 20-query set.
+    import concurrent.futures as cf
+
+    qlist = list(reference_queries().values())
+    n_threads = int(os.environ.get("BENCH_QUERY_THREADS", "8"))
+    rounds = int(os.environ.get("BENCH_QUERY_ROUNDS", "3"))
+    t0 = time.time()
+    with cf.ThreadPoolExecutor(n_threads) as ex:
+        list(ex.map(lambda q: bm25_topk_wand(idx, q, k=10).collect(),
+                    qlist * rounds))
+    conc_sec = time.time() - t0
+    extra["bm25_concurrent_qps"] = round(len(qlist) * rounds / conc_sec, 1)
+    extra["bm25_concurrent_threads"] = n_threads
+    log(f"[bench] concurrent ({n_threads} threads): "
+        f"{len(qlist) * rounds} queries in {conc_sec:.2f}s "
+        f"= {len(qlist) * rounds / conc_sec:.1f} q/s")
+
+    # index size: bytes/posting (the docid-remap win shows up here)
+    from pyspark.sql import functions as F
+
+    idx_dir = f"{WORK}/idx_scale_{N_HIGH}"
+    seg_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{idx_dir}/segments")
+        for f in fs
+    )
+    prow = idx.segments.agg(
+        F.sum("n").alias("np"),
+        F.sum(
+            F.length("deltas") + F.length("tfs") + F.length("doclens")
+        ).alias("payload"),
+    ).collect()[0]
+    n_post = int(prow["np"] or 1)
+    extra["segments_bytes"] = seg_bytes
+    extra["n_postings"] = n_post
+    extra["bytes_per_posting_payload"] = round(float(prow["payload"]) / n_post, 2)
+    extra["bytes_per_posting_on_disk"] = round(seg_bytes / n_post, 2)
+    log(f"[bench] index: {n_post} postings, "
+        f"{extra['bytes_per_posting_payload']} B/posting payload, "
+        f"{extra['bytes_per_posting_on_disk']} B/posting on disk")
     spark.stop()
 
     out = {

@@ -52,11 +52,12 @@ def delete_docs(index_dir: str, docids: list[int], reason: str = "") -> str:
 
 
 def _rewrite_kernel(dead_bc, avgdl: float):
-    """dead_bc: Spark broadcast of a sorted int64 tombstone array — one
-    copy per executor, not a per-task closure set."""
+    """dead_bc: Spark broadcast of {shard: sorted int64 tombstoned-lid
+    array} — one copy per executor, not a per-task closure set."""
+    _EMPTY = np.zeros(0, dtype=np.int64)
 
     def rewrite(batches):
-        dead_arr = dead_bc.value
+        dead_map = dead_bc.value
         from honeywell_search_engine_spark.index.segments import _encode_group
 
         for pdf in batches:
@@ -74,6 +75,7 @@ def _rewrite_kernel(dead_bc, avgdl: float):
                     doclens=bytes(row["doclens"]),
                 )
                 pl = codec.decode_postings(enc)
+                dead_arr = dead_map.get(int(row["shard"]), _EMPTY)
                 keep = ~np.isin(pl.docids.astype(np.int64), dead_arr)
                 if not keep.any():
                     continue
@@ -98,31 +100,32 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     with open(f"{index_dir}/stats.json") as f:
         meta = json.load(f)
 
-    # refresh corpus stats from the doclen table minus the dead docs.
+    # refresh corpus stats from the docmap minus the dead docs.
     # left-anti join against a tombstone DataFrame — NOT ~isin([literals]):
     # a million tombstones must not become a million-node Catalyst
     # expression. The dead side is broadcast (small relative to the corpus).
+    from honeywell_search_engine_spark.index.docmap import dead_lids_by_shard
+
     dead_sorted = np.array(sorted(dead), dtype=np.int64)
     dead_df = spark.createDataFrame(
         [(int(d),) for d in dead_sorted], "docid long"
     )
-    doclens = spark.read.parquet(f"{index_dir}/doclens")
-    alive = doclens.join(F.broadcast(dead_df), "docid", "left_anti")
-    alive.write.mode("overwrite").parquet(f"{index_dir}/doclens_new")
-    row = spark.read.parquet(f"{index_dir}/doclens_new").agg(
+    docmap = spark.read.parquet(f"{index_dir}/docmap")
+    alive = docmap.join(F.broadcast(dead_df), "docid", "left_anti")
+    alive.write.mode("overwrite").parquet(f"{index_dir}/docmap_new")
+    row = spark.read.parquet(f"{index_dir}/docmap_new").agg(
         F.sum("doclen").alias("s")
     ).collect()[0]
     # N drops only by tombstones that actually exist (semi-join count) —
     # bulk tombstone sets may contain already-deleted or never-ingested
-    # ids. (Zero-token docs are absent from the doclen table yet counted
-    # in N; tombstoning one leaves N high by one until a rebuild — the
-    # documented residual.)
-    n_removed = doclens.join(F.broadcast(dead_df), "docid", "left_semi").count()
+    # ids. Surviving docs keep their lids (the local-id space may gain
+    # holes; posting deltas stay valid).
+    n_removed = docmap.join(F.broadcast(dead_df), "docid", "left_semi").count()
     new_n = meta["n_docs"] - n_removed
     new_avgdl = float(row["s"] or 0) / new_n if new_n else 0.0
 
-    # rewrite segments (decode -> mask -> re-encode), regenerate stats
-    dead_bc = spark.sparkContext.broadcast(dead_sorted)
+    # rewrite segments (decode -> mask dead lids -> re-encode)
+    dead_bc = spark.sparkContext.broadcast(dead_lids_by_shard(docmap, dead))
     rewritten = (
         spark.read.parquet(f"{index_dir}/segments")
         .mapInPandas(_rewrite_kernel(dead_bc, new_avgdl), schema=SEGMENT_SCHEMA)
@@ -148,7 +151,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     # atomic-ish swap: rename new dirs over old, refresh manifests, clear
     # tombstones last (a crash mid-swap leaves tombstones in place, so
     # readers stay correct)
-    for name in ("segments", "term_stats", "doclens"):
+    for name in ("segments", "term_stats", "docmap"):
         shutil.rmtree(f"{index_dir}/{name}", ignore_errors=True)
         os.replace(f"{index_dir}/{name}_new", f"{index_dir}/{name}")
     meta.update({"n_docs": new_n, "avgdl": new_avgdl})
@@ -235,12 +238,14 @@ def merge_deltas(
        no pending -> no-op. Re-running with an already-merged delta_dir is
        a no-op — tf can never double.
     2. STAGE (journal "staging" -> "staged"): merged bucket data is written
-       to postings_merged/ and the doc-length table to doclens_staged/;
-       the live index is NOT touched. A crash here restages from scratch.
+       to postings_merged/ and the forward index to docmap_staged/ (new
+       docs get lids APPENDED after each shard's max — existing posting
+       lists never shift); the live index is NOT touched. A crash here
+       restages from scratch.
     3. COMMIT (journal "staged" -> "swapped"): invalidate affected bucket
        manifests + finalize marker FIRST (readers now refuse the index
        instead of trusting stale manifests), then swap each bucket dir and
-       the doclens dir via rename-with-backup (_swap_bucket_dir — every
+       the docmap dir via rename-with-backup (_swap_bucket_dir — every
        crash point is repaired by re-running), then rewrite stats.json from
        journal-recorded values.
     4. ENCODE (journal "swapped" -> registry updated, inflight cleared):
@@ -282,7 +287,7 @@ def merge_deltas(
         return {"docs_added": 0, "affected_buckets": 0, "n_docs": meta["n_docs"]}
 
     staged_dir = f"{index_dir}/postings_merged"
-    doclens_staged = f"{index_dir}/doclens_staged"
+    docmap_staged = f"{index_dir}/docmap_staged"
 
     # ---- STAGE ------------------------------------------------------------
     if inflight is None or inflight["status"] == "staging":
@@ -301,43 +306,52 @@ def merge_deltas(
             delta_postings(spark, delta_dir)
             .filter(F.col("delta_batch").isin(batch_ids))
             .select("docid", "doclen", "term", "tf")
-            .withColumn("shard", F.pmod(F.col("docid"), F.lit(n_shards)).cast("int"))
             .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
         )
         affected = sorted(
             r["bucket"] for r in delta.select("bucket").distinct().collect()
         )
-        # tf rows -> occurrence rows (tf duplicates), matching base layout
-        occ_delta = delta.withColumn(
-            "_i", F.explode(F.sequence(F.lit(1), F.col("tf")))
-        ).select("docid", "doclen", "term", "shard", "bucket")
+        # ---- docmap: new docs get lids APPENDED after each shard's max —
+        # existing posting lists never shift (docmap.append_local_ids).
+        from honeywell_search_engine_spark.index.docmap import append_local_ids
+
+        base_dm = spark.read.parquet(f"{index_dir}/docmap")
+        new_docs = (
+            delta.groupBy("docid")
+            .agg(F.first("doclen").alias("doclen"))
+            .join(base_dm.select("docid"), "docid", "left_anti")
+        )
+        new_rows = append_local_ids(base_dm, new_docs, n_shards)
+        n_added = new_rows.count()
+        base_dm.unionByName(new_rows).write.mode("overwrite").parquet(docmap_staged)
+        staged_dm = spark.read.parquet(docmap_staged)
+
+        # tf rows -> occurrence rows (tf duplicates) in lid space, matching
+        # base layout (a re-ingested docid joins to its EXISTING lid)
+        occ_delta = (
+            delta.join(
+                staged_dm.select(
+                    "docid", "shard", F.col("local_id").alias("lid")
+                ),
+                "docid",
+            )
+            .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("tf"))))
+            .select("lid", "doclen", "term", "shard", "bucket")
+        )
         base = (
             spark.read.parquet(f"{index_dir}/postings")
             .filter(F.col("bucket").isin(affected))
-            .select("docid", "doclen", "term", "shard", "bucket")
+            .select("lid", "doclen", "term", "shard", "bucket")
         )
         (
             base.unionByName(occ_delta)
             .repartition(F.col("term"), F.col("shard"))
-            .sortWithinPartitions("bucket", "term", "shard", "docid")
+            .sortWithinPartitions("bucket", "term", "shard", "lid")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(staged_dir)
         )
-        # staged doc-length table: dropDuplicates guards a docid appearing
-        # in both base and delta (re-ingest should go through delete_docs +
-        # compact, but a duplicate must not double-count doclen)
-        new_docs = delta.groupBy("docid").agg(F.first("doclen").alias("doclen"))
-        base_dl = spark.read.parquet(f"{index_dir}/doclens")
-        n_added = (
-            new_docs.join(base_dl, "docid", "left_anti").count()
-        )
-        base_dl.unionByName(new_docs).dropDuplicates(["docid"]).write.mode(
-            "overwrite"
-        ).parquet(doclens_staged)
-        srow = spark.read.parquet(doclens_staged).agg(
-            F.sum("doclen").alias("s")
-        ).collect()[0]
+        srow = staged_dm.agg(F.sum("doclen").alias("s")).collect()[0]
         new_n = meta["n_docs"] + n_added
         new_avgdl = float(srow["s"] or 0) / new_n if new_n else 0.0
         inflight.update(
@@ -372,8 +386,8 @@ def merge_deltas(
             if i == 0:
                 _boom("mid_swap")
         shutil.rmtree(staged_dir, ignore_errors=True)
-        if os.path.isdir(doclens_staged):
-            _swap_bucket_dir(f"{index_dir}/doclens", doclens_staged)
+        if os.path.isdir(docmap_staged):
+            _swap_bucket_dir(f"{index_dir}/docmap", docmap_staged)
         meta.update({"n_docs": inflight["n_docs"], "avgdl": inflight["avgdl"]})
         with open(f"{index_dir}/stats.json", "w") as f:
             json.dump(meta, f)

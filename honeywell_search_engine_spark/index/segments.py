@@ -2,9 +2,12 @@
 
 Layout on disk (all immutable once a manifest marks its unit complete):
 
-    {index}/postings/bucket=<b>/...      phase-1 tf rows (term, docid, tf,
-                                         doclen, shard), parquet
+    {index}/docmap/                      forward index / docvalues:
+                                         (shard, local_id, docid, doclen)
+    {index}/postings/bucket=<b>/...      phase-1 occurrence rows (term,
+                                         lid, doclen, shard), parquet
     {index}/segments/bucket=<b>/...      phase-2 encoded posting lists
+                                         (values are shard-local lids)
     {index}/term_stats/                  (term, df, ctf, idf) parquet
     {index}/stats.json                   N, avgdl, layout params
     {index}/manifests/phase1.json        input lineage for phase 1
@@ -60,7 +63,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from honeywell_search_engine_spark.index import codec
-from honeywell_search_engine_spark.index.corpus import token_occurrences
+from honeywell_search_engine_spark.index.docmap import assign_local_ids
 from honeywell_search_engine_spark.index.naive import bucket_col, bucket_of
 from honeywell_search_engine_spark.index.stats import CorpusStats
 
@@ -107,12 +110,13 @@ def _encode_group(term: str, shard: int, bucket: int,
 
 
 def make_segment_encoder(avgdl: float, n_buckets: int):
-    """mapInPandas kernel: consumes (term, shard, docid, doclen) OCCURRENCE
-    batches sorted by (term, shard, docid) within the partition — duplicate
-    docids are occurrences; tf = run length (np.unique on the sorted run).
+    """mapInPandas kernel: consumes (term, shard, lid, doclen) OCCURRENCE
+    batches sorted by (term, shard, lid) within the partition — duplicate
+    lids are occurrences; tf = run length (np.unique on the sorted run).
     Emits one encoded row per (term, shard) run. Carries the open run
     across batch boundaries — memory is O(batch + largest single run),
-    not O(partition).
+    not O(partition). Posting values are shard-local dense ordinals
+    (index/docmap.py); the docmap rehydrates global docids at query time.
     """
 
     def encode_stream(batches):
@@ -124,7 +128,7 @@ def make_segment_encoder(avgdl: float, n_buckets: int):
             if cur_key is None:
                 return
             run = pd.concat(buf) if len(buf) > 1 else buf[0]
-            occ = run["docid"].to_numpy(np.uint64)
+            occ = run["lid"].to_numpy(np.uint64)
             dls = run["doclen"].to_numpy(np.uint64)
             docids, first_idx, tfs = np.unique(
                 occ, return_index=True, return_counts=True
@@ -274,8 +278,23 @@ def build_segments(
             )
     else:
         t0 = time.time()
-        occ = token_occurrences(tok_docs).withColumn(
-            "shard", F.pmod(F.col("docid"), F.lit(n_shards)).cast("int")
+        # ---- docmap first: dense per-shard ordinals (index/docmap.py).
+        # Needs only the docid SET (a narrow column), no tokenization.
+        dm = assign_local_ids(tok_docs.select("docid"), n_shards)
+        dm.write.mode("overwrite").parquet(f"{index_dir}/docmap_ids")
+        dm = spark.read.parquet(f"{index_dir}/docmap_ids")
+
+        # ---- postings: join docs to their lids BEFORE exploding tokens
+        # (a doc-level sort-merge exchange — the token payload moves once
+        # here and once in the salted repartition below; the prize is
+        # posting deltas over dense lids, several-fold smaller on disk and
+        # proportionally faster to decode).
+        tok_l = tok_docs.join(dm, "docid")
+        occ = tok_l.select(
+            F.col("local_id").alias("lid"),
+            "doclen",
+            "shard",
+            F.explode("tokens").alias("term"),
         ).withColumn("bucket", bucket_col(F.col("term"), n_buckets))
         # THE shuffle of the build: salted repartition on (term, shard) +
         # sort-within-partitions. The sort leads with `bucket` (a function
@@ -285,29 +304,34 @@ def build_segments(
         # one file of its bucket directory.
         (
             occ.repartition(F.col("term"), F.col("shard"))
-            .sortWithinPartitions("bucket", "term", "shard", "docid")
+            .sortWithinPartitions("bucket", "term", "shard", "lid")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{index_dir}/postings")
         )
-        # stats WITHOUT re-tokenizing: doclen rides on every occurrence
-        # row; (docid -> doclen) distinct + the input doc count give
-        # N/avgdl (zero-token docs contribute doclen 0). The doclen table
-        # persists as the docvalues side of the forward index — compaction
-        # re-derives avgdl from it.
-        n_input = tok_docs.select("docid").count()
+        # ---- finalize the docmap as the forward index: attach doclen
+        # (derived from the written postings — no re-tokenize; zero-token
+        # docs get doclen 0 and simply own an unused lid).
         pr = spark.read.parquet(f"{index_dir}/postings")
+        dl = pr.groupBy("shard", "lid").agg(F.first("doclen").alias("doclen"))
         (
-            pr.groupBy("docid")
-            .agg(F.first("doclen").alias("doclen"))
+            dm.join(
+                dl.withColumnRenamed("lid", "local_id"),
+                ["shard", "local_id"],
+                "left",
+            )
+            .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
             .write.mode("overwrite")
-            .parquet(f"{index_dir}/doclens")
+            .parquet(f"{index_dir}/docmap")
         )
-        drow = (
-            spark.read.parquet(f"{index_dir}/doclens")
-            .agg(F.sum("doclen").alias("sum_dl"))
-            .collect()[0]
-        )
+        import shutil as _shutil
+
+        _shutil.rmtree(f"{index_dir}/docmap_ids", ignore_errors=True)
+        docmap = spark.read.parquet(f"{index_dir}/docmap")
+        drow = docmap.agg(
+            F.count("*").alias("n"), F.sum("doclen").alias("sum_dl")
+        ).collect()[0]
+        n_input = drow["n"]
         cs = CorpusStats(
             n_docs=n_input,
             avgdl=float(drow["sum_dl"] or 0) / n_input if n_input else 0.0,
@@ -376,7 +400,7 @@ def encode_pending_buckets(
             rows = (
                 spark.read.parquet(f"{index_dir}/postings")
                 .filter(F.col("bucket").isin(chunk))  # partition-pruned scan
-                .select("term", "shard", "docid", "doclen")
+                .select("term", "shard", "lid", "doclen")
             )
             encoded = rows.mapInPandas(encoder, schema=SEGMENT_SCHEMA)
             (
@@ -471,20 +495,36 @@ class SegmentIndex:
             raise ValueError(f"index at {path} incomplete: buckets {missing[:8]}...")
         self.segments = spark.read.parquet(f"{path}/segments")
         self.term_stats = spark.read.parquet(f"{path}/term_stats")
+        self.docmap = spark.read.parquet(f"{path}/docmap")
         self._idf_cache: dict[str, float | None] = {}
         self.tombstones = load_tombstones(path)
         self._dead_bc = None
 
     def dead_broadcast(self):
-        """Tombstones as a memoized Spark broadcast of a sorted int64 numpy
-        array (None when empty). A million tombstones is one 8 MB broadcast
-        shipped once per executor — never a per-task closure set."""
+        """Tombstones translated to shard-local ordinals and memoized as a
+        Spark broadcast of {shard: sorted int64 lid array} (None when
+        empty). A million tombstones is one ~8 MB broadcast shipped once
+        per executor — never a per-task closure set."""
         if not self.tombstones:
             return None
         if self._dead_bc is None:
-            arr = np.array(sorted(self.tombstones), dtype=np.int64)
-            self._dead_bc = self.spark.sparkContext.broadcast(arr)
+            from honeywell_search_engine_spark.index.docmap import dead_lids_by_shard
+
+            by_shard = dead_lids_by_shard(self.docmap, self.tombstones)
+            self._dead_bc = self.spark.sparkContext.broadcast(by_shard)
         return self._dead_bc
+
+    def rehydrate(self, df: DataFrame) -> DataFrame:
+        """(shard, lid, ...) -> same rows with the global `docid` attached
+        from the docmap. The kernel output side is tiny (<= shards * k), so
+        it broadcasts and the docmap is the streamed side, column-pruned to
+        (shard, local_id, docid). At 10^12 docs this becomes a docvalues
+        point lookup (lid min/max row-group pruning or a KV fetch); the
+        join form keeps the whole query one lazy plan."""
+        dm = self.docmap.select(
+            "shard", F.col("local_id").alias("lid"), "docid"
+        )
+        return F.broadcast(df).join(dm, ["shard", "lid"])
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         """idf for the given terms (absent term => absent key). Driver-side

@@ -70,30 +70,54 @@ def _u_exact(tfs: np.ndarray, doclens: np.ndarray, avgdl: float) -> np.ndarray:
 _NO_DEAD = np.zeros(0, dtype=np.int64)
 
 
+def _select_topk_with_ties(lids: np.ndarray, scores: np.ndarray, k: int):
+    """Top-k by score (tie: ascending lid) INCLUDING every row tied with
+    the k-th score. Returning boundary ties makes the global merge exact
+    under ANY lid assignment: final ordering tie-breaks on the rehydrated
+    global docid, and nothing tied at the cut was dropped shard-side —
+    required because merged-in documents get appended lids, which are not
+    docid-ordered (index/docmap.py)."""
+    if lids.size == 0:
+        return []
+    if lids.size > k:
+        kth = np.partition(scores, lids.size - k)[lids.size - k]
+        keep = scores >= kth
+        lids, scores = lids[keep], scores[keep]
+    idx = np.lexsort((lids, -scores))
+    return list(zip(lids[idx], scores[idx]))
+
+
 def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int,
                  dead: np.ndarray = _NO_DEAD):
     """Exact single-term top-k with block-max score pruning. `dead` is a
-    sorted int64 tombstone array (a Spark broadcast variable's .value at
-    scale — never a per-task Python set)."""
+    sorted int64 tombstoned-lid array for THIS shard (from a Spark
+    broadcast — never a per-task Python set)."""
     order = np.argsort(-enc.bmax_u, kind="stable")
-    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap by score
+    heap: list[float] = []  # k best scores seen — the pruning threshold
+    cand_d: list[np.ndarray] = []
+    cand_s: list[np.ndarray] = []
     for b in order:
         bound = idf * enc.bmax_u[b]
-        if len(heap) >= k and bound < heap[0][0]:
-            break  # all remaining blocks have smaller bounds
+        if len(heap) >= k and bound < heap[0]:
+            break  # all remaining blocks have strictly smaller bounds
         pl = codec.decode_blocks(enc, np.array([b]))
-        docids = pl.docids.astype(np.int64)
+        lids = pl.docids.astype(np.int64)
         scores = idf * _u_exact(pl.tfs, pl.doclens, avgdl)
         if dead.size:
-            alive = ~np.isin(docids, dead, assume_unique=False)
-            docids, scores = docids[alive], scores[alive]
-        for d, s in zip(docids, scores):
-            item = (float(s), -int(d))
+            alive = ~np.isin(lids, dead)
+            lids, scores = lids[alive], scores[alive]
+        cand_d.append(lids)
+        cand_s.append(scores)
+        for s in scores:
             if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-    return [(-nd, s) for s, nd in heap]
+                heapq.heappush(heap, float(s))
+            elif s > heap[0]:
+                heapq.heapreplace(heap, float(s))
+    if not cand_d:
+        return []
+    return _select_topk_with_ties(
+        np.concatenate(cand_d), np.concatenate(cand_s), k
+    )
 
 
 def _candidate_blocks(enc: codec.EncodedList, cand: np.ndarray) -> np.ndarray:
@@ -146,8 +170,7 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
     for t in sorted(tf_cols):
         tfs, dls = tf_cols[t]
         score += idf[t] * _u_exact(tfs, dls, avgdl)
-    idx = np.lexsort((cand, -score))[:k]
-    return list(zip(cand[idx].astype(np.int64), score[idx]))
+    return _select_topk_with_ties(cand.astype(np.int64), score, k)
 
 
 def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
@@ -174,8 +197,7 @@ def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
         ok[ok] = union[pos[ok]] == pl.docids[ok]  # tombstoned ids don't match
         contrib = idf[t] * _u_exact(pl.tfs, pl.doclens, avgdl)
         score[pos[ok]] += contrib[ok]
-    idx = np.lexsort((union, -score))[:k]
-    return list(zip(union[idx].astype(np.int64), score[idx]))
+    return _select_topk_with_ties(union.astype(np.int64), score, k)
 
 
 def bm25_topk_wand(
@@ -196,31 +218,44 @@ def bm25_topk_wand(
     n_terms = len(terms)
     avgdl = index.stats.avgdl
     mode_and = mode == "and"
-    dead_bc = index.dead_broadcast()  # broadcast variable handle (or None)
+    dead_bc = index.dead_broadcast()  # broadcast {shard: lid array} (or None)
 
     def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        dead = dead_bc.value if dead_bc is not None else _NO_DEAD
+        shard = int(key[0])
+        dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
         rows = [(r["term"], _enc_from_row(r)) for _, r in pdf.iterrows()]
         idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         if mode_and:
             if len(rows) < n_terms:
-                return pd.DataFrame({"docid": [], "score": []})
+                return pd.DataFrame({"shard": [], "lid": [], "score": []})
             if n_terms == 1:
                 res = _topk_single(rows[0][1], idf_b[rows[0][0]], avgdl, k, dead)
-                res.sort(key=lambda x: (-x[1], x[0]))
             else:
                 res = _shard_kernel_and(rows, idf_b, avgdl, k, dead)
         else:
             res = _shard_kernel_or(rows, idf_b, avgdl, k, dead)
         if not res:
-            return pd.DataFrame({"docid": [], "score": []})
+            return pd.DataFrame({"shard": [], "lid": [], "score": []})
         return pd.DataFrame(
-            {"docid": [int(d) for d, _ in res], "score": [float(s) for _, s in res]}
+            {
+                "shard": [shard] * len(res),
+                "lid": [int(d) for d, _ in res],
+                "score": [float(s) for _, s in res],
+            }
         )
 
     segs = index.segments_with_idf(terms)
-    per_shard = segs.groupBy("shard").applyInPandas(run_shard, schema=RESULT_SCHEMA)
-    return per_shard.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    per_shard = segs.groupBy("shard").applyInPandas(
+        run_shard, schema="shard int, lid long, score double"
+    )
+    # rehydrate lids -> global docids (docmap broadcast-join), then the
+    # exact global order: (-score, docid) over per-shard top-k+ties
+    return (
+        index.rehydrate(per_shard)
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+        .select("docid", "score")
+    )
 
 
 BATCH_RESULT_SCHEMA = "qid string, rnk int, docid long, score double"
@@ -254,7 +289,8 @@ def bm25_topk_wand_batch(
     dead_bc = index.dead_broadcast()
 
     def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        dead = dead_bc.value if dead_bc is not None else _NO_DEAD
+        shard = int(key[0])
+        dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
         by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
         idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         out_q, out_d, out_s = [], [], []
@@ -265,7 +301,6 @@ def bm25_topk_wand_batch(
                     continue  # some term absent in this shard => no AND hit here
                 if len(ts) == 1:
                     res = _topk_single(rows[0][1], idf_b[rows[0][0]], avgdl, k, dead)
-                    res.sort(key=lambda x: (-x[1], x[0]))
                 else:
                     res = _shard_kernel_and(rows, idf_b, avgdl, k, dead)
             else:
@@ -276,15 +311,18 @@ def bm25_topk_wand_batch(
                 out_q.append(qid)
                 out_d.append(int(d))
                 out_s.append(float(s))
-        return pd.DataFrame({"qid": out_q, "docid": out_d, "score": out_s})
+        return pd.DataFrame(
+            {"qid": out_q, "shard": [shard] * len(out_q), "lid": out_d, "score": out_s}
+        )
 
     segs = index.segments_with_idf(scan_terms)
     per_shard = segs.groupBy("shard").applyInPandas(
-        run_shard, schema="qid string, docid long, score double"
+        run_shard, schema="qid string, shard int, lid long, score double"
     )
+    hydrated = index.rehydrate(per_shard)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
     return (
-        per_shard.withColumn("rnk", F.row_number().over(w))
+        hydrated.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "rnk", "docid", "score")
         .orderBy("qid", "rnk")

@@ -55,7 +55,7 @@ def test_phase2_encode_plan_has_no_exchange(spark, seg_index):
     rows = (
         spark.read.parquet(f"{seg_index.path}/postings")
         .filter(F.col("bucket").isin([0, 1]))
-        .select("term", "shard", "docid", "doclen")
+        .select("term", "shard", "lid", "doclen")
     )
     enc = rows.mapInPandas(make_segment_encoder(100.0, 16), schema=SEGMENT_SCHEMA)
     assert "Exchange" not in _plan(enc)

@@ -120,16 +120,30 @@ def test_merge_deltas_exact(spark, tmp_path):
 
 
 def _index_signature(spark, idx_dir):
-    """(stats.json n/avgdl, per-bucket content checksums) — byte-level
-    identity of the queryable index state."""
-    from honeywell_search_engine_spark.index.segments import bucket_checksums
+    """Logical identity of the queryable index state: (N, avgdl, an
+    order-independent checksum of the REHYDRATED posting content
+    (term, global docid, tf, doclen)). Merged indexes append lids instead
+    of re-ranking (index/docmap.py), so segment BYTES legitimately differ
+    from a from-scratch build while the logical index — and therefore every
+    query result — is identical."""
+    from pyspark.sql import functions as F
 
     with open(f"{idx_dir}/stats.json") as f:
         meta = json.load(f)
-    chks = bucket_checksums(
-        spark, f"{idx_dir}/segments", list(range(meta["n_buckets"]))
+    dm = spark.read.parquet(f"{idx_dir}/docmap").select(
+        "shard", F.col("local_id").alias("lid"), "docid"
     )
-    return (meta["n_docs"], meta["avgdl"], tuple(sorted(chks.items())))
+    tf = (
+        spark.read.parquet(f"{idx_dir}/postings")
+        .join(dm, ["shard", "lid"])
+        .groupBy("term", "docid")
+        .agg(F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
+    )
+    row = tf.agg(
+        F.count("*").alias("rows"),
+        F.bit_xor(F.xxhash64("term", "docid", "tf", "doclen")).alias("chk"),
+    ).collect()[0]
+    return (meta["n_docs"], meta["avgdl"], row["rows"], int(row["chk"] or 0))
 
 
 @pytest.fixture(scope="module")
