@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_conj"] = lambda s, d: _bm25_spark(s, d, FLAGSHIP_QUERY)
     q["match_and"] = lambda s, d: search.match_all_terms(_docs(s, d), "spark merge vector")
     q["match_or"] = lambda s, d: search.match_any_terms(_docs(s, d), "spark vector")
+    q["match_phrase"] = lambda s, d: search.match_phrase(_docs(s, d), "data table")
 
     # --- text analysis (training-data ops) --------------------------------
     q["fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d), "doc_id", "text").orderBy("docid")
@@ -371,6 +372,23 @@ WITH {_TOK_CTE}
 SELECT doc_id AS docid, count(*) AS n_matched FROM tf
 WHERE term IN ({', '.join(f"'{t}'" for t in terms_or)})
 GROUP BY doc_id ORDER BY docid"""
+
+    from honeywell_search_engine_spark.functions.analyzer import tokenize
+
+    ph_terms = tokenize("data table")
+    ph_cond = " AND ".join(
+        f"toks[i+{j + 1}] = '{t}'" for j, t in enumerate(ph_terms)
+    )
+    o["match_phrase"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id AS docid,
+       CAST(len(list_filter(range(0, len(toks) - {len(ph_terms) - 1}),
+                            i -> {ph_cond})) AS INT) AS n_occ
+FROM tok
+WHERE len(toks) >= {len(ph_terms)}
+  AND len(list_filter(range(0, len(toks) - {len(ph_terms) - 1}),
+                      i -> {ph_cond})) > 0
+ORDER BY docid"""
 
     _punct = "".join(chr(c) for c in range(33, 127) if not chr(c).isalnum())
     punct_sql = _punct.replace("'", "''")

@@ -124,6 +124,7 @@ class PostingList:
     docids: np.ndarray  # uint64, ascending
     tfs: np.ndarray  # uint64
     doclens: np.ndarray  # uint64
+    positions: list | None = None  # per posting: uint64 array of positions
 
     @property
     def n(self) -> int:
@@ -143,13 +144,28 @@ class EncodedList:
     deltas: bytes
     tfs: bytes
     doclens: bytes
+    # positional stream (phrase/proximity queries — reference tsvector
+    # keeps positions, backend/app/models/pdf_chunks.py:57-60 and
+    # migrations/003:32). Per posting: tf positions, first absolute then
+    # in-posting deltas; p_off = byte offset per BLOCK. The per-posting
+    # split inside a block is derived from the (already decoded) tfs, so
+    # positions cost no extra per-posting metadata and are only decoded
+    # when a phrase query asks for them.
+    positions: bytes = b""
+    p_off: np.ndarray | None = None
 
 
 def encode_postings(
-    docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray, avgdl: float
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    avgdl: float,
+    positions: np.ndarray | None = None,
 ) -> EncodedList:
     """Encode one sorted posting list. docids MUST be ascending and unique.
-    tf is stored as tf-1 (tf >= 1 always), doclen as-is."""
+    tf is stored as tf-1 (tf >= 1 always), doclen as-is. `positions`, if
+    given, is the flat ascending-per-posting position array (length =
+    sum(tfs)) ordered by (docid, position)."""
     docids = np.asarray(docids, dtype=np.uint64)
     n = docids.size
     assert n > 0
@@ -168,19 +184,53 @@ def encode_postings(
     bmax_docid = blockify(docids, 0).max(axis=1).astype(np.int64)
     bmax_u = blockify(u, -np.inf).max(axis=1).astype(np.float64)
     d_b, d_off = varbyte_encode(deltas, block=BLOCK)
-    t_b, t_off = varbyte_encode(
-        np.asarray(tfs, dtype=np.uint64) - np.uint64(1), block=BLOCK
-    )
+    tfs_u = np.asarray(tfs, dtype=np.uint64)
+    t_b, t_off = varbyte_encode(tfs_u - np.uint64(1), block=BLOCK)
     l_b, l_off = varbyte_encode(np.asarray(doclens, dtype=np.uint64), block=BLOCK)
-    return EncodedList(int(n), bmax_docid, bmax_u, d_off, t_off, l_off, d_b, t_b, l_b)
+    p_b, p_off = b"", None
+    if positions is not None:
+        pos = np.asarray(positions, dtype=np.uint64)
+        assert pos.size == int(tfs_u.sum())
+        # in-posting deltas: first position absolute, rest diffs
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(tfs_u[:-1].astype(np.int64), out=starts[1:])
+        pdel = np.empty(pos.size, dtype=np.uint64)
+        pdel[0:] = pos
+        pdel[1:] = pos[1:] - pos[:-1]
+        pdel[starts] = pos[starts]  # reset delta chain at posting starts
+        # block byte offsets: positions of the first value of each BLOCK of
+        # postings = flat index starts[b*BLOCK]
+        p_b_full, p_val_off = varbyte_encode(pdel, block=1)
+        blk_first = starts[::BLOCK]
+        p_off = p_val_off[blk_first].astype(np.int64)
+        p_b = p_b_full
+    return EncodedList(
+        int(n), bmax_docid, bmax_u, d_off, t_off, l_off, d_b, t_b, l_b,
+        p_b, p_off,
+    )
 
 
-def decode_postings(enc: EncodedList) -> PostingList:
+def _split_positions(flat: np.ndarray, tfs: np.ndarray) -> list:
+    """Flat decoded position-deltas -> list of absolute position arrays,
+    one per posting (cumsum restarts at each posting)."""
+    out = []
+    i = 0
+    for tf in tfs.astype(np.int64):
+        out.append(np.cumsum(flat[i : i + tf], dtype=np.uint64))
+        i += tf
+    return out
+
+
+def decode_postings(enc: EncodedList, with_positions: bool = False) -> PostingList:
     deltas = varbyte_decode(enc.deltas, enc.n)
     docids = np.cumsum(deltas, dtype=np.uint64)
     tfs = varbyte_decode(enc.tfs, enc.n) + np.uint64(1)
     doclens = varbyte_decode(enc.doclens, enc.n)
-    return PostingList(docids=docids, tfs=tfs, doclens=doclens)
+    positions = None
+    if with_positions and enc.p_off is not None:
+        flat = varbyte_decode(enc.positions, int(tfs.sum()))
+        positions = _split_positions(flat, tfs)
+    return PostingList(docids=docids, tfs=tfs, doclens=doclens, positions=positions)
 
 
 def _block_bounds(enc: EncodedList, b: int):
@@ -189,16 +239,23 @@ def _block_bounds(enc: EncodedList, b: int):
     return s, e
 
 
-def decode_blocks(enc: EncodedList, blocks: np.ndarray) -> PostingList:
+def decode_blocks(
+    enc: EncodedList, blocks: np.ndarray, with_positions: bool = False
+) -> PostingList:
     """Selective decode of the given (sorted, unique) block indices only —
     the skip path: O(bytes of selected blocks), not O(list length).
 
     Delta base for block b is bmax_docid[b-1] (the last docid of the
-    previous block), so each block is independently decodable.
+    previous block), so each block is independently decodable. Positions
+    (if present and requested) decode per block too: the block's position
+    byte range is p_off[b]..p_off[b+1] and the per-posting split falls out
+    of the block's tfs.
     """
     blocks = np.asarray(blocks, dtype=np.int64)
     nblocks = enc.bmax_docid.size
     parts_d, parts_t, parts_l = [], [], []
+    parts_p: list = []
+    want_pos = with_positions and enc.p_off is not None
     for b in blocks:
         s, e = _block_bounds(enc, int(b))
         cnt = e - s
@@ -209,11 +266,21 @@ def decode_blocks(enc: EncodedList, blocks: np.ndarray) -> PostingList:
         base = np.uint64(enc.bmax_docid[b - 1]) if b > 0 else np.uint64(0)
         docids = np.cumsum(d, dtype=np.uint64) + base
         parts_d.append(docids)
-        parts_t.append(varbyte_decode(enc.tfs[enc.t_off[b] : t_end], cnt) + np.uint64(1))
+        tfs_b = varbyte_decode(enc.tfs[enc.t_off[b] : t_end], cnt) + np.uint64(1)
+        parts_t.append(tfs_b)
         parts_l.append(varbyte_decode(enc.doclens[enc.l_off[b] : l_end], cnt))
+        if want_pos:
+            p_end = enc.p_off[b + 1] if b + 1 < nblocks else len(enc.positions)
+            flat = varbyte_decode(
+                enc.positions[enc.p_off[b] : p_end], int(tfs_b.sum())
+            )
+            parts_p.extend(_split_positions(flat, tfs_b))
     if not parts_d:
         z = np.zeros(0, dtype=np.uint64)
-        return PostingList(z, z.copy(), z.copy())
+        return PostingList(z, z.copy(), z.copy(), [] if want_pos else None)
     return PostingList(
-        np.concatenate(parts_d), np.concatenate(parts_t), np.concatenate(parts_l)
+        np.concatenate(parts_d),
+        np.concatenate(parts_t),
+        np.concatenate(parts_l),
+        parts_p if want_pos else None,
     )

@@ -73,16 +73,27 @@ def _rewrite_kernel(dead_bc, avgdl: float):
                     deltas=bytes(row["deltas"]),
                     tfs=bytes(row["tfs"]),
                     doclens=bytes(row["doclens"]),
+                    positions=bytes(row["positions"]) if row["positions"] is not None else b"",
+                    p_off=np.asarray(row["p_off"], np.int64) if row["p_off"] is not None else None,
                 )
-                pl = codec.decode_postings(enc)
+                pl = codec.decode_postings(enc, with_positions=True)
                 dead_arr = dead_map.get(int(row["shard"]), _EMPTY)
                 keep = ~np.isin(pl.docids.astype(np.int64), dead_arr)
                 if not keep.any():
                     continue
+                pos = None
+                if pl.positions is not None:
+                    kept = [p for p, k in zip(pl.positions, keep) if k]
+                    pos = (
+                        np.concatenate(kept).astype(np.uint64)
+                        if kept
+                        else np.zeros(0, np.uint64)
+                    )
                 out.append(
                     _encode_group(
                         row["term"], int(row["shard"]), int(row["bucket"]),
                         pl.docids[keep], pl.tfs[keep], pl.doclens[keep], avgdl,
+                        positions=pos,
                     )
                 )
             if out:
@@ -305,7 +316,7 @@ def merge_deltas(
         delta = (
             delta_postings(spark, delta_dir)
             .filter(F.col("delta_batch").isin(batch_ids))
-            .select("docid", "doclen", "term", "tf")
+            .select("docid", "doclen", "term", "pos")
             .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
         )
         affected = sorted(
@@ -326,27 +337,21 @@ def merge_deltas(
         base_dm.unionByName(new_rows).write.mode("overwrite").parquet(docmap_staged)
         staged_dm = spark.read.parquet(docmap_staged)
 
-        # tf rows -> occurrence rows (tf duplicates) in lid space, matching
-        # base layout (a re-ingested docid joins to its EXISTING lid)
-        occ_delta = (
-            delta.join(
-                staged_dm.select(
-                    "docid", "shard", F.col("local_id").alias("lid")
-                ),
-                "docid",
-            )
-            .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("tf"))))
-            .select("lid", "doclen", "term", "shard", "bucket")
-        )
+        # delta occurrence rows -> lid space, matching base layout (a
+        # re-ingested docid joins to its EXISTING lid)
+        occ_delta = delta.join(
+            staged_dm.select("docid", "shard", F.col("local_id").alias("lid")),
+            "docid",
+        ).select("lid", "doclen", "term", "shard", "bucket", "pos")
         base = (
             spark.read.parquet(f"{index_dir}/postings")
             .filter(F.col("bucket").isin(affected))
-            .select("lid", "doclen", "term", "shard", "bucket")
+            .select("lid", "doclen", "term", "shard", "bucket", "pos")
         )
         (
             base.unionByName(occ_delta)
             .repartition(F.col("term"), F.col("shard"))
-            .sortWithinPartitions("bucket", "term", "shard", "lid")
+            .sortWithinPartitions("bucket", "term", "shard", "lid", "pos")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(staged_dir)

@@ -74,7 +74,8 @@ SEGMENT_SCHEMA = (
     "term string, shard int, n long, ctf long, "
     "bmax_docid array<long>, bmax_u array<double>, "
     "d_off array<long>, t_off array<long>, l_off array<long>, "
-    "deltas binary, tfs binary, doclens binary, bucket int"
+    "deltas binary, tfs binary, doclens binary, "
+    "positions binary, p_off array<long>, bucket int"
 )
 
 
@@ -84,13 +85,21 @@ SEGMENT_SCHEMA = (
 
 
 def _encode_group(term: str, shard: int, bucket: int,
-                  docids, tfs, doclens, avgdl: float) -> dict:
+                  docids, tfs, doclens, avgdl: float,
+                  positions=None) -> dict:
     """Encode one (term, shard) posting list from docid-sorted, unique
-    (docid, tf, doclen) arrays."""
+    (docid, tf, doclen) arrays. `positions`, if given, is the flat
+    (docid, position)-ordered position stream (length = sum(tfs)); callers
+    passing positions MUST pass docids already sorted (the stable argsort
+    below cannot reorder the flat stream)."""
+    docids = np.asarray(docids)
     order = np.argsort(docids, kind="stable")
+    if positions is not None and not np.array_equal(order, np.arange(docids.size)):
+        raise ValueError("positional encode requires pre-sorted docids")
     enc = codec.encode_postings(
-        np.asarray(docids)[order], np.asarray(tfs)[order],
+        docids[order], np.asarray(tfs)[order],
         np.asarray(doclens)[order], avgdl,
+        positions=positions,
     )
     return {
         "term": term,
@@ -105,6 +114,8 @@ def _encode_group(term: str, shard: int, bucket: int,
         "deltas": enc.deltas,
         "tfs": enc.tfs,
         "doclens": enc.doclens,
+        "positions": enc.positions,
+        "p_off": enc.p_off.tolist() if enc.p_off is not None else None,
         "bucket": int(bucket),
     }
 
@@ -130,6 +141,7 @@ def make_segment_encoder(avgdl: float, n_buckets: int):
             run = pd.concat(buf) if len(buf) > 1 else buf[0]
             occ = run["lid"].to_numpy(np.uint64)
             dls = run["doclen"].to_numpy(np.uint64)
+            pos = run["pos"].to_numpy(np.uint64)  # (lid, pos)-sorted by phase 1
             docids, first_idx, tfs = np.unique(
                 occ, return_index=True, return_counts=True
             )
@@ -140,6 +152,7 @@ def make_segment_encoder(avgdl: float, n_buckets: int):
                     tfs.astype(np.uint64),
                     dls[first_idx],
                     avgdl,
+                    positions=pos,
                 )
             )
 
@@ -225,7 +238,9 @@ def bucket_checksums(spark: SparkSession, seg_path: str, buckets: list[int]) -> 
             # bit_xor, not sum: order-independent AND overflow-free under
             # ANSI mode (sum of 64-bit hashes overflows LongType)
             F.bit_xor(
-                F.xxhash64("term", "shard", "n", "deltas", "tfs", "doclens")
+                F.xxhash64(
+                    "term", "shard", "n", "deltas", "tfs", "doclens", "positions"
+                )
             ).alias("checksum"),
         )
         .collect()
@@ -294,7 +309,7 @@ def build_segments(
             F.col("local_id").alias("lid"),
             "doclen",
             "shard",
-            F.explode("tokens").alias("term"),
+            F.posexplode("tokens").alias("pos", "term"),
         ).withColumn("bucket", bucket_col(F.col("term"), n_buckets))
         # THE shuffle of the build: salted repartition on (term, shard) +
         # sort-within-partitions. The sort leads with `bucket` (a function
@@ -304,7 +319,7 @@ def build_segments(
         # one file of its bucket directory.
         (
             occ.repartition(F.col("term"), F.col("shard"))
-            .sortWithinPartitions("bucket", "term", "shard", "lid")
+            .sortWithinPartitions("bucket", "term", "shard", "lid", "pos")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{index_dir}/postings")
@@ -400,7 +415,7 @@ def encode_pending_buckets(
             rows = (
                 spark.read.parquet(f"{index_dir}/postings")
                 .filter(F.col("bucket").isin(chunk))  # partition-pruned scan
-                .select("term", "shard", "lid", "doclen")
+                .select("term", "shard", "lid", "doclen", "pos")
             )
             encoded = rows.mapInPandas(encoder, schema=SEGMENT_SCHEMA)
             (

@@ -158,6 +158,47 @@ def match_any_terms(
     )
 
 
+def match_phrase(
+    docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Phrase match over the filtered token stream: docids where the
+    phrase's tokens (tokenize() order, repeats kept — NOT analyze_query's
+    sorted dedup) occur at consecutive positions, plus the occurrence
+    count. Postgres phraseto_tsquery `<->` semantics after stopword
+    removal (reference tsvector keeps positions, migrations/003:32).
+    Pure codegen: a guarded sequence of start offsets filtered by an
+    all-terms-match predicate — no Python, no shuffle.
+    Returns (docid long, n_occ int), docid asc."""
+    from honeywell_search_engine_spark.functions.analyzer import tokenize
+
+    spark = docs.sparkSession
+    terms = tokenize(phrase)
+    if not terms:
+        return spark.createDataFrame([], "docid long, n_occ int")
+    m = len(terms)
+    toks = tokens_col(text_col)
+    # sequence(0, x) DESCENDS for x<0 — guard short docs explicitly
+    starts = F.when(
+        F.size(toks) >= m, F.sequence(F.lit(0), F.size(toks) - m)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def hit(i):
+        cond = None
+        for j, t in enumerate(terms):
+            c = F.element_at(toks, i + j + 1) == F.lit(t)  # element_at is 1-based
+            cond = c if cond is None else cond & c
+        return cond
+
+    n_occ = F.size(F.filter(starts, hit))
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("docid"), n_occ.alias("n_occ")
+        )
+        .filter(F.col("n_occ") > 0)
+        .orderBy("docid")
+    )
+
+
 def term_stats_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", top: int = 100
 ) -> DataFrame:

@@ -38,6 +38,10 @@ class OracleIndex:
     avgdl: float = 0.0
     doclen: dict[int, int] = field(default_factory=dict)
     postings: dict[str, dict[int, int]] = field(default_factory=dict)  # term -> {docid: tf}
+    # term -> {docid: [positions in the filtered token stream]} — the
+    # oracle for the positional index (reference tsvector keeps positions,
+    # backend/migrations/003:32)
+    positions: dict[str, dict[int, list[int]]] = field(default_factory=dict)
 
     @classmethod
     def build(cls, docs: list[tuple[int, str]]) -> "OracleIndex":
@@ -50,6 +54,8 @@ class OracleIndex:
             total += len(toks)
             for term, tf in Counter(toks).items():
                 idx.postings.setdefault(term, {})[docid] = tf
+            for pos, term in enumerate(toks):
+                idx.positions.setdefault(term, {}).setdefault(docid, []).append(pos)
         idx.n_docs = len(docs)
         idx.avgdl = (total / idx.n_docs) if idx.n_docs else 0.0
         return idx
@@ -85,6 +91,44 @@ class OracleIndex:
                 # idf * u with u = tf*(k1+1)/(tf+norm): the association
                 # order shared by ALL engine paths (naive column expr,
                 # segment codec) so scores are bit-identical, not just close
+                s += self.idf(t) * (tf * (K1 + 1.0) / (tf + norm))
+            scored.append((docid, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact phrase top-k: docs where the phrase's tokens occur at
+        CONSECUTIVE positions of the filtered token stream (tsquery <->
+        adjacency after stopword removal — Postgres phraseto_tsquery
+        semantics over our analyzer). Matching docs are scored with the
+        same BM25 as `search` over the phrase's distinct terms (sorted,
+        fixed sum order). Returns [(docid, score)] by (-score, docid)."""
+        from honeywell_search_engine_spark.functions.analyzer import tokenize
+
+        terms = tokenize(phrase)
+        if not terms:
+            return []
+        plists = [self.positions.get(t) for t in terms]
+        if any(p is None for p in plists):
+            return []
+        cand = set(plists[0].keys())
+        for p in plists[1:]:
+            cand &= p.keys()
+        scored = []
+        distinct = sorted(set(terms))
+        for docid in cand:
+            pset = set(plists[0][docid])
+            for j in range(1, len(terms)):
+                pset &= {x - j for x in plists[j][docid]}
+                if not pset:
+                    break
+            if not pset:
+                continue
+            dl = self.doclen[docid]
+            norm = K1 * (1.0 - B + B * dl / self.avgdl)
+            s = 0.0
+            for t in distinct:
+                tf = float(self.postings[t][docid])
                 s += self.idf(t) * (tf * (K1 + 1.0) / (tf + norm))
             scored.append((docid, s))
         scored.sort(key=lambda x: (-x[1], x[0]))

@@ -50,6 +50,7 @@ RESULT_SCHEMA = "docid long, score double"
 
 
 def _enc_from_row(row) -> codec.EncodedList:
+    p_off = row["p_off"] if "p_off" in row else None
     return codec.EncodedList(
         n=int(row["n"]),
         bmax_docid=np.asarray(row["bmax_docid"], dtype=np.int64),
@@ -60,6 +61,8 @@ def _enc_from_row(row) -> codec.EncodedList:
         deltas=bytes(row["deltas"]),
         tfs=bytes(row["tfs"]),
         doclens=bytes(row["doclens"]),
+        positions=bytes(row["positions"]) if "positions" in row and row["positions"] is not None else b"",
+        p_off=np.asarray(p_off, dtype=np.int64) if p_off is not None else None,
     )
 
 
@@ -127,13 +130,23 @@ def _candidate_blocks(enc: codec.EncodedList, cand: np.ndarray) -> np.ndarray:
 
 
 def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
-                      k: int, dead: np.ndarray = _NO_DEAD):
+                      k: int, dead: np.ndarray = _NO_DEAD, prune: bool = True):
     """Conjunctive evaluation of one shard. term_rows: (term, EncodedList),
     all query terms present (caller enforces).
 
     Rarest list drives; every other list is decoded selectively: only the
     blocks that can contain a surviving candidate (block-max docid skip).
-    """
+
+    Score-bound pruning (`prune`, exact): with more candidates than k, each
+    candidate's upper bound U = (driver's EXACT contribution) + sum over
+    the other terms of idf * bmax_u of the block that would hold it —
+    block METADATA only, nothing decoded. The driver's exact contribution
+    alone is a lower bound, so theta = k-th largest of it bounds the k-th
+    true score from below; candidates with U < theta can never reach the
+    top-k (boundary ties included: a tie at the k-th score would need
+    S = S_kth >= theta > U >= S). Dropping them BEFORE the selective
+    decode shrinks the set of blocks the big lists must decode — the win
+    grows with head-term tf skew."""
     term_rows = sorted(term_rows, key=lambda tr: tr[1].n)
     t0, e0 = term_rows[0]
     pl0 = codec.decode_postings(e0)
@@ -143,6 +156,22 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
         alive = ~np.isin(cand.astype(np.int64), dead)
         cand = cand[alive]
         tf_cols[t0] = (pl0.tfs[alive], pl0.doclens[alive])
+    if prune and cand.size > k:
+        tfs0, dls0 = tf_cols[t0]
+        exact0 = idf[t0] * _u_exact(tfs0, dls0, avgdl)  # lower bound = exact driver part
+        ub = exact0.copy()
+        keep_any = np.ones(cand.size, dtype=bool)
+        ci = cand.astype(np.int64)
+        for t, enc in term_rows[1:]:
+            b = np.searchsorted(enc.bmax_docid, ci, side="left")
+            valid = b < enc.bmax_docid.size
+            keep_any &= valid  # beyond t's last block -> AND can never hold
+            ub[valid] += idf[t] * enc.bmax_u[b[valid]]
+        theta = np.partition(exact0, exact0.size - k)[exact0.size - k]
+        keep = keep_any & (ub >= theta)
+        if not keep.all():
+            cand = cand[keep]
+            tf_cols[t0] = (tfs0[keep], dls0[keep])
     for t, enc in term_rows[1:]:
         if cand.size == 0:
             return []
@@ -198,6 +227,135 @@ def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
         contrib = idf[t] * _u_exact(pl.tfs, pl.doclens, avgdl)
         score[pos[ok]] += contrib[ok]
     return _select_topk_with_ties(union.astype(np.int64), score, k)
+
+
+def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
+                         k: int, dead: np.ndarray = _NO_DEAD):
+    """Exact phrase evaluation of one shard. term_rows: [(term,
+    EncodedList)] in PHRASE order (repeats allowed). Docid intersection
+    drives block-selective decode exactly like the AND kernel; positions
+    are decoded ONLY for candidate blocks and adjacency is verified by
+    chained intersection of per-term positions shifted by their phrase
+    offset. Matching docs score standard BM25 over the phrase's distinct
+    terms (lexicographic sum order — oracle bit-parity)."""
+    m = len(term_rows)
+    drive = min(range(m), key=lambda i: term_rows[i][1].n)
+    pl0 = codec.decode_postings(term_rows[drive][1], with_positions=True)
+    cand = pl0.docids
+    per_term: dict[int, tuple] = {drive: (pl0.tfs, pl0.doclens, pl0.positions)}
+    if dead.size:
+        alive = ~np.isin(cand.astype(np.int64), dead)
+        per_term[drive] = (
+            pl0.tfs[alive],
+            pl0.doclens[alive],
+            [p for p, a in zip(pl0.positions, alive) if a],
+        )
+        cand = cand[alive]
+    for i in sorted(range(m), key=lambda i: term_rows[i][1].n):
+        if i == drive:
+            continue
+        if cand.size == 0:
+            return []
+        enc = term_rows[i][1]
+        nblocks = enc.bmax_docid.size
+        blocks = _candidate_blocks(enc, cand.astype(np.int64))
+        valid = blocks < nblocks
+        ublocks = np.unique(blocks[valid])
+        pl = codec.decode_blocks(enc, ublocks, with_positions=True)
+        cand_v = cand[valid]
+        pos = np.searchsorted(pl.docids, cand_v)
+        ok = pos < pl.docids.size
+        match = np.zeros(cand_v.size, dtype=bool)
+        match[ok] = pl.docids[pos[ok]] == cand_v[ok]
+        keep = np.zeros(cand.size, dtype=bool)
+        keep[np.flatnonzero(valid)[match]] = True
+        sel = pos[match]
+        for tt in list(per_term):
+            tfs, dls, ps = per_term[tt]
+            per_term[tt] = (
+                tfs[keep],
+                dls[keep],
+                [p for p, kk in zip(ps, keep) if kk],
+            )
+        per_term[i] = (
+            pl.tfs[sel],
+            pl.doclens[sel],
+            [pl.positions[j] for j in sel],
+        )
+        cand = cand[keep]
+    if cand.size == 0:
+        return []
+    # adjacency: per doc, chain-intersect positions shifted by phrase offset
+    n_cand = cand.size
+    phrase_ok = np.zeros(n_cand, dtype=bool)
+    for c in range(n_cand):
+        pset = per_term[0][2][c].astype(np.int64)
+        for j in range(1, m):
+            pset = np.intersect1d(
+                pset, per_term[j][2][c].astype(np.int64) - j, assume_unique=True
+            )
+            if pset.size == 0:
+                break
+        phrase_ok[c] = pset.size > 0
+    if not phrase_ok.any():
+        return []
+    cand = cand[phrase_ok]
+    # distinct-term BM25 in lexicographic order (repeated phrase terms
+    # contribute once, like the oracle)
+    by_term: dict[str, tuple] = {}
+    for i, (t, _) in enumerate(term_rows):
+        tfs, dls, _ps = per_term[i]
+        by_term.setdefault(t, (tfs[phrase_ok], dls[phrase_ok]))
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in sorted(by_term):
+        tfs, dls = by_term[t]
+        score += idf[t] * _u_exact(tfs, dls, avgdl)
+    return _select_topk_with_ties(cand.astype(np.int64), score, k)
+
+
+def bm25_topk_phrase(index: SegmentIndex, phrase: str, k: int = 10) -> DataFrame:
+    """Exact phrase top-k over the positional segment index (reference
+    tsvector positions, backend/migrations/003:32). Returns
+    DataFrame(docid, score) by (-score, docid) — rank/score-identical to
+    OracleIndex.search_phrase (tested)."""
+    from honeywell_search_engine_spark.functions.analyzer import tokenize
+
+    spark = index.spark
+    terms = tokenize(phrase)
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    distinct = sorted(set(terms))
+    avgdl = index.stats.avgdl
+    dead_bc = index.dead_broadcast()
+    phrase_terms = list(terms)  # phrase order, repeats preserved
+
+    def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
+        by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
+        idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
+        if any(t not in by_term for t in phrase_terms):
+            return pd.DataFrame({"shard": [], "lid": [], "score": []})
+        rows = [(t, by_term[t]) for t in phrase_terms]
+        res = _shard_kernel_phrase(rows, idf_b, avgdl, k, dead)
+        return pd.DataFrame(
+            {
+                "shard": [shard] * len(res),
+                "lid": [int(d) for d, _ in res],
+                "score": [float(s) for _, s in res],
+            }
+        )
+
+    segs = index.segments_with_idf(distinct)
+    per_shard = segs.groupBy("shard").applyInPandas(
+        run_shard, schema="shard int, lid long, score double"
+    )
+    return (
+        index.rehydrate(per_shard)
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+        .select("docid", "score")
+    )
 
 
 def bm25_topk_wand(

@@ -23,7 +23,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from honeywell_search_engine_spark.index.corpus import docs_from_pages, tokenized_docs, term_frequencies
+from honeywell_search_engine_spark.index.corpus import docs_from_pages, tokenized_docs
 from honeywell_search_engine_spark.index.naive import bucket_col
 from honeywell_search_engine_spark.index.segments import N_BUCKETS, N_SHARDS
 from honeywell_search_engine_spark.sources.pages import PAGES_SCHEMA
@@ -52,8 +52,14 @@ def stream_postings_delta(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = docs_from_pages(batch_df, lang=lang)
         tok = tokenized_docs(docs)
+        # occurrence-level rows WITH positions (the merged index is
+        # positional — phrase queries need the new docs' positions too);
+        # shard/bucket here are advisory: merge_deltas recomputes both
+        # from the target index's moduli
         postings = (
-            term_frequencies(tok)
+            tok.select(
+                "docid", "doclen", F.posexplode("tokens").alias("pos", "term")
+            )
             .withColumn("shard", F.pmod(F.col("docid"), F.lit(n_shards)).cast("int"))
             .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
         )
@@ -65,7 +71,7 @@ def stream_postings_delta(
         row = wrote.agg(
             F.count("*").alias("rows"),
             F.countDistinct("docid").alias("docs"),
-            F.bit_xor(F.xxhash64("term", "docid", "tf")).alias("checksum"),
+            F.bit_xor(F.xxhash64("term", "docid", "pos")).alias("checksum"),
         ).collect()[0]
         manifest = {
             "batch_id": batch_id,

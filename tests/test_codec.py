@@ -90,3 +90,43 @@ def test_selective_decode_equals_slices():
     assert np.array_equal(part.docids, docids[exp])
     assert np.array_equal(part.tfs, tfs[exp])
     assert np.array_equal(part.doclens, dls[exp])
+
+
+def test_positions_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 700
+    docids = np.cumsum(rng.integers(1, 9, n).astype(np.uint64))
+    tfs = rng.integers(1, 5, n).astype(np.uint64)
+    dls = rng.integers(30, 400, n).astype(np.uint64)
+    # ascending positions per posting
+    pos_parts = [
+        np.sort(rng.choice(5000, size=int(t), replace=False)).astype(np.uint64)
+        for t in tfs
+    ]
+    flat = np.concatenate(pos_parts)
+    enc = encode_postings(docids, tfs, dls, 250.0, positions=flat)
+    pl = decode_postings(enc, with_positions=True)
+    assert len(pl.positions) == n
+    for got, exp in zip(pl.positions, pos_parts):
+        assert np.array_equal(got, exp)
+    # selective block decode returns the right positions per posting
+    import numpy as np2
+    sel = np2.array([0, 2, 4])
+    part = decode_blocks(enc, sel, with_positions=True)
+    exp_idx = []
+    from honeywell_search_engine_spark.index.codec import BLOCK
+    for b in sel:
+        exp_idx.extend(range(b * BLOCK, min((b + 1) * BLOCK, n)))
+    assert len(part.positions) == len(exp_idx)
+    for got, i in zip(part.positions, exp_idx):
+        assert np.array_equal(got, pos_parts[i]), i
+
+
+def test_positions_absent_when_not_encoded():
+    import numpy as np
+
+    docids = np.array([3, 9, 12], dtype=np.uint64)
+    enc = encode_postings(docids, np.array([1, 2, 1]), np.array([10, 20, 30]), 20.0)
+    assert decode_postings(enc, with_positions=True).positions is None

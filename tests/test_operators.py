@@ -56,3 +56,26 @@ def test_simhash_hamming_close_for_near_dupes(spark):
 
     assert ham(h[1], h[2]) <= 8
     assert ham(h[1], h[3]) > 16
+
+
+def test_match_phrase_inflight(spark):
+    from honeywell_search_engine_spark.operators.search import match_phrase
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),   # 'alpha beta' x2
+            (2, "beta alpha gamma"),              # reversed -> no
+            (3, "alpha gamma beta"),              # gap -> no
+            (4, "alpha alpha beta"),              # x1 (second alpha starts it)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["docid"]: r["n_occ"] for r in match_phrase(docs, "alpha beta").collect()}
+    assert got == {1: 2, 4: 1}
+    # repeated-term phrase
+    got2 = {r["docid"]: r["n_occ"] for r in match_phrase(docs, "alpha alpha").collect()}
+    assert got2 == {4: 1}
+    # stopwords are removed before adjacency (tsquery-after-analyzer semantics)
+    docs2 = spark.createDataFrame([(9, "alpha of the beta")], "doc_id long, text string")
+    got3 = {r["docid"]: r["n_occ"] for r in match_phrase(docs2, "alpha beta").collect()}
+    assert got3 == {9: 1}

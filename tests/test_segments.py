@@ -130,3 +130,97 @@ def test_batch_wand_equals_per_query(seg_index):
             for r in bm25_topk_wand(seg_index, q, k=10).collect()
         ]
         assert got.get(name, []) == exp, name
+
+
+def test_phrase_topk_matches_oracle(spark, seg_index, oracle, pages_pdf):
+    """Positional index: phrase top-k rank/score-identical to the oracle's
+    position-set evaluation, including a 3-term phrase, a repeated-term
+    phrase, and a no-match phrase."""
+    from honeywell_search_engine_spark.functions.analyzer import analyze
+    from honeywell_search_engine_spark.query.wand import bm25_topk_phrase
+
+    en = pages_pdf[pages_pdf.lang == "en"]
+    toks0 = analyze(en.text.iloc[0])
+    toks1 = analyze(en.text.iloc[7])
+    phrases = [
+        " ".join(toks0[:2]),          # real adjacent pair
+        " ".join(toks1[3:6]),         # real adjacent triple
+        f"{toks0[0]} {toks0[0]}",     # repeated-term phrase
+        "zzzznopexyz qqqqnopexyz",    # vocabulary miss -> empty
+    ]
+    n_nonempty = 0
+    for ph in phrases:
+        exp = oracle.search_phrase(ph, k=10)
+        got = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_phrase(seg_index, ph, k=10).collect()
+        ]
+        assert got == exp, ph
+        n_nonempty += bool(exp)
+    assert n_nonempty >= 2  # the derived phrases actually matched something
+
+
+def test_phrase_subset_of_and(spark, seg_index, oracle, pages_pdf):
+    """Every phrase hit must contain all phrase terms (AND superset,
+    computed unbounded from the oracle's postings)."""
+    from honeywell_search_engine_spark.functions.analyzer import analyze
+    from honeywell_search_engine_spark.query.wand import bm25_topk_phrase
+
+    en = pages_pdf[pages_pdf.lang == "en"]
+    t0, t1 = analyze(en.text.iloc[3])[:2]
+    and_full = set(oracle.postings.get(t0, {})) & set(oracle.postings.get(t1, {}))
+    ph_hits = {
+        r["docid"]
+        for r in bm25_topk_phrase(seg_index, f"{t0} {t1}", k=100000).collect()
+    }
+    assert ph_hits and ph_hits <= and_full
+
+
+def test_and_score_bound_pruning_exact_and_cheaper(monkeypatch):
+    """AND-mode score-bound pruning: results bit-identical to prune=False,
+    strictly fewer blocks decoded (the verdict's 'decoded-block counter
+    drops' criterion). Lists are engineered with head-term tf skew — ten
+    hot docs clustered in the driver's low-docid region dominate the
+    top-10; every other candidate's metadata-only upper bound falls below
+    theta, vacating whole blocks of the big list before decode."""
+    import numpy as np
+
+    from honeywell_search_engine_spark.index import codec
+    from honeywell_search_engine_spark.query.wand import _shard_kernel_and
+
+    avgdl = 100.0
+    n_big = 4000
+    docids = np.arange(1, n_big + 1, dtype=np.uint64)
+    dls = np.full(n_big, 100, dtype=np.uint64)
+    # t0 (driver, rarer): every 8th doc; tf=20 for the 10 lowest, else 1
+    d0 = docids[::8]
+    tf0 = np.ones(d0.size, dtype=np.uint64)
+    tf0[:10] = 20
+    dl0 = np.full(d0.size, 100, dtype=np.uint64)
+    # t1: all docs, tf=1 (uniform big list)
+    tf1 = np.ones(n_big, dtype=np.uint64)
+    rows = [
+        ("t0", codec.encode_postings(d0, tf0, dl0, avgdl)),
+        ("t1", codec.encode_postings(docids, tf1, dls, avgdl)),
+    ]
+    idf = {"t0": 2.0, "t1": 0.5}
+
+    counts = {"blocks": 0}
+    orig = codec.decode_blocks
+
+    def counting(enc, blocks, with_positions=False):
+        counts["blocks"] += len(np.atleast_1d(blocks))
+        return orig(enc, blocks, with_positions)
+
+    monkeypatch.setattr(
+        "honeywell_search_engine_spark.query.wand.codec.decode_blocks", counting
+    )
+    counts["blocks"] = 0
+    res_pruned = _shard_kernel_and(rows, idf, avgdl, k=10)
+    pruned_blocks = counts["blocks"]
+    counts["blocks"] = 0
+    res_full = _shard_kernel_and(rows, idf, avgdl, k=10, prune=False)
+    full_blocks = counts["blocks"]
+
+    assert res_pruned == res_full  # bit-identical (docid AND float score)
+    assert pruned_blocks < full_blocks, (pruned_blocks, full_blocks)

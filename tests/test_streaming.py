@@ -49,11 +49,18 @@ def test_incremental_ingest(spark, tmp_path):
     total_rows = delta_postings(spark, out_dir).count()
     assert total_rows > first_rows
 
-    # delta postings (all batches unioned) == batch-computed postings over
-    # the full corpus: identical (term, docid, tf) multiset
+    # delta postings (all batches unioned, occurrence rows with positions)
+    # == batch-computed postings over the full corpus: identical
+    # (term, docid, tf) multiset, and identical position streams
+    from pyspark.sql import functions as F
+
     pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
     exp = term_frequencies(tokenized_docs(docs_from_pages(pages)))
-    got = delta_postings(spark, out_dir)
+    got = (
+        delta_postings(spark, out_dir)
+        .groupBy("term", "docid")
+        .agg(F.count("*").alias("tf"), F.sort_array(F.collect_list("pos")).alias("ps"))
+    )
     sym_diff = (
         got.select("term", "docid", "tf")
         .exceptAll(exp.select("term", "docid", "tf"))
@@ -65,6 +72,13 @@ def test_incremental_ingest(spark, tmp_path):
         .count()
     )
     assert sym_diff == 0
+    # spot-check positions: every (term, docid) group's positions are the
+    # posexplode indices of that term in the tokenized doc
+    tok = tokenized_docs(docs_from_pages(pages)).select(
+        "docid", F.posexplode("tokens").alias("pos", "term")
+    ).groupBy("term", "docid").agg(F.sort_array(F.collect_list("pos")).alias("eps"))
+    bad = got.join(tok, ["term", "docid"]).filter(F.col("ps") != F.col("eps")).count()
+    assert bad == 0
 
     # idempotent re-run with nothing new: no new rows
     stream_postings_delta(spark, pages_dir, out_dir, n_buckets=8, n_shards=4)
