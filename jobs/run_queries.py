@@ -21,7 +21,7 @@ def main(argv=None) -> None:
     ap.add_argument("--query", action="append", default=[])
     ap.add_argument("--reference-set", action="store_true")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=["and", "or"], default="and")
+    ap.add_argument("--mode", choices=["and", "or", "phrase"], default="and")
     ap.add_argument("--batch", action="store_true",
                     help="evaluate all queries in one Spark job")
     ap.add_argument("--cores", type=int, default=None)
@@ -46,6 +46,8 @@ def main(argv=None) -> None:
         queries = reference_queries()
     out = {}
     if args.batch:
+        if args.mode == "phrase":
+            ap.error("--batch supports and/or modes; phrase is per-query")
         from honeywell_search_engine_spark.query.wand import bm25_topk_wand_batch
 
         t0 = time.time()
@@ -56,9 +58,14 @@ def main(argv=None) -> None:
             )
         out["_batch_sec"] = round(time.time() - t0, 3)
     else:
+        from honeywell_search_engine_spark.query.wand import bm25_topk_phrase
+
         for name, q in queries.items():
             t0 = time.time()
-            rows = bm25_topk_wand(idx, q, k=args.k, mode=args.mode).collect()
+            if args.mode == "phrase":
+                rows = bm25_topk_phrase(idx, q, k=args.k).collect()
+            else:
+                rows = bm25_topk_wand(idx, q, k=args.k, mode=args.mode).collect()
             out[str(name)] = {
                 "sec": round(time.time() - t0, 3),
                 "hits": [(r["docid"], r["score"]) for r in rows],
