@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["match_and"] = lambda s, d: search.match_all_terms(_docs(s, d), "spark merge vector")
     q["match_or"] = lambda s, d: search.match_any_terms(_docs(s, d), "spark vector")
     q["match_phrase"] = lambda s, d: search.match_phrase(_docs(s, d), "data table")
+    q["match_near"] = lambda s, d: search.match_near(_docs(s, d), "data query", slop=2)
 
     # --- text analysis (training-data ops) --------------------------------
     q["fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d), "doc_id", "text").orderBy("docid")
@@ -172,6 +173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embeddings(s, d), threshold=0.35, max_id=150
     )
     q["knn_lsh"] = lambda s, d: similarity.cosine_ann_lsh(
+        _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
+    )
+    q["knn_ivf"] = lambda s, d: similarity.cosine_ann_ivf(
         _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
     )
 
@@ -389,6 +393,62 @@ WHERE len(toks) >= {len(ph_terms)}
   AND len(list_filter(range(0, len(toks) - {len(ph_terms) - 1}),
                       i -> {ph_cond})) > 0
 ORDER BY docid"""
+
+    near_terms = tokenize("data query")
+    near_span = len(near_terms) - 1 + 2  # slop=2
+    p0 = f"list_filter(range(0, len(toks)), i -> toks[i+1] = '{near_terms[0]}')"
+    p1 = f"list_filter(range(0, len(toks)), i -> toks[i+1] = '{near_terms[1]}')"
+    o["match_near"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id AS docid,
+       CAST(len(list_filter({p0},
+            p0 -> len(list_filter({p1},
+                 q -> q > p0 AND q - p0 <= {near_span})) > 0)) AS INT) AS n_starts
+FROM tok
+WHERE len(list_filter({p0},
+            p0 -> len(list_filter({p1},
+                 q -> q > p0 AND q - p0 <= {near_span})) > 0)) > 0
+ORDER BY docid"""
+
+    # IVF mirror: md5-derived centroid directions (similarity.
+    # ivf_centroids_md5), argmax-dot cell per vector, probe the query's 2
+    # nearest cells, exact cosine top-10 inside them.
+    o["knn_ivf"] = """
+WITH cents AS (
+  SELECT c, i,
+         CAST(('0x' || substr(md5(concat('ivf', CAST(c AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 - 0.5 AS v
+  FROM (SELECT unnest(range(16)) AS c) CROSS JOIN (SELECT unnest(range(64)) AS i)),
+ei AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, c, list_sum(list(x * v ORDER BY i)) AS dot
+  FROM ei JOIN cents USING (i) GROUP BY vec_id, c),
+cells AS (
+  SELECT vec_id, c AS cell
+  FROM (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn FROM dots)
+  WHERE rn = 1),
+probe AS (
+  SELECT c AS cell
+  FROM (SELECT c, row_number() OVER (ORDER BY dot DESC, c) AS rn FROM dots WHERE vec_id = 0)
+  WHERE rn <= 2),
+cand AS (
+  SELECT vec_id FROM cells
+  WHERE vec_id != 0 AND cell IN (SELECT cell FROM probe)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM cand))
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rnk,
+       vec_id, round(cos, 6) AS cos_r
+FROM s ORDER BY cos DESC, vec_id LIMIT 10"""
 
     _punct = "".join(chr(c) for c in range(33, 127) if not chr(c).isalnum())
     punct_sql = _punct.replace("'", "''")

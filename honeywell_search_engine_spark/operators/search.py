@@ -207,6 +207,61 @@ def match_phrase(
     )
 
 
+def match_near(
+    docs: DataFrame,
+    query: str,
+    slop: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ordered proximity match: docids where the query's tokens appear in
+    order within a window of (m-1)+slop filtered-token positions
+    (q_0 < q_1 < ... < q_{m-1}, q_{m-1} - q_0 <= (m-1)+slop). slop=0
+    degenerates to match_phrase. Counts qualifying start positions.
+    Pure codegen: per-term position arrays + a nested-exists chain.
+    Returns (docid long, n_starts int), docid asc."""
+    from honeywell_search_engine_spark.functions.analyzer import tokenize
+
+    spark = docs.sparkSession
+    terms = tokenize(query)
+    if not terms:
+        return spark.createDataFrame([], "docid long, n_starts int")
+    m = len(terms)
+    span = m - 1 + slop
+    toks = tokens_col(text_col)
+    idxs = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(0), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def positions_of(t):
+        return F.filter(idxs, lambda i: F.element_at(toks, i + 1) == F.lit(t))
+
+    plists = [positions_of(t) for t in terms]
+
+    def chain(j, prev, p0):
+        # exists q_j in P_j with q_j > q_{j-1}, recursing to the last term,
+        # where the span bound against q_0 closes the window
+        if j == m:
+            return prev - p0 <= F.lit(span)
+        return F.exists(
+            plists[j], lambda q: (q > prev) & chain(j + 1, q, p0)
+        )
+
+    if m == 1:
+        n_starts = F.size(plists[0])
+    else:
+        n_starts = F.size(
+            F.filter(plists[0], lambda p0: chain(1, p0, p0))
+        )
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("docid"), n_starts.alias("n_starts")
+        )
+        .filter(F.col("n_starts") > 0)
+        .orderBy("docid")
+    )
+
+
 def term_stats_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", top: int = 100
 ) -> DataFrame:

@@ -146,6 +146,72 @@ def cosine_ann_lsh(
     return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_centroids_md5(dim: int, n_centroids: int = 16) -> np.ndarray:
+    """Deterministic pseudo-random centroid directions: cell c, dim i =
+    md5('ivf{c}:{i}')[:15 hex] / 2^60 - 0.5 — engine-portable like
+    rp_planes_md5 (a DuckDB oracle replays the identical cells). A real
+    deployment would k-means these from a sample; fixed random directions
+    are the standard zero-training IVF baseline and keep the assignment a
+    pure function of the vector."""
+    import hashlib
+
+    vals = np.empty((n_centroids, dim), dtype=np.float64)
+    for c in range(n_centroids):
+        for i in range(dim):
+            h = int(hashlib.md5(f"ivf{c}:{i}".encode()).hexdigest()[:15], 16)
+            vals[c, i] = h / 2**60 - 0.5
+    return vals
+
+
+def ivf_cell_col(embeddings: DataFrame, centroids: np.ndarray, vec_col: str):
+    """(df with `cell` int column): argmax_c dot(v, centroid_c) via ONE
+    Arrow-batched numpy matmul per batch. Ties broken by the LOWEST cell
+    index (np.argmax), mirrored in SQL by (dot DESC, cell ASC) ranking."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_t = centroids.T.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(np.argmax(V @ cent_t, axis=1).astype(np.int32))
+
+    return embeddings.withColumn("cell", _cell(F.col(vec_col)))
+
+
+def cosine_ann_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: vectors are bucketed by their nearest (max-dot)
+    centroid; only the query's `n_probe` nearest cells are exactly scored.
+    Same output shape as the brute-force op.
+
+    Scale: cell assignment is one matmul per Arrow batch and would be
+    PRECOMPUTED as a partition column of the embedding table at 10^12 rows
+    (cell-pruned scan per query); here it rides the plan so the operator
+    is self-contained. Complements sign-LSH: IVF prunes by region
+    (coarse cells), LSH by direction (hyperplane signs)."""
+    dim = len(query_vec)
+    cents = ivf_centroids_md5(dim, n_centroids)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qd = cents @ q
+    # top n_probe cells by dot desc, tie on cell asc (matches SQL mirror)
+    order = np.lexsort((np.arange(n_centroids), -qd))
+    probe = [int(c) for c in order[:n_probe]]
+    with_cell = ivf_cell_col(embeddings, cents, vec_col)
+    cand = with_cell.filter(F.col("cell").isin(probe))
+    return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
+
+
 def pairwise_cosine_dupes(
     embeddings: DataFrame,
     threshold: float = 0.95,

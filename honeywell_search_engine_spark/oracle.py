@@ -96,18 +96,24 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
-    def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
-        """Exact phrase top-k: docs where the phrase's tokens occur at
-        CONSECUTIVE positions of the filtered token stream (tsquery <->
+    def search_phrase(
+        self, phrase: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Exact phrase/proximity top-k. slop=0: the phrase's tokens occur
+        at CONSECUTIVE positions of the filtered token stream (tsquery <->
         adjacency after stopword removal — Postgres phraseto_tsquery
-        semantics over our analyzer). Matching docs are scored with the
-        same BM25 as `search` over the phrase's distinct terms (sorted,
-        fixed sum order). Returns [(docid, score)] by (-score, docid)."""
+        semantics over our analyzer). slop>0: ordered NEAR — positions
+        q_0 < q_1 < ... < q_{m-1} with span q_{m-1} - q_0 <= (m-1) + slop
+        (the minimum ordered window; greedy chaining is optimal so the
+        check is exact). Matching docs are scored with the same BM25 as
+        `search` over the phrase's distinct terms (sorted, fixed sum
+        order). Returns [(docid, score)] by (-score, docid)."""
         from honeywell_search_engine_spark.functions.analyzer import tokenize
 
         terms = tokenize(phrase)
         if not terms:
             return []
+        m = len(terms)
         plists = [self.positions.get(t) for t in terms]
         if any(p is None for p in plists):
             return []
@@ -116,14 +122,35 @@ class OracleIndex:
             cand &= p.keys()
         scored = []
         distinct = sorted(set(terms))
+        import bisect
+
+        def near_hit(docid: int) -> bool:
+            for q0 in plists[0][docid]:
+                q = q0
+                ok = True
+                for j in range(1, m):
+                    ps = plists[j][docid]
+                    i = bisect.bisect_right(ps, q)
+                    if i >= len(ps):
+                        ok = False
+                        break
+                    q = ps[i]
+                if ok and q - q0 <= (m - 1) + slop:
+                    return True
+            return False
+
         for docid in cand:
-            pset = set(plists[0][docid])
-            for j in range(1, len(terms)):
-                pset &= {x - j for x in plists[j][docid]}
+            if slop == 0:
+                pset = set(plists[0][docid])
+                for j in range(1, m):
+                    pset &= {x - j for x in plists[j][docid]}
+                    if not pset:
+                        break
                 if not pset:
-                    break
-            if not pset:
-                continue
+                    continue
+            else:
+                if not near_hit(docid):
+                    continue
             dl = self.doclen[docid]
             norm = K1 * (1.0 - B + B * dl / self.avgdl)
             s = 0.0

@@ -230,7 +230,7 @@ def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
 
 
 def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
-                         k: int, dead: np.ndarray = _NO_DEAD):
+                         k: int, dead: np.ndarray = _NO_DEAD, slop: int = 0):
     """Exact phrase evaluation of one shard. term_rows: [(term,
     EncodedList)] in PHRASE order (repeats allowed). Docid intersection
     drives block-selective decode exactly like the AND kernel; positions
@@ -285,18 +285,34 @@ def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
         cand = cand[keep]
     if cand.size == 0:
         return []
-    # adjacency: per doc, chain-intersect positions shifted by phrase offset
+    # positional verify per doc. slop=0: chain-intersect positions shifted
+    # by phrase offset (exact adjacency). slop>0: ordered-NEAR — greedy
+    # next-position chaining per start minimizes the window span, so
+    # `min span <= (m-1)+slop` is an exact test (vectorized over starts
+    # with searchsorted).
     n_cand = cand.size
     phrase_ok = np.zeros(n_cand, dtype=bool)
+    span_max = (m - 1) + slop
     for c in range(n_cand):
-        pset = per_term[0][2][c].astype(np.int64)
-        for j in range(1, m):
-            pset = np.intersect1d(
-                pset, per_term[j][2][c].astype(np.int64) - j, assume_unique=True
-            )
-            if pset.size == 0:
-                break
-        phrase_ok[c] = pset.size > 0
+        if slop == 0:
+            pset = per_term[0][2][c].astype(np.int64)
+            for j in range(1, m):
+                pset = np.intersect1d(
+                    pset, per_term[j][2][c].astype(np.int64) - j, assume_unique=True
+                )
+                if pset.size == 0:
+                    break
+            phrase_ok[c] = pset.size > 0
+        else:
+            q0 = per_term[0][2][c].astype(np.int64)
+            q = q0.copy()
+            live = np.ones(q.size, dtype=bool)
+            for j in range(1, m):
+                ps = per_term[j][2][c].astype(np.int64)
+                idx = np.searchsorted(ps, q, side="right")
+                live &= idx < ps.size
+                q = np.where(live, ps[np.minimum(idx, ps.size - 1)], q)
+            phrase_ok[c] = bool(np.any(live & (q - q0 <= span_max)))
     if not phrase_ok.any():
         return []
     cand = cand[phrase_ok]
@@ -313,11 +329,14 @@ def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
     return _select_topk_with_ties(cand.astype(np.int64), score, k)
 
 
-def bm25_topk_phrase(index: SegmentIndex, phrase: str, k: int = 10) -> DataFrame:
-    """Exact phrase top-k over the positional segment index (reference
-    tsvector positions, backend/migrations/003:32). Returns
-    DataFrame(docid, score) by (-score, docid) — rank/score-identical to
-    OracleIndex.search_phrase (tested)."""
+def bm25_topk_phrase(
+    index: SegmentIndex, phrase: str, k: int = 10, slop: int = 0
+) -> DataFrame:
+    """Exact phrase (slop=0) / ordered-NEAR (slop>0) top-k over the
+    positional segment index (reference tsvector positions,
+    backend/migrations/003:32). Returns DataFrame(docid, score) by
+    (-score, docid) — rank/score-identical to OracleIndex.search_phrase
+    (tested)."""
     from honeywell_search_engine_spark.functions.analyzer import tokenize
 
     spark = index.spark
@@ -337,7 +356,7 @@ def bm25_topk_phrase(index: SegmentIndex, phrase: str, k: int = 10) -> DataFrame
         if any(t not in by_term for t in phrase_terms):
             return pd.DataFrame({"shard": [], "lid": [], "score": []})
         rows = [(t, by_term[t]) for t in phrase_terms]
-        res = _shard_kernel_phrase(rows, idf_b, avgdl, k, dead)
+        res = _shard_kernel_phrase(rows, idf_b, avgdl, k, dead, slop)
         return pd.DataFrame(
             {
                 "shard": [shard] * len(res),

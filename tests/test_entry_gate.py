@@ -79,3 +79,26 @@ def test_lsh_recall_vs_bruteforce(spark):
     }
     for r in cosine_ann_lsh(rest, qv, k=10).collect():
         assert r["vec_id"] in bf and bf[r["vec_id"]] == r["cos_r"]
+
+
+def test_ivf_is_exact_scorer_subset(spark):
+    """knn_ivf returns exact cosines: every hit appears in the brute-force
+    ranking with the identical rounded cosine."""
+    from pyspark.sql import functions as F
+
+    from honeywell_search_engine_spark.operators.similarity import (
+        cosine_ann_ivf,
+        cosine_topk_bruteforce,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    bf = {
+        r["vec_id"]: r["cos_r"]
+        for r in cosine_topk_bruteforce(rest, qv, k=1000).collect()
+    }
+    hits = cosine_ann_ivf(rest, qv, k=10).collect()
+    assert hits
+    for r in hits:
+        assert r["vec_id"] in bf and bf[r["vec_id"]] == r["cos_r"]

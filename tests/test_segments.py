@@ -224,3 +224,25 @@ def test_and_score_bound_pruning_exact_and_cheaper(monkeypatch):
 
     assert res_pruned == res_full  # bit-identical (docid AND float score)
     assert pruned_blocks < full_blocks, (pruned_blocks, full_blocks)
+
+
+def test_near_topk_matches_oracle(spark, seg_index, oracle, pages_pdf):
+    """Ordered-NEAR (slop) top-k == oracle at slop 1 and 2; slop widens or
+    keeps the hit set vs the exact phrase."""
+    from honeywell_search_engine_spark.functions.analyzer import analyze
+    from honeywell_search_engine_spark.query.wand import bm25_topk_phrase
+
+    en = pages_pdf[pages_pdf.lang == "en"]
+    toks = analyze(en.text.iloc[11])
+    ph = f"{toks[0]} {toks[2]}"  # one token apart -> phrase may miss, slop>=1 hits
+    sizes = {}
+    for slop in (0, 1, 2):
+        exp = oracle.search_phrase(ph, k=20, slop=slop)
+        got = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_phrase(seg_index, ph, k=20, slop=slop).collect()
+        ]
+        assert got == exp, (ph, slop)
+        sizes[slop] = len(exp)
+    assert sizes[1] >= 1  # the derived near-pair actually matches at slop 1
+    assert sizes[0] <= sizes[1] <= sizes[2] or sizes[2] == 20
