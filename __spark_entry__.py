@@ -172,6 +172,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_dupes"] = lambda s, d: similarity.pairwise_cosine_dupes(
         _embeddings(s, d), threshold=0.35, max_id=150
     )
+    # production near-dup path: LSH-bucketed, all-pairs never materializes
+    # (6 planes = 64 buckets at this threshold keeps the gate load-bearing)
+    q["cosine_dupes_lsh"] = lambda s, d: similarity.pairwise_cosine_dupes_lsh(
+        _embeddings(s, d), threshold=0.35, n_planes=6
+    )
     q["knn_lsh"] = lambda s, d: similarity.cosine_ann_lsh(
         _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
     )
@@ -662,6 +667,33 @@ s AS (
 SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rnk,
        vec_id, round(cos, 6) AS cos_r
 FROM s ORDER BY cos DESC, vec_id LIMIT 10"""
+
+    o["cosine_dupes_lsh"] = """
+WITH planes AS (
+  SELECT p, i,
+         CAST(('0x' || substr(md5(concat('rp', CAST(p AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 - 0.5 AS v
+  FROM (SELECT unnest(range(6)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS i)),
+ei AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, p, list_sum(list(x * v ORDER BY i)) AS dot
+  FROM ei JOIN planes USING (i) GROUP BY vec_id, p),
+sigs AS (
+  SELECT vec_id, sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS sig
+  FROM dots GROUP BY vec_id),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                  i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.35 ORDER BY id_a, id_b"""
 
     o["cosine_dupes"] = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 150),

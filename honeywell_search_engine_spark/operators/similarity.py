@@ -212,6 +212,44 @@ def cosine_ann_ivf(
     return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
 
 
+def pairwise_cosine_dupes_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs, PRODUCTION path: only rows sharing a
+    sign-LSH bucket (all n_planes bits equal) are exactly scored — the
+    all-pairs join never materializes; the only shuffle keys on the bucket
+    signature. Cosine-similar vectors agree on each hyperplane with
+    probability 1 - angle/pi, so high-threshold dupes land in one bucket
+    with high probability (recall tunable via fewer planes / multiple
+    tables). Returns (id_a, id_b, cos_r) — approximate by construction
+    (bucket recall), every returned cosine exact."""
+    planes = rp_planes_md5(dim, n_planes)
+    with_sig = rp_signatures_col(
+        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
+        planes,
+        "v",
+    )
+    l = with_sig.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "sig"
+    )
+    r = with_sig.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "sig"
+    )
+    pairs = l.join(r, "sig").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def pairwise_cosine_dupes(
     embeddings: DataFrame,
     threshold: float = 0.95,
