@@ -59,3 +59,42 @@ def test_phase2_encode_plan_has_no_exchange(spark, seg_index):
     )
     enc = rows.mapInPandas(make_segment_encoder(100.0, 16), schema=SEGMENT_SCHEMA)
     assert "Exchange" not in _plan(enc)
+
+
+def test_docmap_assignment_is_tokenizer_free(spark, pages_path):
+    """Local-id assignment needs only the docid set: the plan must prune
+    away text/tokens entirely (no Arrow UDF, no tokenize)."""
+    from honeywell_search_engine_spark.index.corpus import docs_from_pages, tokenized_docs
+    from honeywell_search_engine_spark.index.docmap import assign_local_ids
+    from honeywell_search_engine_spark.sources.pages import read_pages
+
+    tok = tokenized_docs(docs_from_pages(read_pages(spark, pages_path)))
+    dm = assign_local_ids(tok.select("docid"), 4)
+    plan = _plan(dm)
+    assert "ArrowEvalPython" not in plan
+    schema_part = plan.split("ReadSchema")[1][:200] if "ReadSchema" in plan else plan
+    assert "text" not in schema_part
+
+
+def test_query_rehydrate_broadcasts_kernel_output(seg_index):
+    """The docmap rehydration join must broadcast the tiny kernel-output
+    side (never shuffle the docmap), and the final cut must stay a
+    TakeOrderedAndProject."""
+    from honeywell_search_engine_spark.query.wand import bm25_topk_wand
+
+    plan = _plan(bm25_topk_wand(seg_index, "data search", k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # no sort-merge join anywhere in the per-query path
+    assert "SortMergeJoin" not in plan
+
+
+def test_phrase_scan_pruned_and_projected(seg_index):
+    """Phrase queries scan only the phrase terms' buckets and read the
+    position stream from the segment files (pushdown + pruning intact)."""
+    from honeywell_search_engine_spark.query.wand import bm25_topk_phrase
+
+    plan = _plan(bm25_topk_phrase(seg_index, "data search", k=10))
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+    assert "positions" in plan  # positional stream projected to the kernel
