@@ -96,6 +96,30 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def search_or(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exhaustive DISJUNCTIVE BM25 top-k: every doc containing ANY query
+        term, scored over the terms it contains (lexicographic sum order).
+        [(docid, score)] by (-score, docid)."""
+        terms = analyze_query(query)
+        if not terms:
+            return []
+        union: set[int] = set()
+        plists = [(t, self.postings.get(t, {})) for t in terms]
+        for _, p in plists:
+            union |= p.keys()
+        scored = []
+        for docid in union:
+            dl = self.doclen[docid]
+            norm = K1 * (1.0 - B + B * dl / self.avgdl)
+            s = 0.0
+            for t, p in plists:  # analyze_query is sorted: fixed order
+                if docid in p:
+                    tf = float(p[docid])
+                    s += self.idf(t) * (tf * (K1 + 1.0) / (tf + norm))
+            scored.append((docid, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def search_phrase(
         self, phrase: str, k: int = 10, slop: int = 0
     ) -> list[tuple[int, float]]:

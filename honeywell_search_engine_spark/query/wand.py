@@ -202,28 +202,92 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
     return _select_topk_with_ties(cand.astype(np.int64), score, k)
 
 
+def _or_block_prune(term_rows: list, idf: dict[str, float], avgdl: float,
+                    k: int, dead: np.ndarray):
+    """Exact block-max pruning for OR mode. Returns, per term, the block
+    indices that can still contain a top-k doc (or None to decode fully).
+
+    theta: the k-th best EXACT single-term score of the strongest lists is
+    a lower bound of the k-th best OR score (OR score >= any single-term
+    contribution). Interval sweep: elementary docid intervals are delimited
+    by the union of every term's block-end docids, so within one interval
+    each term's covering block — and therefore the summed upper bound
+    sum_t idf_t * bmax_u_t — is constant. Intervals with bound < theta
+    (strict) hold only docs strictly below the k-th true score (ties at the
+    k-th are kept: a tie would need S = S_kth >= theta > bound >= S).
+    Only blocks intersecting surviving intervals are decoded."""
+    # theta from the exact top-k of the single strongest list (highest
+    # idf * max block bound) — cheap: block-max pruned single-term pass
+    best_t = max(
+        range(len(term_rows)),
+        key=lambda i: idf[term_rows[i][0]] * float(term_rows[i][1].bmax_u.max()),
+    )
+    t0, e0 = term_rows[best_t]
+    seed = _topk_single(e0, idf[t0], avgdl, k, dead)
+    if len(seed) < k:
+        return None, None  # not enough evidence to prune safely
+    theta = min(s for _, s in seed)
+
+    edges = np.unique(
+        np.concatenate([enc.bmax_docid for _, enc in term_rows])
+    )  # interval i = (edges[i-1], edges[i]]
+    tot = np.zeros(edges.size, dtype=np.float64)
+    covering = []
+    for t, enc in term_rows:
+        b = np.searchsorted(enc.bmax_docid, edges, side="left")
+        valid = b < enc.bmax_docid.size
+        tot[valid] += idf[t] * enc.bmax_u[b[valid]]
+        covering.append((b, valid))
+    keep = tot >= theta
+    if keep.all():
+        return None, None  # nothing prunable
+    blocks_per_term = []
+    for (b, valid), (t, enc) in zip(covering, term_rows):
+        sel = np.unique(b[keep & valid])
+        blocks_per_term.append(sel)
+    return blocks_per_term, (edges, keep)
+
+
 def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
-                     k: int, dead: np.ndarray = _NO_DEAD):
+                     k: int, dead: np.ndarray = _NO_DEAD, prune: bool = True):
     """Disjunctive (OR) union scoring of one shard — exact, vectorized.
 
     Scores every doc that contains ANY query term: union of docids via
     np.unique, per-term contributions added in lexicographic term order
     (float64 determinism). Used for the reference's triple-match OR
-    semantics (F5, fusion.py:73-88). Block-max pruning is applied on the
-    AND/single-term paths where the reference's query shapes live; the OR
-    path favors exactness of the full union (a lossy OR-WAND would break
-    the rank-identity contract for returned scores).
-    """
+    semantics (F5, fusion.py:73-88). With `prune`, an interval-sweep
+    block-max pass (_or_block_prune) drops whole docid regions whose
+    summed upper bound cannot reach the k-th best single-term score —
+    exact (returned scores unchanged, boundary ties kept), and the skipped
+    blocks are never decoded."""
     term_rows = sorted(term_rows, key=lambda tr: tr[0])
-    decoded = [(t, codec.decode_postings(enc)) for t, enc in term_rows]
+    blocks_per_term = region = None
+    if prune and len(term_rows) > 1:
+        blocks_per_term, region = _or_block_prune(term_rows, idf, avgdl, k, dead)
+    if blocks_per_term is None:
+        decoded = [(t, codec.decode_postings(enc)) for t, enc in term_rows]
+    else:
+        decoded = [
+            (t, codec.decode_blocks(enc, blocks))
+            for (t, enc), blocks in zip(term_rows, blocks_per_term)
+        ]
     union = np.unique(np.concatenate([pl.docids for _, pl in decoded]))
+    if region is not None:
+        # decoded blocks overhang pruned intervals: drop docs whose
+        # elementary interval was eliminated (their true score < theta)
+        edges, keep = region
+        iv = np.searchsorted(edges, union.astype(np.int64), side="left")
+        inb = iv < edges.size
+        mask = np.zeros(union.size, dtype=bool)
+        mask[inb] = keep[iv[inb]]
+        union = union[mask]
     if dead.size:
         union = union[~np.isin(union.astype(np.int64), dead)]
     score = np.zeros(union.size, dtype=np.float64)
     for t, pl in decoded:  # lexicographic order
         pos = np.searchsorted(union, pl.docids)
         ok = pos < union.size
-        ok[ok] = union[pos[ok]] == pl.docids[ok]  # tombstoned ids don't match
+        ok[ok] = union[pos[ok]] == pl.docids[ok]  # pruned/tombstoned ids don't match
         contrib = idf[t] * _u_exact(pl.tfs, pl.doclens, avgdl)
         score[pos[ok]] += contrib[ok]
     return _select_topk_with_ties(union.astype(np.int64), score, k)

@@ -246,3 +246,67 @@ def test_near_topk_matches_oracle(spark, seg_index, oracle, pages_pdf):
         sizes[slop] = len(exp)
     assert sizes[1] >= 1  # the derived near-pair actually matches at slop 1
     assert sizes[0] <= sizes[1] <= sizes[2] or sizes[2] == 20
+
+
+def test_or_topk_matches_oracle(seg_index, oracle):
+    """OR mode is exact vs a disjunctive union-scoring oracle (not just a
+    superset property) across head/mid/tail/multi-term query shapes."""
+    for name in ("q01", "q06", "q08", "q10", "q12", "q14", "q18"):
+        q = QUERIES[name]
+        exp = oracle.search_or(q, k=10)
+        got = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_wand(seg_index, q, k=10, mode="or").collect()
+        ]
+        assert got == exp, name
+
+
+def test_or_block_prune_exact_and_cheaper(monkeypatch):
+    """OR interval-sweep pruning: bit-identical results with strictly fewer
+    blocks decoded on skewed lists (one rare high-impact term + one huge
+    flat term)."""
+    import numpy as np
+
+    from honeywell_search_engine_spark.index import codec
+    from honeywell_search_engine_spark.query.wand import _shard_kernel_or
+
+    avgdl = 100.0
+    n_big = 6000
+    docids = np.arange(1, n_big + 1, dtype=np.uint64)
+    dls = np.full(n_big, 100, dtype=np.uint64)
+    # t0: rare, high idf, clustered high tf -> dominates theta
+    d0 = docids[:96]
+    tf0 = np.full(d0.size, 25, dtype=np.uint64)
+    dl0 = np.full(d0.size, 100, dtype=np.uint64)
+    # t1: everywhere, tf=1, low idf -> most of its blocks can't matter
+    rows = [
+        ("t0", codec.encode_postings(d0, tf0, dl0, avgdl)),
+        ("t1", codec.encode_postings(docids, np.ones(n_big, np.uint64), dls, avgdl)),
+    ]
+    idf = {"t0": 4.0, "t1": 0.2}
+
+    counts = {"blocks": 0}
+    orig_blocks, orig_full = codec.decode_blocks, codec.decode_postings
+
+    def counting_blocks(enc, blocks, with_positions=False):
+        counts["blocks"] += len(np.atleast_1d(blocks))
+        return orig_blocks(enc, blocks, with_positions)
+
+    def counting_full(enc, with_positions=False):
+        counts["blocks"] += enc.bmax_docid.size
+        return orig_full(enc, with_positions)
+
+    monkeypatch.setattr(
+        "honeywell_search_engine_spark.query.wand.codec.decode_blocks", counting_blocks
+    )
+    monkeypatch.setattr(
+        "honeywell_search_engine_spark.query.wand.codec.decode_postings", counting_full
+    )
+    counts["blocks"] = 0
+    res_pruned = _shard_kernel_or(rows, idf, avgdl, k=10)
+    pruned_blocks = counts["blocks"]
+    counts["blocks"] = 0
+    res_full = _shard_kernel_or(rows, idf, avgdl, k=10, prune=False)
+    full_blocks = counts["blocks"]
+    assert res_pruned == res_full
+    assert pruned_blocks < full_blocks, (pruned_blocks, full_blocks)
