@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         serving.expand_intent_col(F.substring("text", 1, 80)).alias("expanded"),
     ).orderBy("docid")
     q["guardrail_fallback"] = lambda s, d: _guardrail_fallback(s, d)
+    q["search_response"] = lambda s, d: serving.search_response(
+        _docs(s, d), FLAGSHIP_QUERY, k=10
+    )
     q["search_history"] = lambda s, d: _search_history(s, d)
     # rows-only: hierarchical chunking stats (pure-Python oracle lives in
     # tests/test_chunking.py instead of SQL)
@@ -845,6 +848,86 @@ SELECT user_id, confidence, channel FROM prim CROSS JOIN cnt WHERE n > 0
 UNION ALL
 SELECT user_id, confidence, channel FROM fb CROSS JOIN cnt WHERE n = 0
 ORDER BY user_id"""
+
+    o["search_response"] = f"""
+WITH {_TOK_CTE},
+qtf AS (SELECT * FROM tf WHERE term IN ({fq_list})),
+dft AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, count(*) AS nt,
+         list_sum(list(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (CAST(q.tf AS DOUBLE) * 2.2
+              / (CAST(q.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(l.doclen AS DOUBLE) / s.avgdl)))
+           ORDER BY q.term)) AS score
+  FROM qtf q JOIN dft d USING (term) JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.doc_id
+),
+hits AS (
+  SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rnk,
+         doc_id AS docid, round(score, 6) AS score_r
+  FROM scored WHERE nt = {len(fq_terms)}
+  ORDER BY round(score, 6) DESC, doc_id LIMIT 10),
+sen AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+\\s+'),
+                                    x -> trim(x)),
+                     x -> length(x) > 20) AS sents
+  FROM documents WHERE doc_id IN (SELECT docid FROM hits)),
+se AS (
+  SELECT doc_id, unnest(sents) AS sent,
+         generate_subscripts(sents, 1) - 1 AS sent_idx
+  FROM sen),
+sov AS (
+  SELECT doc_id, sent, sent_idx,
+         len(list_filter(list_distinct(
+               list_filter(regexp_extract_all(lower(sent), '[a-z0-9]+'),
+                           t -> length(t) >= 3 AND NOT list_contains([{_STOP_SQL}], t))),
+             t -> list_contains([{fq_list}], t)))
+           / CAST({len(fq_terms)} AS DOUBLE) AS overlap
+  FROM se),
+best AS (
+  SELECT doc_id, sent, overlap,
+         row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, sent_idx) AS rn
+  FROM sov),
+hlt AS (
+  SELECT doc_id,
+         coalesce(array_to_string(list_sort(list_filter(list_distinct(toks),
+                  t -> list_contains([{fq_list}], t)))[1:8], ' '), '') AS highlights
+  FROM tok WHERE doc_id IN (SELECT docid FROM hits)),
+trs AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+\\s+'),
+                                    x -> trim(x)),
+                     x -> length(x) > 0)[1:3] AS sents
+  FROM documents WHERE doc_id IN (SELECT docid FROM hits)),
+tre AS (SELECT doc_id, unnest(sents) AS sent FROM trs),
+trw AS (SELECT doc_id, regexp_split_to_array(sent, '\\s+') AS ws FROM tre),
+tri AS (
+  SELECT doc_id, CAST(max(CASE WHEN len(list_filter(list_distinct(
+           list_filter(regexp_extract_all(lower(concat_ws(' ', ws[1], ws[2], array_to_string(ws[3:], ' '))), '[a-z0-9]+'),
+                       t -> length(t) >= 3 AND NOT list_contains([{_STOP_SQL}], t))),
+           t -> list_contains([{fq_list}], t))) > 0 THEN 1 ELSE 0 END) AS INT) AS has_oie
+  FROM trw WHERE len(ws) >= 3 GROUP BY doc_id)
+SELECT h.rnk, h.docid, h.score_r,
+       coalesce(b.sent, '') AS snippet,
+       coalesce(hlt.highlights, '') AS highlights,
+       CASE WHEN coalesce(b.overlap, 0.0) >= 0.9 THEN 1.0
+            WHEN coalesce(b.overlap, 0.0) >= 0.75 THEN 0.7
+            WHEN coalesce(b.overlap, 0.0) >= 0.5 THEN 0.5 ELSE 0.0 END AS lex_score,
+       coalesce(t.has_oie, 0) AS has_oie,
+       CAST(floor(least(CAST(1.0 AS DOUBLE),
+            0.35 * CAST((CASE WHEN coalesce(b.overlap, 0.0) >= 0.9 THEN 1.0
+                         WHEN coalesce(b.overlap, 0.0) >= 0.75 THEN 0.7
+                         WHEN coalesce(b.overlap, 0.0) >= 0.5 THEN 0.5 ELSE 0.0 END) AS DOUBLE)
+            + 0.10 * CAST(coalesce(t.has_oie, 0) AS DOUBLE)) * 100) AS INT) AS confidence
+FROM hits h
+LEFT JOIN best b ON b.doc_id = h.docid AND b.rn = 1
+LEFT JOIN hlt ON hlt.doc_id = h.docid
+LEFT JOIN tri t ON t.doc_id = h.docid
+ORDER BY h.rnk"""
 
     o["search_history"] = """
 WITH log AS (

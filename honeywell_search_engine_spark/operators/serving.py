@@ -183,6 +183,82 @@ def search_with_fallback(
     )
 
 
+def search_response(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The reference's full search-response row, model-free (reference
+    search.py:160-171): per top-k BM25 hit — rank, rounded score, best
+    snippet, highlight tokens, the lexical step score, an OIE flag (any
+    naive triple of the doc shares a token with the query,
+    fusion.py:73-88 triple-match), and the linear confidence
+    min(1, 0.55*sem + 0.35*lex + 0.10*oie) with sem = 0 (no embedding
+    model in scope — documented).
+
+    Plan shape: BM25 top-k -> broadcast the k hit ids -> snippet/highlight/
+    triple channels computed ONLY over the k matching docs (the broadcast
+    join prunes the doc scan before the per-sentence work) -> one row per
+    hit. Returns (rnk, docid, score_r, snippet, highlights, lex_score,
+    has_oie, confidence) ordered by rnk."""
+    from honeywell_search_engine_spark.functions.analyzer import analyze_query
+    from honeywell_search_engine_spark.operators import search as S
+
+    hits = S.bm25_inflight(docs, query, k, id_col, text_col)
+    topdocs = docs.join(
+        F.broadcast(hits.select("docid")),
+        F.col(id_col).cast("long") == F.col("docid"),
+        "left_semi",
+    )
+    snip = best_snippet(topdocs, query, id_col, text_col).select(
+        "docid", "snippet", "lex_score"
+    )
+    hl = S.highlight_terms(topdocs, query, id_col, text_col).select(
+        "docid", F.concat_ws(" ", "highlights").alias("highlights")
+    )
+    qts = analyze_query(query)
+    qarr = F.array(*[F.lit(t) for t in qts]) if qts else F.array().cast(
+        "array<string>"
+    )
+    tri = (
+        S.naive_triples(topdocs, id_col, text_col)
+        .withColumn(
+            "hit",
+            F.size(
+                F.array_intersect(
+                    tokens_col(F.concat_ws(" ", "subj", "pred", "obj")), qarr
+                )
+            )
+            > 0,
+        )
+        .groupBy("docid")
+        .agg(F.max(F.col("hit").cast("int")).alias("has_oie"))
+    )
+    out = (
+        hits.join(snip, "docid", "left")
+        .join(hl, "docid", "left")
+        .join(tri, "docid", "left")
+        .withColumn("has_oie", F.coalesce(F.col("has_oie"), F.lit(0)))
+        .withColumn(
+            "confidence",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(0.35) * F.coalesce(F.col("lex_score"), F.lit(0.0))
+                    + F.lit(0.10) * F.col("has_oie").cast("double"),
+                )
+                * 100
+            ).cast("int"),
+        )
+    )
+    return out.select(
+        "rnk", "docid", "score_r", "snippet", "highlights", "lex_score",
+        "has_oie", "confidence",
+    ).orderBy("rnk")
+
+
 def search_history_upsert(
     history: DataFrame,
     additions: DataFrame,
