@@ -257,6 +257,21 @@ def main() -> None:
         f"{len(qlist) * rounds} queries in {conc_sec:.2f}s "
         f"= {len(qlist) * rounds / conc_sec:.1f} q/s")
 
+    # round-2 capabilities on the same index: phrase + ordered-NEAR
+    # (positional decode path) — timed per query, reported as extras
+    from honeywell_search_engine_spark.query.wand import bm25_topk_phrase
+
+    ph = "data search"
+    bm25_topk_phrase(idx, ph, k=10).collect()  # warm positional codegen
+    t0 = time.time()
+    n_ph = len(bm25_topk_phrase(idx, ph, k=10).collect())
+    extra["phrase_query_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_nr = len(bm25_topk_phrase(idx, ph, k=10, slop=2).collect())
+    extra["near_query_sec"] = round(time.time() - t0, 3)
+    log(f"[bench] phrase {extra['phrase_query_sec']}s ({n_ph} rows), "
+        f"near {extra['near_query_sec']}s ({n_nr} rows)")
+
     # index size: bytes/posting (the docid-remap win shows up here)
     from pyspark.sql import functions as F
 
