@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["minhash_lsh_candidates"] = lambda s, d: dedup.minhash_lsh_candidates(_docs(s, d), "doc_id", "text")
     q["simhash"] = lambda s, d: dedup.simhash64(_docs(s, d), "doc_id", "text").orderBy("docid")
+    q["simhash_candidates"] = lambda s, d: dedup.simhash_candidates(
+        _docs(s, d), "doc_id", "text", max_hamming=8
+    )
 
     # --- similarity search over embeddings ---------------------------------
     def _query_vec(s, d):
@@ -614,6 +617,43 @@ SELECT d.doc_id AS docid,
                  ELSE coalesce(u, 0) END AS BIGINT) AS simhash
 FROM documents d LEFT JOIN sims s ON s.doc_id = d.doc_id
 ORDER BY docid"""
+
+    # SimHash banding candidates: same simhash CTE, 16-bit band slices via
+    # an unsigned reinterpret (BIGINT -> HUGEINT + 2^64 -> UBIGINT), bucket
+    # self-join, exact hamming via bit_count(xor) on the signed values.
+    o["simhash_candidates"] = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+h AS (
+  SELECT doc_id, tf, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h64 FROM tf),
+votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (h64 >> b) & 1 = 1 THEN tf ELSE -tf END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b),
+sims0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                  ELSE 0 END) AS u
+  FROM votes GROUP BY doc_id),
+sims AS (
+  SELECT d.doc_id AS docid,
+         CAST(CASE WHEN coalesce(u, 0) >= 9223372036854775808
+                   THEN coalesce(u, 0) - 18446744073709551616
+                   ELSE coalesce(u, 0) END AS BIGINT) AS sim,
+         CAST(coalesce(u, 0) AS UBIGINT) AS usim
+  FROM documents d LEFT JOIN sims0 s ON s.doc_id = d.doc_id),
+bands AS (
+  SELECT docid, sim, b AS band, (usim >> (b * 16)) & 65535 AS bv
+  FROM sims CROSS JOIN (SELECT unnest(range(4)) AS b)),
+pairs AS (
+  SELECT DISTINCT l.docid AS docid_a, r.docid AS docid_b,
+         bit_count(xor(l.sim, r.sim)) AS hamming
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+  WHERE l.docid < r.docid)
+SELECT docid_a, docid_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= 8 ORDER BY docid_a, docid_b"""
 
     # knn_lsh mirror: md5-derived hyperplanes (similarity.rp_planes_md5),
     # sign signatures, hamming<=1 probe vs the vec_id=0 query, exact cosine

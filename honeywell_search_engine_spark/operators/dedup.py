@@ -187,6 +187,59 @@ def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs from the 64-bit SimHash: band the hash into
+    `bands` equal bit-slices and group on each — two docs within
+    `max_hamming` <= 64/bands * (bands-1) bit flips share at least one
+    intact band (pigeonhole), so banding has PERFECT recall up to
+    (bands-1) flips-per-band-boundary and the exact hamming filter after
+    the bucket join removes false positives. All-pairs never materializes;
+    the only shuffle keys on (band, slice value).
+
+    Returns (docid_a < docid_b, hamming) for pairs with hamming <=
+    max_hamming. Fully DuckDB-mirrorable (bit slicing + xor + bit_count)."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    sig = simhash64(docs, id_col, text_col)
+    slices = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        "docid", "simhash", F.explode(F.array(*slices)).alias("s")
+    ).select("docid", "simhash", F.col("s.band").alias("band"), F.col("s.bv").alias("bv"))
+    l = exploded.select(
+        F.col("docid").alias("docid_a"), F.col("simhash").alias("ha"), "band", "bv"
+    )
+    r = exploded.select(
+        F.col("docid").alias("docid_b"), F.col("simhash").alias("hb"), "band", "bv"
+    )
+    pairs = (
+        l.join(r, ["band", "bv"])
+        .filter(F.col("docid_a") < F.col("docid_b"))
+        .select(
+            "docid_a",
+            "docid_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .distinct()  # a pair may collide on several bands
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("docid_a", "docid_b")
+    )
+    return pairs
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,

@@ -79,3 +79,28 @@ def test_match_phrase_inflight(spark):
     docs2 = spark.createDataFrame([(9, "alpha of the beta")], "doc_id long, text string")
     got3 = {r["docid"]: r["n_occ"] for r in match_phrase(docs2, "alpha beta").collect()}
     assert got3 == {9: 1}
+
+
+def test_simhash_candidates_pigeonhole(spark):
+    """Banding recall: any pair within bands-1 bit flips MUST surface
+    (pigeonhole: 4 bands, <=3 flips leave an intact band); reported
+    hamming is exact."""
+    from honeywell_search_engine_spark.operators.dedup import simhash_candidates
+
+    base = "spark merges data tables quickly across wide clusters " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                             # identical -> hamming 0
+            (3, base + " extra trailing clause"),  # near-dup -> small hamming
+            (4, "completely different content about gardening and soil"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["docid_a"], r["docid_b"]): r["hamming"]
+        for r in simhash_candidates(docs, "doc_id", "text", max_hamming=10).collect()
+    }
+    assert rows[(1, 2)] == 0
+    assert (1, 3) in rows and 0 < rows[(1, 3)] <= 10
+    assert not any(4 in p for p in rows)
