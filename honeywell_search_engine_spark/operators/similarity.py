@@ -212,6 +212,54 @@ def cosine_ann_ivf(
     return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
 
 
+def build_ann_cells(
+    embeddings: DataFrame,
+    out_dir: str,
+    dim: int = 64,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF cell assignment as a PARTITION COLUMN of the
+    embedding table — the 10^12-row scale path: a query prunes to its
+    n_probe cell DIRECTORIES at the parquet scan (PartitionFilters, plan-
+    tested), touching ~n_probe/n_centroids of the data instead of scanning
+    and assigning cells in-flight."""
+    cents = ivf_centroids_md5(dim, n_centroids)
+    (
+        ivf_cell_col(
+            embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+            cents,
+            "embedding",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_dir)
+    )
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """ANN top-k over a build_ann_cells table: the cell filter prunes
+    partition directories before any vector is read; exact cosine rescoring
+    inside the probed cells. Identical results to the in-flight
+    cosine_ann_ivf over the same rows (tested)."""
+    dim = len(query_vec)
+    cents = ivf_centroids_md5(dim, n_centroids)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qd = cents @ q
+    order = np.lexsort((np.arange(n_centroids), -qd))
+    probe = [int(c) for c in order[:n_probe]]
+    cand = spark.read.parquet(index_dir).filter(F.col("cell").isin(probe))
+    return cosine_topk_bruteforce(cand, query_vec, k, "vec_id", "embedding")
+
+
 def pairwise_cosine_dupes_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,64 @@
+"""Driver-side query result cache.
+
+The reference's latency target explicitly assumes result caching
+("Search latency (p95) < 500 ms — HNSW index, result caching",
+reference PIPELINE.md:349); real query streams are heavily repeated, so
+the serving layer memoizes COLLECTED top-k results per (query, k, mode).
+
+Safety: a SegmentIndex instance is a snapshot of an immutable index
+generation — merges/compactions mutate the directory only through staged
+swaps that a NEW SegmentIndex must be opened to observe — so a cache bound
+to one index instance can never serve stale results. The cache also keys
+nothing on corpus stats: they are frozen in the same instance.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from honeywell_search_engine_spark.index.segments import SegmentIndex
+from honeywell_search_engine_spark.query.wand import bm25_topk_phrase, bm25_topk_wand
+
+
+class CachedSearcher:
+    """LRU memo over bm25_topk_wand / bm25_topk_phrase collected rows."""
+
+    def __init__(self, index: SegmentIndex, capacity: int = 1024):
+        self.index = index
+        self.capacity = capacity
+        self._lru: OrderedDict[tuple, list] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def _get(self, key, compute):
+        if key in self._lru:
+            self._lru.move_to_end(key)
+            self.hits += 1
+            return self._lru[key]
+        self.misses += 1
+        rows = compute()
+        self._lru[key] = rows
+        if len(self._lru) > self.capacity:
+            self._lru.popitem(last=False)
+        return rows
+
+    def search(self, query: str, k: int = 10, mode: str = "and") -> list:
+        """[(docid, score)] — collected, memoized."""
+        key = ("q", query, k, mode)
+        return self._get(
+            key,
+            lambda: [
+                (r["docid"], r["score"])
+                for r in bm25_topk_wand(self.index, query, k, mode).collect()
+            ],
+        )
+
+    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0) -> list:
+        key = ("p", phrase, k, slop)
+        return self._get(
+            key,
+            lambda: [
+                (r["docid"], r["score"])
+                for r in bm25_topk_phrase(self.index, phrase, k, slop).collect()
+            ],
+        )

@@ -102,3 +102,31 @@ def test_ivf_is_exact_scorer_subset(spark):
     assert hits
     for r in hits:
         assert r["vec_id"] in bf and bf[r["vec_id"]] == r["cos_r"]
+
+
+def test_ivf_indexed_equals_inflight_and_prunes(spark, tmp_path):
+    """The materialized cell-partitioned ANN table returns exactly the
+    in-flight IVF results, and its scan is partition-pruned on cell."""
+    from pyspark.sql import functions as F
+
+    from honeywell_search_engine_spark.operators.similarity import (
+        build_ann_cells,
+        cosine_ann_ivf,
+        cosine_topk_ivf_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    out = str(tmp_path / "ann_cells")
+    build_ann_cells(rest, out)
+
+    indexed = cosine_topk_ivf_indexed(spark, out, qv, k=10)
+    inflight = cosine_ann_ivf(rest, qv, k=10)
+    a = [(r["vec_id"], r["cos_r"]) for r in indexed.collect()]
+    b = [(r["vec_id"], r["cos_r"]) for r in inflight.collect()]
+    assert a == b and a
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]

@@ -310,3 +310,17 @@ def test_or_block_prune_exact_and_cheaper(monkeypatch):
     full_blocks = counts["blocks"]
     assert res_pruned == res_full
     assert pruned_blocks < full_blocks, (pruned_blocks, full_blocks)
+
+
+def test_cached_searcher(seg_index, oracle):
+    """CachedSearcher returns oracle-exact rows, hits on repeats, evicts LRU."""
+    from honeywell_search_engine_spark.query.cache import CachedSearcher
+
+    cs = CachedSearcher(seg_index, capacity=2)
+    q = QUERIES["q06"]
+    first = cs.search(q, k=10)
+    assert first == oracle.search(q, k=10)
+    assert cs.search(q, k=10) == first and cs.hits == 1 and cs.misses == 1
+    cs.search(QUERIES["q01"], k=10)
+    cs.search(QUERIES["q02"], k=10)  # capacity 2 -> q06 evicted
+    assert ("q", q, 10, "and") not in cs._lru
