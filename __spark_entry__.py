@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d), "doc_id", "text").orderBy("docid")
     q["quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d), "doc_id", "text").orderBy("docid")
     q["langid"] = lambda s, d: textstats.langid_en(_docs(s, d), "doc_id", "text").orderBy("docid")
+    q["corpus_filter"] = lambda s, d: textstats.clean_corpus(_docs(s, d))
 
     # --- dedup -------------------------------------------------------------
     q["exact_dupes"] = lambda s, d: dedup.exact_duplicates(_docs(s, d), "doc_id", "text")
@@ -518,6 +519,44 @@ SELECT doc_id AS docid,
        round(CASE WHEN n_words > 0 THEN CAST(n_en AS DOUBLE) / n_words ELSE 0.0 END, 6) AS en_ratio,
        (CASE WHEN n_words > 0 THEN CAST(n_en AS DOUBLE) / n_words ELSE 0.0 END) >= 0.05 AS is_en
 FROM r ORDER BY docid"""
+
+    o["corpus_filter"] = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS words,
+         md5(trim(regexp_replace(translate(lower(text), '{punct_sql}', ''), '\\s+', ' ', 'g'))) AS h
+  FROM documents),
+m AS (
+  SELECT doc_id, h,
+         len(words) AS nw,
+         len(list_filter(words, x -> list_contains([{stopw}], x))) AS n_stop,
+         length(text) - length(translate(text, '{punct_sql}', '')) AS n_punct,
+         length(text) AS n_chars
+  FROM w),
+r AS (
+  SELECT doc_id, h, nw,
+         CASE WHEN nw > 0 THEN CAST(n_stop AS DOUBLE) / CAST(nw AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM m),
+v AS (
+  SELECT doc_id, rn, nw, stop_ratio,
+         CAST(0.4 AS DOUBLE) * least(CAST(nw AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+         + CAST(0.4 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least(abs(stop_ratio - CAST(0.3 AS DOUBLE)) / CAST(0.3 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+         + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS q
+  FROM r)
+SELECT doc_id AS docid,
+       CASE WHEN rn > 1 THEN 'duplicate'
+            WHEN stop_ratio < 0.05 THEN 'non_english'
+            WHEN nw < 20 THEN 'too_short'
+            WHEN q < 0.5 THEN 'low_quality'
+            ELSE 'kept' END AS reason,
+       (CASE WHEN rn > 1 THEN 'duplicate'
+            WHEN stop_ratio < 0.05 THEN 'non_english'
+            WHEN nw < 20 THEN 'too_short'
+            WHEN q < 0.5 THEN 'low_quality'
+            ELSE 'kept' END) = 'kept' AS keep
+FROM v ORDER BY docid"""
 
     o["exact_dupes"] = f"""
 WITH n AS (

@@ -124,3 +124,70 @@ def fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         md5.alias("norm_md5"),
         F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("fp60"),
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_words: int = 20,
+) -> DataFrame:
+    """The composed training-data cleaning pipeline as ONE lazy plan:
+    exact-dedup (keep the min-docid copy per normalized-content hash) ->
+    language gate -> length gate -> quality gate. Every doc gets a verdict:
+    (docid, keep boolean, reason in {kept, duplicate, non_english,
+    too_short, low_quality}) — the first failing gate names the reason
+    (dedup wins over language over length over quality, a fixed audit
+    order).
+
+    Shuffle profile: ONE exchange (the window over the content hash); the
+    quality/langid features are pure codegen projections fused into the
+    same stage. At 100 TB this is the shape you want: no joins, no
+    collect, the dedup key is a uniform 128-bit hash."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(F.translate(F.lower(c), _PUNCT, ""), r"\s+", " ")
+    )
+    words = _tokens_word(text_col)
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*EN_FUNCTION_WORDS)))
+    nw = n_words.cast("double")
+    stop_ratio = F.when(n_words > 0, n_stop / nw).otherwise(F.lit(0.0))
+    n_punct = F.length(c) - F.length(F.translate(c, _PUNCT, ""))
+    punct_ratio = F.when(
+        F.length(c) > 0, n_punct.cast("double") / F.length(c)
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(nw / F.lit(100.0), F.lit(1.0))
+    stop_score = F.lit(1.0) - F.least(
+        F.abs(stop_ratio - F.lit(0.3)) / F.lit(0.3), F.lit(1.0)
+    )
+    punct_score = F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))
+    quality = (
+        F.lit(0.4) * len_score + F.lit(0.4) * stop_score + F.lit(0.2) * punct_score
+    )
+    en_ratio = F.when(n_words > 0, n_stop.cast("double") / nw).otherwise(F.lit(0.0))
+
+    staged = docs.select(
+        F.col(id_col).cast("long").alias("docid"),
+        F.md5(norm).alias("_h"),
+        n_words.alias("_nw"),
+        en_ratio.alias("_en"),
+        quality.alias("_q"),
+    )
+    w = Window.partitionBy("_h").orderBy("docid")
+    ranked = staged.withColumn("_rn", F.row_number().over(w))
+    reason = (
+        F.when(F.col("_rn") > 1, F.lit("duplicate"))
+        .when(F.col("_en") < 0.05, F.lit("non_english"))
+        .when(F.col("_nw") < min_words, F.lit("too_short"))
+        .when(F.col("_q") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return ranked.select(
+        "docid",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    ).orderBy("docid")
