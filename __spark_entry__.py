@@ -212,6 +212,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id",
     ).groupBy("event_type").agg(F.count("*").alias("n_pending")).orderBy("event_type")
     q["fusion_confidence"] = lambda s, d: _fusion_confidence(s, d)
+
+    def _windowed(s, d):
+        from honeywell_search_engine_spark.streaming.windows import (
+            windowed_event_counts,
+        )
+
+        return windowed_event_counts(_events(s, d)).select(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', window_start)"
+            ).alias("ws_us"),
+            "event_type",
+            "n",
+            "total_value",
+        ).orderBy("ws_us", "event_type")
+
+    q["windowed_counts"] = _windowed
     q["rrf_fusion"] = lambda s, d: _rrf_fusion(s, d)
 
     # --- scoring / NLP scalar operators ------------------------------------
@@ -1020,6 +1036,13 @@ r AS (
   FROM log)
 SELECT user_id, query, datediff('microseconds', TIMESTAMP '2024-01-01', ts) AS ts_us
 FROM r WHERE rn = 1 ORDER BY user_id, query"""
+
+    o["windowed_counts"] = """
+SELECT datediff('microseconds', TIMESTAMP '2024-01-01',
+                time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+       event_type, count(*) AS n,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type"""
 
     o["rrf_fusion"] = """
 WITH ranks AS (

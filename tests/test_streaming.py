@@ -215,3 +215,38 @@ def test_merge_deltas_crash_resume(spark, merge_fixture, fail_at):
     assert summary["docs_added"] > 0 or fail_at == "swapped"
     assert _index_signature(spark, work) == _index_signature(spark, idx_oracle)
     SegmentIndex(spark, work)  # opens clean
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    """The watermarked streaming windowed aggregation (AvailableNow) over
+    the event files equals the batch windowed group-by over the same data
+    — deterministic replay, the property watermarked state must preserve."""
+    from honeywell_search_engine_spark.streaming.windows import (
+        run_windowed_counts_stream,
+        windowed_event_counts,
+    )
+
+    events_dir = "/root/testdata/sf0.001"
+    out = str(tmp_path / "win_out")
+    # copy only the events file into a clean stream-source dir
+    src_dir = str(tmp_path / "events_src")
+    os.makedirs(src_dir)
+    shutil.copy(f"{events_dir}/events.parquet", f"{src_dir}/events.parquet")
+
+    run_windowed_counts_stream(spark, src_dir, out)
+    got = (
+        spark.read.parquet(f"{out}/windows")
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )  # the stream path casts NTZ -> TIMESTAMP for the watermark
+    exp = (
+        windowed_event_counts(batch)
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    assert len(got) > 0 and got == exp
