@@ -499,6 +499,60 @@ def bm25_topk_wand(
     )
 
 
+def bm25_topk_phrase_batch(
+    index: SegmentIndex, queries: dict[str, str], k: int = 10, slop: int = 0
+) -> DataFrame:
+    """Evaluate a batch of phrase/NEAR queries in ONE Spark job (same
+    amortization as bm25_topk_wand_batch: one pruned positional segment
+    scan over the union of all phrases' terms, per-shard kernels answer
+    every phrase they can serve, one rank window). Returns
+    (qid, rnk, docid, score) — identical to per-query bm25_topk_phrase."""
+    from honeywell_search_engine_spark.functions.analyzer import tokenize
+    from pyspark.sql import Window
+
+    spark = index.spark
+    q_terms = {qid: tokenize(q) for qid, q in queries.items()}
+    live = {qid: ts for qid, ts in q_terms.items() if ts}
+    scan_terms = sorted({t for ts in live.values() for t in ts})
+    if not scan_terms:
+        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+    avgdl = index.stats.avgdl
+    dead_bc = index.dead_broadcast()
+
+    def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
+        by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
+        idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
+        out_q, out_d, out_s = [], [], []
+        for qid, ts in live.items():
+            if any(t not in by_term for t in ts):
+                continue
+            res = _shard_kernel_phrase(
+                [(t, by_term[t]) for t in ts], idf_b, avgdl, k, dead, slop
+            )
+            for d, s in res:
+                out_q.append(qid)
+                out_d.append(int(d))
+                out_s.append(float(s))
+        return pd.DataFrame(
+            {"qid": out_q, "shard": [shard] * len(out_q), "lid": out_d, "score": out_s}
+        )
+
+    segs = index.segments_with_idf(scan_terms)
+    per_shard = segs.groupBy("shard").applyInPandas(
+        run_shard, schema="qid string, shard int, lid long, score double"
+    )
+    hydrated = index.rehydrate(per_shard)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        hydrated.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "docid", "score")
+        .orderBy("qid", "rnk")
+    )
+
+
 BATCH_RESULT_SCHEMA = "qid string, rnk int, docid long, score double"
 
 

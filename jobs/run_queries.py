@@ -46,12 +46,16 @@ def main(argv=None) -> None:
         queries = reference_queries()
     out = {}
     if args.batch:
-        if args.mode == "phrase":
-            ap.error("--batch supports and/or modes; phrase is per-query")
-        from honeywell_search_engine_spark.query.wand import bm25_topk_wand_batch
+        from honeywell_search_engine_spark.query.wand import (
+            bm25_topk_phrase_batch,
+            bm25_topk_wand_batch,
+        )
 
         t0 = time.time()
-        rows = bm25_topk_wand_batch(idx, queries, k=args.k, mode=args.mode).collect()
+        if args.mode == "phrase":
+            rows = bm25_topk_phrase_batch(idx, queries, k=args.k).collect()
+        else:
+            rows = bm25_topk_wand_batch(idx, queries, k=args.k, mode=args.mode).collect()
         for r in rows:
             out.setdefault(r["qid"], {"hits": []})["hits"].append(
                 (r["docid"], r["score"])

@@ -324,3 +324,27 @@ def test_cached_searcher(seg_index, oracle):
     cs.search(QUERIES["q01"], k=10)
     cs.search(QUERIES["q02"], k=10)  # capacity 2 -> q06 evicted
     assert ("q", q, 10, "and") not in cs._lru
+
+
+def test_batch_phrase_equals_per_query(spark, seg_index, pages_pdf):
+    from honeywell_search_engine_spark.functions.analyzer import analyze
+    from honeywell_search_engine_spark.query.wand import (
+        bm25_topk_phrase,
+        bm25_topk_phrase_batch,
+    )
+
+    en = pages_pdf[pages_pdf.lang == "en"]
+    phrases = {
+        "p0": " ".join(analyze(en.text.iloc[0])[:2]),
+        "p1": " ".join(analyze(en.text.iloc[7])[3:6]),
+        "p2": "zzzznopexyz qqqqnopexyz",
+    }
+    batch = {}
+    for r in bm25_topk_phrase_batch(seg_index, phrases, k=10).collect():
+        batch.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+    for qid, ph in phrases.items():
+        exp = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_phrase(seg_index, ph, k=10).collect()
+        ]
+        assert batch.get(qid, []) == exp, qid
