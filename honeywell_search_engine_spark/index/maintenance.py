@@ -136,13 +136,33 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     new_avgdl = float(row["s"] or 0) / new_n if new_n else 0.0
 
     # rewrite segments (decode -> mask dead lids -> re-encode)
-    dead_bc = spark.sparkContext.broadcast(dead_lids_by_shard(docmap, dead))
+    dead_map = dead_lids_by_shard(docmap, dead)
+    dead_bc = spark.sparkContext.broadcast(dead_map)
     rewritten = (
         spark.read.parquet(f"{index_dir}/segments")
         .mapInPandas(_rewrite_kernel(dead_bc, new_avgdl), schema=SEGMENT_SCHEMA)
     )
     rewritten.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/segments_new"
+    )
+
+    # the phase-1 postings table is the durable re-encode source (merges
+    # re-encode affected buckets FROM it) — it must shed the dead rows too,
+    # or a later merge would resurrect deleted docs. Anti-join on the dead
+    # (shard, lid) pairs, then the same salted repartition + sort so the
+    # (term, shard)-contiguity invariant future encodes rely on holds.
+    dead_pairs = spark.createDataFrame(
+        [(int(s), int(l)) for s, ls in dead_map.items() for l in ls] or [],
+        "shard int, lid long",
+    )
+    (
+        spark.read.parquet(f"{index_dir}/postings")
+        .join(F.broadcast(dead_pairs), ["shard", "lid"], "left_anti")
+        .repartition(F.col("term"), F.col("shard"))
+        .sortWithinPartitions("bucket", "term", "shard", "lid", "pos")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/postings_new")
     )
 
     seg_new = spark.read.parquet(f"{index_dir}/segments_new")
@@ -162,7 +182,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     # atomic-ish swap: rename new dirs over old, refresh manifests, clear
     # tombstones last (a crash mid-swap leaves tombstones in place, so
     # readers stay correct)
-    for name in ("segments", "term_stats", "docmap"):
+    for name in ("segments", "term_stats", "docmap", "postings"):
         shutil.rmtree(f"{index_dir}/{name}", ignore_errors=True)
         os.replace(f"{index_dir}/{name}_new", f"{index_dir}/{name}")
     meta.update({"n_docs": new_n, "avgdl": new_avgdl})

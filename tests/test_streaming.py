@@ -250,3 +250,70 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
         .collect()
     )
     assert len(got) > 0 and got == exp
+
+
+def test_full_lifecycle_build_delete_compact_merge(spark, tmp_path):
+    """The whole index lifecycle chained: build -> tombstone -> compact ->
+    streamed delta -> merge -> queries bit-exact vs an oracle of the final
+    corpus (original docs minus deletions plus streamed docs)."""
+    from honeywell_search_engine_spark.index.corpus import docid_py
+    from honeywell_search_engine_spark.index.maintenance import (
+        compact,
+        delete_docs,
+        merge_deltas,
+    )
+    from honeywell_search_engine_spark.index.segments import SegmentIndex, build_segments
+    from honeywell_search_engine_spark.oracle import OracleIndex
+    from honeywell_search_engine_spark.query.wand import bm25_topk_phrase, bm25_topk_wand
+    from honeywell_search_engine_spark.sources.pages import marker_term
+
+    pdf = generate_pages_pdf(300)
+    base_dir, idx_dir = str(tmp_path / "pages"), str(tmp_path / "idx")
+    _write_slice(spark, pdf, 0, 200, base_dir)
+    base = spark.read.schema(PAGES_SCHEMA).parquet(base_dir)
+    build_segments(
+        tokenized_docs(docs_from_pages(base)), idx_dir, base_dir,
+        n_buckets=8, n_shards=4, buckets_per_job=8,
+    )
+
+    # tombstone 3 hits of a head query, then compact
+    idx = SegmentIndex(spark, idx_dir)
+    victims = [
+        r["docid"] for r in bm25_topk_wand(idx, "data", k=3).collect()
+    ]
+    assert len(victims) == 3
+    delete_docs(idx_dir, victims, reason="lifecycle")
+    compact(spark, idx_dir)
+
+    # stream the remaining 100 docs and merge them in
+    stream_dir, delta_dir = str(tmp_path / "pages2"), str(tmp_path / "delta")
+    _write_slice(spark, pdf, 200, 300, stream_dir)
+    stream_postings_delta(spark, stream_dir, delta_dir, n_buckets=8, n_shards=4)
+    summary = merge_deltas(spark, idx_dir, delta_dir)
+    assert summary["docs_added"] > 0
+
+    # oracle over the FINAL corpus
+    en = pdf[pdf.lang == "en"]
+    final = [
+        (docid_py(u), t)
+        for u, t in zip(en.url, en.text)
+        if docid_py(u) not in set(victims)
+    ]
+    oracle = OracleIndex.build(final)
+    idx = SegmentIndex(spark, idx_dir)
+    assert idx.stats.n_docs == oracle.n_docs
+    assert abs(idx.stats.avgdl - oracle.avgdl) < 1e-9
+    for q in ("data", "data search", marker_term(1), "big data table"):
+        exp = oracle.search(q, k=10)
+        got = [
+            (r["docid"], r["score"]) for r in bm25_topk_wand(idx, q, k=10).collect()
+        ]
+        assert got == exp, q
+    # phrase queries still exact after the whole lifecycle (positions
+    # survive compact + merge)
+    from honeywell_search_engine_spark.functions.analyzer import analyze
+
+    ph = " ".join(analyze(en.text.iloc[0])[:2])
+    assert [
+        (r["docid"], r["score"]) for r in bm25_topk_phrase(idx, ph, k=10).collect()
+    ] == oracle.search_phrase(ph, k=10)
