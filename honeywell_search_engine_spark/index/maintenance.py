@@ -102,8 +102,37 @@ def _rewrite_kernel(dead_bc, avgdl: float):
     return rewrite
 
 
-def compact(spark: SparkSession, index_dir: str) -> dict:
-    """Fold tombstones into the segments. Returns a summary dict."""
+_COMPACT_DIRS = ("segments", "term_stats", "docmap", "postings")
+
+
+def _repair_dir_swaps(index_dir: str) -> None:
+    """Restore any artifact dir a crashed swap left missing: rename-with-
+    backup (_swap_bucket_dir) can only strand a dir between its two renames,
+    in which case the .bak holds the previous state."""
+    for name in _COMPACT_DIRS:
+        dst = f"{index_dir}/{name}"
+        bak = dst + ".bak"
+        if not os.path.isdir(dst) and os.path.isdir(bak):
+            os.rename(bak, dst)
+
+
+def compact(spark: SparkSession, index_dir: str, _fail_at: str | None = None) -> dict:
+    """Fold tombstones into the segments. Returns a summary dict.
+
+    Crash-safe: all artifacts are staged to *_new first (the live index is
+    untouched and still readable with query-time tombstone filtering), then
+    swapped via rename-with-backup; tombstones are cleared LAST, so a
+    re-invocation after a crash at ANY point recomputes from whatever state
+    survived and converges — masking already-removed docs is a no-op
+    everywhere (kill-point tests in tests/test_maintenance.py).
+    `_fail_at` ("staged" | "mid_swap") is the test-only injection hook."""
+    _repair_dir_swaps(index_dir)
+    st = _read_manifest(index_dir, "compact_state.json")
+    if st and st.get("status") == "staged":
+        # a prior compaction crashed after staging: finish its commit
+        with open(f"{index_dir}/stats.json") as f:
+            meta = json.load(f)
+        return _finish_compact(spark, index_dir, meta, st)
     dead = load_tombstones(index_dir)
     if not dead:
         return {"compacted": 0}
@@ -179,13 +208,42 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     )
     ts.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/term_stats_new")
 
-    # atomic-ish swap: rename new dirs over old, refresh manifests, clear
-    # tombstones last (a crash mid-swap leaves tombstones in place, so
-    # readers stay correct)
-    for name in ("segments", "term_stats", "docmap", "postings"):
-        shutil.rmtree(f"{index_dir}/{name}", ignore_errors=True)
-        os.replace(f"{index_dir}/{name}_new", f"{index_dir}/{name}")
-    meta.update({"n_docs": new_n, "avgdl": new_avgdl})
+    # journal the post-compaction stats BEFORE mutating anything: once the
+    # swap starts, the dead docs leave the docmap and a rerun could no
+    # longer recompute n_removed — the journal carries the answer across
+    # any crash (tests kill between every step)
+    _write_manifest(
+        index_dir,
+        "compact_state.json",
+        {
+            "status": "staged",
+            "n_docs": new_n,
+            "avgdl": new_avgdl,
+            "n_removed": n_removed,
+        },
+    )
+    if _fail_at == "staged":
+        raise RuntimeError("injected failure at staged")
+    return _finish_compact(
+        spark, index_dir, meta,
+        {"n_docs": new_n, "avgdl": new_avgdl, "n_removed": n_removed},
+        _fail_at,
+    )
+
+
+def _finish_compact(
+    spark: SparkSession, index_dir: str, meta: dict, st: dict,
+    _fail_at: str | None = None,
+) -> dict:
+    """Commit a staged compaction: swap each artifact dir (rename-with-
+    backup — every crash point repaired by _repair_dir_swaps + rerun),
+    rewrite stats from the journal, refresh manifests, clear tombstones,
+    mark the journal complete. Idempotent."""
+    for i, name in enumerate(_COMPACT_DIRS):
+        _swap_bucket_dir(f"{index_dir}/{name}", f"{index_dir}/{name}_new")
+        if i == 0 and _fail_at == "mid_swap":
+            raise RuntimeError("injected failure at mid_swap")
+    meta.update({"n_docs": st["n_docs"], "avgdl": st["avgdl"]})
     with open(f"{index_dir}/stats.json", "w") as f:
         json.dump(meta, f)
     buckets = list(range(meta["n_buckets"]))
@@ -199,7 +257,12 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
             {**prev, **chks[b], "status": "complete", "generation": gen},
         )
     shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
-    return {"compacted": n_removed, "n_docs": new_n, "avgdl": new_avgdl}
+    _write_manifest(index_dir, "compact_state.json", {"status": "complete"})
+    return {
+        "compacted": st["n_removed"],
+        "n_docs": st["n_docs"],
+        "avgdl": st["avgdl"],
+    }
 
 
 def _read_merge_state(index_dir: str) -> dict:

@@ -97,3 +97,46 @@ def test_bulk_tombstones_100k(spark, small_index, pages_pdf, oracle):
     exp = OracleIndex.build(reduced).search(q, k=10)
     got = [(r["docid"], r["score"]) for r in bm25_topk_wand(idx3, q, k=10).collect()]
     assert got == exp
+
+
+@pytest.mark.parametrize("fail_at", ["staged", "mid_swap"])
+def test_compact_crash_resume(spark, pages_path, pages_pdf, tmp_path, fail_at):
+    """Kill the compaction between staging and commit steps; a plain re-run
+    converges to the same stats and query results as an uninterrupted
+    compaction (the journal carries n_removed across the crash — after the
+    swap the dead docs are gone from the docmap and could not be
+    recounted)."""
+    from honeywell_search_engine_spark.index.corpus import docs_from_pages, tokenized_docs
+    from honeywell_search_engine_spark.sources.pages import read_pages
+
+    out = str(tmp_path / "idx")
+    pages = read_pages(spark, pages_path)
+    build_segments(
+        tokenized_docs(docs_from_pages(pages)), out, pages_path,
+        n_buckets=8, n_shards=4, buckets_per_job=8,
+    )
+    idx0 = SegmentIndex(spark, out)
+    q = marker_term(0)
+    victims = [r["docid"] for r in bm25_topk_wand(idx0, q, k=2).collect()]
+    delete_docs(out, victims, reason="crash test")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        compact(spark, out, _fail_at=fail_at)
+    summary = compact(spark, out)  # plain re-run resumes/redoes
+    assert summary["compacted"] == 2
+
+    idx = SegmentIndex(spark, out)
+    assert not idx.tombstones
+    assert idx.stats.n_docs == idx0.stats.n_docs - 2
+    en = pages_pdf[pages_pdf.lang == "en"]
+    from honeywell_search_engine_spark.index.corpus import docid_py
+
+    reduced = OracleIndex.build(
+        [
+            (docid_py(u), t)
+            for u, t in zip(en.url, en.text)
+            if docid_py(u) not in set(victims)
+        ]
+    )
+    got = [(r["docid"], r["score"]) for r in bm25_topk_wand(idx, q, k=10).collect()]
+    assert got == reduced.search(q, k=10)
