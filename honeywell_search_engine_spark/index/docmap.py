@@ -101,12 +101,13 @@ def append_local_ids(
     )
 
 
-def dead_lids_by_shard(docmap: DataFrame, dead_docids) -> dict[int, np.ndarray]:
-    """Translate global tombstone docids to {shard: sorted lid array} via a
-    broadcast semi-join against the docmap (deletes are small relative to
-    the corpus; the docmap scan is column-pruned to 3 columns)."""
+def lids_by_shard(docmap: DataFrame, docids) -> dict[int, np.ndarray]:
+    """Translate a global docid set to {shard: sorted lid array} via a
+    broadcast semi-join against the docmap (the set — tombstones or a
+    query scope — is small relative to the corpus; the docmap scan is
+    column-pruned to 3 columns)."""
     spark = docmap.sparkSession
-    ids = sorted(int(d) for d in dead_docids)
+    ids = sorted(int(d) for d in docids)
     if not ids:
         return {}
     dead_df = spark.createDataFrame([(d,) for d in ids], "docid long")
@@ -119,3 +120,7 @@ def dead_lids_by_shard(docmap: DataFrame, dead_docids) -> dict[int, np.ndarray]:
     for r in rows:
         out.setdefault(int(r["shard"]), []).append(int(r["local_id"]))
     return {s: np.array(sorted(v), dtype=np.int64) for s, v in out.items()}
+
+
+# tombstone-flavored alias (the original call sites read better with it)
+dead_lids_by_shard = lids_by_shard

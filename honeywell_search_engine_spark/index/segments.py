@@ -529,6 +529,19 @@ class SegmentIndex:
             self._dead_bc = self.spark.sparkContext.broadcast(by_shard)
         return self._dead_bc
 
+    def scope_broadcast(self, allowed_docids):
+        """A query-time docid scope (the reference restricts every search
+        to the caller's own documents — allowed_ids,
+        backend/app/routers/search.py:99-116 / F2-F3) translated to
+        {shard: sorted lid array} and broadcast, same mechanics as
+        tombstones. Returns None for an unrestricted query."""
+        if allowed_docids is None:
+            return None
+        from honeywell_search_engine_spark.index.docmap import dead_lids_by_shard
+
+        by_shard = dead_lids_by_shard(self.docmap, allowed_docids)
+        return self.spark.sparkContext.broadcast(by_shard)
+
     def rehydrate(self, df: DataFrame) -> DataFrame:
         """(shard, lid, ...) -> same rows with the global `docid` attached
         from the docmap. The kernel output side is tiny (<= shards * k), so

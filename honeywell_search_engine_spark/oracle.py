@@ -65,9 +65,12 @@ class OracleIndex:
         # log1p, not log(1+x): matches Spark's F.log1p bit-for-bit
         return math.log1p((self.n_docs - df + 0.5) / (df + 0.5))
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(
+        self, query: str, k: int = 10, allowed=None
+    ) -> list[tuple[int, float]]:
         """Exhaustive conjunctive BM25 top-k: [(docid, score)] sorted by
-        (-score, docid). Unknown term => empty (AND semantics)."""
+        (-score, docid). Unknown term => empty (AND semantics). `allowed`
+        restricts candidates to a docid scope (global stats unchanged)."""
         terms = analyze_query(query)
         if not terms:
             return []
@@ -81,6 +84,8 @@ class OracleIndex:
         candidate = set(min((p for _, p in plists), key=len))
         for _, p in plists:
             candidate &= p.keys()
+        if allowed is not None:
+            candidate &= set(allowed)
         scored = []
         for docid in candidate:
             dl = self.doclen[docid]
@@ -96,7 +101,9 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
-    def search_or(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_or(
+        self, query: str, k: int = 10, allowed=None
+    ) -> list[tuple[int, float]]:
         """Exhaustive DISJUNCTIVE BM25 top-k: every doc containing ANY query
         term, scored over the terms it contains (lexicographic sum order).
         [(docid, score)] by (-score, docid)."""
@@ -107,6 +114,8 @@ class OracleIndex:
         plists = [(t, self.postings.get(t, {})) for t in terms]
         for _, p in plists:
             union |= p.keys()
+        if allowed is not None:
+            union &= set(allowed)
         scored = []
         for docid in union:
             dl = self.doclen[docid]

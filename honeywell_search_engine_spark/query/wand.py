@@ -91,10 +91,12 @@ def _select_topk_with_ties(lids: np.ndarray, scores: np.ndarray, k: int):
 
 
 def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int,
-                 dead: np.ndarray = _NO_DEAD):
+                 dead: np.ndarray = _NO_DEAD, scope: np.ndarray | None = None):
     """Exact single-term top-k with block-max score pruning. `dead` is a
     sorted int64 tombstoned-lid array for THIS shard (from a Spark
-    broadcast — never a per-task Python set)."""
+    broadcast — never a per-task Python set); `scope`, when given, is the
+    sorted allowed-lid array (the reference's per-caller allowed_ids
+    restriction, F2/F3)."""
     order = np.argsort(-enc.bmax_u, kind="stable")
     heap: list[float] = []  # k best scores seen — the pruning threshold
     cand_d: list[np.ndarray] = []
@@ -109,6 +111,9 @@ def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int,
         if dead.size:
             alive = ~np.isin(lids, dead)
             lids, scores = lids[alive], scores[alive]
+        if scope is not None:
+            m = np.isin(lids, scope)
+            lids, scores = lids[m], scores[m]
         cand_d.append(lids)
         cand_s.append(scores)
         for s in scores:
@@ -130,7 +135,8 @@ def _candidate_blocks(enc: codec.EncodedList, cand: np.ndarray) -> np.ndarray:
 
 
 def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
-                      k: int, dead: np.ndarray = _NO_DEAD, prune: bool = True):
+                      k: int, dead: np.ndarray = _NO_DEAD, prune: bool = True,
+                      scope: np.ndarray | None = None):
     """Conjunctive evaluation of one shard. term_rows: (term, EncodedList),
     all query terms present (caller enforces).
 
@@ -156,6 +162,11 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
         alive = ~np.isin(cand.astype(np.int64), dead)
         cand = cand[alive]
         tf_cols[t0] = (pl0.tfs[alive], pl0.doclens[alive])
+    if scope is not None:
+        m = np.isin(cand.astype(np.int64), scope)
+        tfs0, dls0 = tf_cols[t0]
+        cand = cand[m]
+        tf_cols[t0] = (tfs0[m], dls0[m])
     if prune and cand.size > k:
         tfs0, dls0 = tf_cols[t0]
         exact0 = idf[t0] * _u_exact(tfs0, dls0, avgdl)  # lower bound = exact driver part
@@ -203,7 +214,7 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
 
 
 def _or_block_prune(term_rows: list, idf: dict[str, float], avgdl: float,
-                    k: int, dead: np.ndarray):
+                    k: int, dead: np.ndarray, scope: np.ndarray | None = None):
     """Exact block-max pruning for OR mode. Returns, per term, the block
     indices that can still contain a top-k doc (or None to decode fully).
 
@@ -223,7 +234,7 @@ def _or_block_prune(term_rows: list, idf: dict[str, float], avgdl: float,
         key=lambda i: idf[term_rows[i][0]] * float(term_rows[i][1].bmax_u.max()),
     )
     t0, e0 = term_rows[best_t]
-    seed = _topk_single(e0, idf[t0], avgdl, k, dead)
+    seed = _topk_single(e0, idf[t0], avgdl, k, dead, scope)
     if len(seed) < k:
         return None, None  # not enough evidence to prune safely
     theta = min(s for _, s in seed)
@@ -249,7 +260,8 @@ def _or_block_prune(term_rows: list, idf: dict[str, float], avgdl: float,
 
 
 def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
-                     k: int, dead: np.ndarray = _NO_DEAD, prune: bool = True):
+                     k: int, dead: np.ndarray = _NO_DEAD, prune: bool = True,
+                     scope: np.ndarray | None = None):
     """Disjunctive (OR) union scoring of one shard — exact, vectorized.
 
     Scores every doc that contains ANY query term: union of docids via
@@ -263,7 +275,9 @@ def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
     term_rows = sorted(term_rows, key=lambda tr: tr[0])
     blocks_per_term = region = None
     if prune and len(term_rows) > 1:
-        blocks_per_term, region = _or_block_prune(term_rows, idf, avgdl, k, dead)
+        blocks_per_term, region = _or_block_prune(
+            term_rows, idf, avgdl, k, dead, scope
+        )
     if blocks_per_term is None:
         decoded = [(t, codec.decode_postings(enc)) for t, enc in term_rows]
     else:
@@ -283,6 +297,8 @@ def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
         union = union[mask]
     if dead.size:
         union = union[~np.isin(union.astype(np.int64), dead)]
+    if scope is not None:
+        union = union[np.isin(union.astype(np.int64), scope)]
     score = np.zeros(union.size, dtype=np.float64)
     for t, pl in decoded:  # lexicographic order
         pos = np.searchsorted(union, pl.docids)
@@ -442,11 +458,21 @@ def bm25_topk_phrase(
 
 
 def bm25_topk_wand(
-    index: SegmentIndex, query: str, k: int = 10, mode: str = "and"
+    index: SegmentIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "and",
+    allowed_docids=None,
 ) -> DataFrame:
     """Top-k BM25 over the segment index. mode='and' (conjunctive, default)
     or 'or' (disjunctive). Returns DataFrame(docid, score) ordered by
     (-score, docid).
+
+    `allowed_docids` restricts the result to a caller-supplied global-docid
+    scope (the reference limits every search to the caller's own documents,
+    search.py:99-116 / F2-F3); corpus stats stay global — the scope filters
+    candidates, it doesn't re-weigh the collection (documented semantics,
+    matched by OracleIndex.search(allowed=...)).
 
     Single Spark job: idf rides into the shard kernels via a broadcast
     join of the (pruned) term_stats — no separate driver-side idf lookup
@@ -460,21 +486,25 @@ def bm25_topk_wand(
     avgdl = index.stats.avgdl
     mode_and = mode == "and"
     dead_bc = index.dead_broadcast()  # broadcast {shard: lid array} (or None)
+    scope_bc = index.scope_broadcast(allowed_docids)
 
     def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
         dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
+        scope = scope_bc.value.get(shard, _NO_DEAD) if scope_bc is not None else None
         rows = [(r["term"], _enc_from_row(r)) for _, r in pdf.iterrows()]
         idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         if mode_and:
             if len(rows) < n_terms:
                 return pd.DataFrame({"shard": [], "lid": [], "score": []})
             if n_terms == 1:
-                res = _topk_single(rows[0][1], idf_b[rows[0][0]], avgdl, k, dead)
+                res = _topk_single(
+                    rows[0][1], idf_b[rows[0][0]], avgdl, k, dead, scope
+                )
             else:
-                res = _shard_kernel_and(rows, idf_b, avgdl, k, dead)
+                res = _shard_kernel_and(rows, idf_b, avgdl, k, dead, scope=scope)
         else:
-            res = _shard_kernel_or(rows, idf_b, avgdl, k, dead)
+            res = _shard_kernel_or(rows, idf_b, avgdl, k, dead, scope=scope)
         if not res:
             return pd.DataFrame({"shard": [], "lid": [], "score": []})
         return pd.DataFrame(

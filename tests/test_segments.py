@@ -348,3 +348,33 @@ def test_batch_phrase_equals_per_query(spark, seg_index, pages_pdf):
             for r in bm25_topk_phrase(seg_index, ph, k=10).collect()
         ]
         assert batch.get(qid, []) == exp, qid
+
+
+def test_scoped_search_matches_oracle(seg_index, oracle):
+    """allowed_docids (the reference's per-caller scope, F2/F3) restricts
+    AND and OR results exactly: equal to the oracle filtered to the same
+    scope, bit-exact scores, across head and multi-term queries."""
+    for name in ("q01", "q06", "q10"):
+        q = QUERIES[name]
+        full = oracle.search(q, k=50)
+        assert len(full) >= 6
+        allowed = [d for d, _ in full[1::2]][:10]  # every other hit
+        exp = oracle.search(q, k=10, allowed=allowed)
+        got = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_wand(seg_index, q, k=10, allowed_docids=allowed).collect()
+        ]
+        assert got == exp, name
+        exp_or = oracle.search_or(q, k=10, allowed=allowed)
+        got_or = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_wand(
+                seg_index, q, k=10, mode="or", allowed_docids=allowed
+            ).collect()
+        ]
+        assert got_or == exp_or, name
+    # empty scope -> empty result
+    assert (
+        bm25_topk_wand(seg_index, QUERIES["q01"], k=10, allowed_docids=[123]).count()
+        == 0
+    )
