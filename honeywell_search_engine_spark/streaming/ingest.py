@@ -38,8 +38,10 @@ def stream_postings_delta(
     n_shards: int = N_SHARDS,
     lang: str = "en",
 ) -> int:
-    """Drain all currently-available new page files into posting-row delta
-    directories. Returns the number of micro-batches processed.
+    """Drain all currently-available new page files into OCCURRENCE-row
+    delta directories (docid, doclen, term, pos — positional, so merged
+    indexes stay phrase-queryable). Returns the number of micro-batches
+    processed.
 
     Layout: {out_dir}/delta_batch=<id>/... parquet + manifest JSON per
     batch. Re-running after new files land processes only the new ones
