@@ -26,3 +26,30 @@ __version__ = "0.1.0"
 
 K1 = 1.2
 B = 0.75
+
+
+def __getattr__(name):
+    """Lazy top-level API (a reference user's one-stop surface) — imported
+    on first touch so `import honeywell_search_engine_spark` stays cheap
+    and circular-import-free."""
+    _api = {
+        "get_spark": ("honeywell_search_engine_spark.session", "get_spark"),
+        "build_segments": ("honeywell_search_engine_spark.index.segments", "build_segments"),
+        "SegmentIndex": ("honeywell_search_engine_spark.index.segments", "SegmentIndex"),
+        "bm25_topk_wand": ("honeywell_search_engine_spark.query.wand", "bm25_topk_wand"),
+        "bm25_topk_wand_batch": ("honeywell_search_engine_spark.query.wand", "bm25_topk_wand_batch"),
+        "bm25_topk_phrase": ("honeywell_search_engine_spark.query.wand", "bm25_topk_phrase"),
+        "bm25_topk_phrase_batch": ("honeywell_search_engine_spark.query.wand", "bm25_topk_phrase_batch"),
+        "CachedSearcher": ("honeywell_search_engine_spark.query.cache", "CachedSearcher"),
+        "delete_docs": ("honeywell_search_engine_spark.index.maintenance", "delete_docs"),
+        "compact": ("honeywell_search_engine_spark.index.maintenance", "compact"),
+        "merge_deltas": ("honeywell_search_engine_spark.index.maintenance", "merge_deltas"),
+        "stream_postings_delta": ("honeywell_search_engine_spark.streaming.ingest", "stream_postings_delta"),
+        "search_response": ("honeywell_search_engine_spark.operators.serving", "search_response"),
+    }
+    if name in _api:
+        import importlib
+
+        mod, attr = _api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
