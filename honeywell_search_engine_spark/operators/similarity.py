@@ -265,6 +265,7 @@ def pairwise_cosine_dupes_lsh(
     threshold: float = 0.95,
     dim: int = 64,
     n_planes: int = 12,
+    probe_hamming: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -273,22 +274,43 @@ def pairwise_cosine_dupes_lsh(
     all-pairs join never materializes; the only shuffle keys on the bucket
     signature. Cosine-similar vectors agree on each hyperplane with
     probability 1 - angle/pi, so high-threshold dupes land in one bucket
-    with high probability (recall tunable via fewer planes / multiple
-    tables). Returns (id_a, id_b, cos_r) — approximate by construction
-    (bucket recall), every returned cosine exact."""
+    with high probability. `probe_hamming=1` is multi-probe: the LEFT side
+    additionally enters every bucket one bit-flip away (n_planes+1 keys per
+    row), catching pairs that disagree on exactly one plane — recall rises
+    at (n_planes+1)x candidate cost, still never all-pairs.
+    Returns (id_a, id_b, cos_r) — approximate by construction (bucket
+    recall), every returned cosine exact."""
     planes = rp_planes_md5(dim, n_planes)
     with_sig = rp_signatures_col(
         embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
         planes,
         "v",
     )
-    l = with_sig.select(
-        F.col("vid").alias("id_a"), F.col("v").alias("va"), "sig"
-    )
     r = with_sig.select(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"), "sig"
     )
-    pairs = l.join(r, "sig").filter(F.col("id_a") < F.col("id_b"))
+    if probe_hamming == 0:
+        l = with_sig.select(
+            F.col("vid").alias("id_a"), F.col("v").alias("va"), "sig"
+        )
+        pairs = l.join(r, "sig")
+    else:
+        # multi-probe: explode the left side into its own bucket plus the
+        # n_planes hamming-1 neighbors; join on the right side's exact sig
+        probes = F.array(
+            F.col("sig"),
+            *[
+                F.col("sig").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(n_planes)
+            ],
+        )
+        l = with_sig.select(
+            F.col("vid").alias("id_a"),
+            F.col("v").alias("va"),
+            F.explode(probes).alias("sig"),
+        )
+        pairs = l.join(r, "sig").dropDuplicates(["id_a", "id_b"])
+    pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
         pairs.withColumn("cos", cos)

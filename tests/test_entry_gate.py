@@ -130,3 +130,34 @@ def test_ivf_indexed_equals_inflight_and_prunes(spark, tmp_path):
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_multiprobe_lsh_dupes_superset(spark):
+    """probe_hamming=1 recall is a superset of exact-bucket recall, with
+    identical cosines, and stays a subset of the exact all-pairs result."""
+    from pyspark.sql import functions as F
+
+    from honeywell_search_engine_spark.operators.similarity import (
+        pairwise_cosine_dupes,
+        pairwise_cosine_dupes_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_r"]
+        for r in pairwise_cosine_dupes(emb, threshold=0.35).collect()
+    }
+    p0 = {
+        (r["id_a"], r["id_b"]): r["cos_r"]
+        for r in pairwise_cosine_dupes_lsh(emb, threshold=0.35, n_planes=6).collect()
+    }
+    p1 = {
+        (r["id_a"], r["id_b"]): r["cos_r"]
+        for r in pairwise_cosine_dupes_lsh(
+            emb, threshold=0.35, n_planes=6, probe_hamming=1
+        ).collect()
+    }
+    assert set(p0) <= set(p1) <= set(exact)
+    assert len(p1) > len(p0)  # multi-probe actually recovered extra pairs
+    for k, v in p1.items():
+        assert exact[k] == v  # every returned cosine exact

@@ -378,3 +378,31 @@ def test_scoped_search_matches_oracle(seg_index, oracle):
         bm25_topk_wand(seg_index, QUERIES["q01"], k=10, allowed_docids=[123]).count()
         == 0
     )
+
+
+def test_assign_local_ids_partition_independent(spark):
+    """Local-id assignment is a pure function of the docid SET: identical
+    under wildly different input partitionings, and ids are dense 0..n-1
+    per shard."""
+    from pyspark.sql import functions as F
+
+    from honeywell_search_engine_spark.index.docmap import assign_local_ids
+
+    ids = spark.range(0, 5000).select(
+        (F.xxhash64("id").bitwiseAND(F.lit((1 << 60) - 1))).alias("docid")
+    )
+    a = {
+        (r["shard"], r["docid"]): r["local_id"]
+        for r in assign_local_ids(ids.repartition(1), 4).collect()
+    }
+    b = {
+        (r["shard"], r["docid"]): r["local_id"]
+        for r in assign_local_ids(ids.repartition(13), 4).collect()
+    }
+    assert a == b and len(a) == 5000
+    # dense per shard: 0..count-1
+    per_shard = {}
+    for (s, _), lid in a.items():
+        per_shard.setdefault(s, []).append(lid)
+    for s, lids in per_shard.items():
+        assert sorted(lids) == list(range(len(lids))), s
