@@ -133,7 +133,21 @@ def compact(spark: SparkSession, index_dir: str, _fail_at: str | None = None) ->
         with open(f"{index_dir}/stats.json") as f:
             meta = json.load(f)
         return _finish_compact(spark, index_dir, meta, st)
-    dead = load_tombstones(index_dir)
+    # snapshot the tombstone FILES first, then read exactly those: the
+    # staged computation covers precisely this set, and _finish_compact
+    # removes ONLY these files — a delete_docs racing (or landing between
+    # a crash at 'staged' and the resume) keeps its tombstone for the
+    # next compaction instead of being silently wiped (round-2 advice)
+    tdir = os.path.join(index_dir, "tombstones")
+    ts_files = (
+        sorted(f for f in os.listdir(tdir) if f.endswith(".json"))
+        if os.path.isdir(tdir)
+        else []
+    )
+    dead: set[int] = set()
+    for fn in ts_files:
+        with open(os.path.join(tdir, fn)) as f:
+            dead.update(json.load(f)["docids"])
     if not dead:
         return {"compacted": 0}
 
@@ -212,23 +226,17 @@ def compact(spark: SparkSession, index_dir: str, _fail_at: str | None = None) ->
     # swap starts, the dead docs leave the docmap and a rerun could no
     # longer recompute n_removed — the journal carries the answer across
     # any crash (tests kill between every step)
-    _write_manifest(
-        index_dir,
-        "compact_state.json",
-        {
-            "status": "staged",
-            "n_docs": new_n,
-            "avgdl": new_avgdl,
-            "n_removed": n_removed,
-        },
-    )
+    st = {
+        "status": "staged",
+        "n_docs": new_n,
+        "avgdl": new_avgdl,
+        "n_removed": n_removed,
+        "tombstone_files": ts_files,
+    }
+    _write_manifest(index_dir, "compact_state.json", st)
     if _fail_at == "staged":
         raise RuntimeError("injected failure at staged")
-    return _finish_compact(
-        spark, index_dir, meta,
-        {"n_docs": new_n, "avgdl": new_avgdl, "n_removed": n_removed},
-        _fail_at,
-    )
+    return _finish_compact(spark, index_dir, meta, st, _fail_at)
 
 
 def _finish_compact(
@@ -256,7 +264,20 @@ def _finish_compact(
             f"bucket_{b}.json",
             {**prev, **chks[b], "status": "complete", "generation": gen},
         )
-    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+    # remove ONLY the tombstone files this compaction folded in (recorded
+    # at staging) — tombstones issued afterwards, including during a
+    # crash/resume gap, stay for the next compaction instead of being
+    # resurrected-by-deletion (round-2 advice)
+    tdir = f"{index_dir}/tombstones"
+    folded = st.get("tombstone_files")
+    if folded is None:
+        shutil.rmtree(tdir, ignore_errors=True)  # pre-journal-format state
+    else:
+        for fn in folded:
+            try:
+                os.remove(os.path.join(tdir, fn))
+            except FileNotFoundError:
+                pass  # idempotent re-run
     _write_manifest(index_dir, "compact_state.json", {"status": "complete"})
     return {
         "compacted": st["n_removed"],
@@ -315,6 +336,12 @@ def merge_deltas(
 ) -> dict:
     """Fold streaming posting deltas (streaming/ingest.py) into the main
     index, exactly, idempotently, and crash-safely.
+
+    Upsert semantics: a NEW docid gets an appended lid; a RE-INGESTED
+    docid (a re-crawled url) keeps its lid but its old occurrence rows are
+    replaced wholesale and its doclen refreshed — never unioned on top
+    (that would double tf). If a docid appears in several pending batches,
+    the newest batch wins.
 
     New documents shift N/avgdl and per-term df — scores of EVERY document
     legitimately change. Segments stay cheap to update because:
@@ -395,11 +422,19 @@ def merge_deltas(
         _write_merge_state(index_dir, state)
 
         # delta layout columns are untrusted: recompute shard/bucket from
-        # THIS index's moduli
+        # THIS index's moduli. Latest-batch-wins per docid: a docid
+        # re-ingested across pending batches keeps only its NEWEST
+        # occurrence rows (one window over the small delta slice).
+        from pyspark.sql import Window
+
+        w_doc = Window.partitionBy("docid")
         delta = (
             delta_postings(spark, delta_dir)
             .filter(F.col("delta_batch").isin(batch_ids))
-            .select("docid", "doclen", "term", "pos")
+            .select("docid", "doclen", "term", "pos", "delta_batch")
+            .withColumn("_mx", F.max("delta_batch").over(w_doc))
+            .filter(F.col("delta_batch") == F.col("_mx"))
+            .drop("_mx", "delta_batch")
             .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
         )
         affected = sorted(
@@ -407,21 +442,59 @@ def merge_deltas(
         )
         # ---- docmap: new docs get lids APPENDED after each shard's max —
         # existing posting lists never shift (docmap.append_local_ids).
+        # A RE-INGESTED docid (already in the docmap) keeps its lid but
+        # REPLACES its document: its base occurrence rows are dropped
+        # (every bucket they touch joins the affected set) and its doclen
+        # is refreshed — tf never double-counts (round-2 advice). The
+        # re-ingested set is delta-sized, i.e. small relative to the
+        # corpus, so it rides broadcast joins like tombstones do.
         from honeywell_search_engine_spark.index.docmap import append_local_ids
 
         base_dm = spark.read.parquet(f"{index_dir}/docmap")
-        new_docs = (
-            delta.groupBy("docid")
-            .agg(F.first("doclen").alias("doclen"))
-            .join(base_dm.select("docid"), "docid", "left_anti")
-        )
+        delta_docs = delta.groupBy("docid").agg(F.first("doclen").alias("doclen"))
+        new_docs = delta_docs.join(base_dm.select("docid"), "docid", "left_anti")
+        reingested = delta_docs.join(base_dm.select("docid"), "docid", "left_semi")
+        n_reingested = reingested.count()
         new_rows = append_local_ids(base_dm, new_docs, n_shards)
         n_added = new_rows.count()
-        base_dm.unionByName(new_rows).write.mode("overwrite").parquet(docmap_staged)
+        re_pairs = None
+        if n_reingested:
+            dm_out = (
+                base_dm.join(
+                    F.broadcast(
+                        reingested.select("docid", F.col("doclen").alias("_new_dl"))
+                    ),
+                    "docid",
+                    "left",
+                )
+                .withColumn(
+                    "doclen",
+                    F.coalesce(F.col("_new_dl").cast("long"), F.col("doclen")),
+                )
+                .drop("_new_dl")
+            )
+            re_pairs = (
+                base_dm.join(
+                    F.broadcast(reingested.select("docid")), "docid", "left_semi"
+                ).select("shard", F.col("local_id").alias("lid"))
+            )
+            extra = [
+                r["bucket"]
+                for r in spark.read.parquet(f"{index_dir}/postings")
+                .join(F.broadcast(re_pairs), ["shard", "lid"], "left_semi")
+                .select("bucket")
+                .distinct()
+                .collect()
+            ]
+            affected = sorted(set(affected) | set(extra))
+        else:
+            dm_out = base_dm
+        dm_out.unionByName(new_rows).write.mode("overwrite").parquet(docmap_staged)
         staged_dm = spark.read.parquet(docmap_staged)
 
         # delta occurrence rows -> lid space, matching base layout (a
-        # re-ingested docid joins to its EXISTING lid)
+        # re-ingested docid joins to its EXISTING lid; its stale base
+        # rows were anti-joined away above)
         occ_delta = delta.join(
             staged_dm.select("docid", "shard", F.col("local_id").alias("lid")),
             "docid",
@@ -431,6 +504,8 @@ def merge_deltas(
             .filter(F.col("bucket").isin(affected))
             .select("lid", "doclen", "term", "shard", "bucket", "pos")
         )
+        if re_pairs is not None:
+            base = base.join(F.broadcast(re_pairs), ["shard", "lid"], "left_anti")
         (
             base.unionByName(occ_delta)
             .repartition(F.col("term"), F.col("shard"))

@@ -195,15 +195,21 @@ def simhash_candidates(
     bands: int = 4,
 ) -> DataFrame:
     """Near-dup candidate pairs from the 64-bit SimHash: band the hash into
-    `bands` equal bit-slices and group on each — two docs within
-    `max_hamming` <= 64/bands * (bands-1) bit flips share at least one
-    intact band (pigeonhole), so banding has PERFECT recall up to
-    (bands-1) flips-per-band-boundary and the exact hamming filter after
-    the bucket join removes false positives. All-pairs never materializes;
-    the only shuffle keys on (band, slice value).
+    `bands` equal bit-slices and group on each; the exact hamming filter
+    after the bucket join removes false positives. All-pairs never
+    materializes; the only shuffle keys on (band, slice value).
 
-    Returns (docid_a < docid_b, hamming) for pairs with hamming <=
-    max_hamming. Fully DuckDB-mirrorable (bit slicing + xor + bit_count)."""
+    Recall: by pigeonhole, two docs share at least one INTACT band — and
+    are therefore guaranteed to be candidates — whenever their hamming
+    distance <= bands-1. Pairs with hamming in (bands-1, max_hamming]
+    are returned only if their flips happen to leave some band intact
+    (approximate recall; with the defaults bands=4, max_hamming=8 a pair
+    at distance 4-8 whose flips touch all four bands is missed). For
+    guaranteed recall at max_hamming, pass bands > max_hamming.
+
+    Returns (docid_a < docid_b, hamming) for DISCOVERED pairs with
+    hamming <= max_hamming. Fully DuckDB-mirrorable (bit slicing + xor +
+    bit_count)."""
     assert 64 % bands == 0
     width = 64 // bands
     sig = simhash64(docs, id_col, text_col)

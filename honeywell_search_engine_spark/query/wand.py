@@ -146,13 +146,19 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
     Score-bound pruning (`prune`, exact): with more candidates than k, each
     candidate's upper bound U = (driver's EXACT contribution) + sum over
     the other terms of idf * bmax_u of the block that would hold it —
-    block METADATA only, nothing decoded. The driver's exact contribution
-    alone is a lower bound, so theta = k-th largest of it bounds the k-th
-    true score from below; candidates with U < theta can never reach the
-    top-k (boundary ties included: a tie at the k-th score would need
-    S = S_kth >= theta > U >= S). Dropping them BEFORE the selective
-    decode shrinks the set of blocks the big lists must decode — the win
-    grows with head-term tf skew."""
+    block METADATA only, nothing decoded. theta is derived ONLY from
+    documents verified against the full conjunction: the top-k candidates
+    by driver contribution are intersected first (≤k candidates — cheap),
+    and if at least k of them survive, the k-th largest of their TRUE
+    scores lower-bounds the shard's k-th true conjunctive score, so any
+    candidate with U < theta can never reach the top-k (boundary ties
+    included: a tie at the k-th score would need S = S_kth >= theta >
+    U >= S, and every doc with S >= theta has U >= S >= theta so it
+    survives). If fewer than k of the probed candidates complete the
+    conjunction there is no sound theta and score pruning is skipped —
+    only the always-valid "past the last block" drop applies. (An earlier
+    version took theta from UNVERIFIED driver contributions, which
+    over-prunes when high-driver-score docs fail the intersection.)"""
     term_rows = sorted(term_rows, key=lambda tr: tr[1].n)
     t0, e0 = term_rows[0]
     pl0 = codec.decode_postings(e0)
@@ -169,7 +175,7 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
         tf_cols[t0] = (tfs0[m], dls0[m])
     if prune and cand.size > k:
         tfs0, dls0 = tf_cols[t0]
-        exact0 = idf[t0] * _u_exact(tfs0, dls0, avgdl)  # lower bound = exact driver part
+        exact0 = idf[t0] * _u_exact(tfs0, dls0, avgdl)  # exact driver part
         ub = exact0.copy()
         keep_any = np.ones(cand.size, dtype=bool)
         ci = cand.astype(np.int64)
@@ -178,14 +184,44 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
             valid = b < enc.bmax_docid.size
             keep_any &= valid  # beyond t's last block -> AND can never hold
             ub[valid] += idf[t] * enc.bmax_u[b[valid]]
-        theta = np.partition(exact0, exact0.size - k)[exact0.size - k]
-        keep = keep_any & (ub >= theta)
+        # probe: verify the k best-by-driver candidates against the full
+        # conjunction (selective decode over ≤k docids — a handful of
+        # blocks per list) and take theta from their TRUE scores
+        probe_idx = np.sort(np.argpartition(exact0, exact0.size - k)[exact0.size - k:])
+        v_cand, v_cols = _intersect_selective(
+            term_rows[1:], cand[probe_idx],
+            {t0: (tfs0[probe_idx], dls0[probe_idx])},
+        )
+        theta = None
+        if v_cand.size >= k:
+            v_score = np.zeros(v_cand.size, dtype=np.float64)
+            for t in sorted(v_cols):
+                tfs, dls = v_cols[t]
+                v_score += idf[t] * _u_exact(tfs, dls, avgdl)
+            theta = np.partition(v_score, v_score.size - k)[v_score.size - k]
+        keep = keep_any if theta is None else keep_any & (ub >= theta)
         if not keep.all():
             cand = cand[keep]
             tf_cols[t0] = (tfs0[keep], dls0[keep])
-    for t, enc in term_rows[1:]:
+    cand, tf_cols = _intersect_selective(term_rows[1:], cand, tf_cols)
+    if cand.size == 0:
+        return []
+    # exact scores, lexicographic term order (oracle bit-parity)
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in sorted(tf_cols):
+        tfs, dls = tf_cols[t]
+        score += idf[t] * _u_exact(tfs, dls, avgdl)
+    return _select_topk_with_ties(cand.astype(np.int64), score, k)
+
+
+def _intersect_selective(rest_rows: list, cand: np.ndarray, tf_cols: dict):
+    """Intersect `cand` (ascending docids, with driver tf columns already
+    in tf_cols) against every (term, EncodedList) in rest_rows, decoding
+    ONLY the blocks that can contain a surviving candidate. Returns the
+    matched (cand, tf_cols) with one (tfs, doclens) column per term."""
+    for t, enc in rest_rows:
         if cand.size == 0:
-            return []
+            return cand, tf_cols
         nblocks = enc.bmax_docid.size
         blocks = _candidate_blocks(enc, cand.astype(np.int64))
         valid = blocks < nblocks  # candidates beyond the last block can't match
@@ -203,14 +239,7 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
             tf_cols[tt] = (tf_cols[tt][0][keep], tf_cols[tt][1][keep])
         tf_cols[t] = (pl.tfs[sel], pl.doclens[sel])
         cand = cand[keep]
-    if cand.size == 0:
-        return []
-    # exact scores, lexicographic term order (oracle bit-parity)
-    score = np.zeros(cand.size, dtype=np.float64)
-    for t in sorted(tf_cols):
-        tfs, dls = tf_cols[t]
-        score += idf[t] * _u_exact(tfs, dls, avgdl)
-    return _select_topk_with_ties(cand.astype(np.int64), score, k)
+    return cand, tf_cols
 
 
 def _or_block_prune(term_rows: list, idf: dict[str, float], avgdl: float,

@@ -140,3 +140,44 @@ def test_compact_crash_resume(spark, pages_path, pages_pdf, tmp_path, fail_at):
     )
     got = [(r["docid"], r["score"]) for r in bm25_topk_wand(idx, q, k=10).collect()]
     assert got == reduced.search(q, k=10)
+
+
+def test_compact_resume_keeps_tombstones_issued_after_staging(
+    spark, pages_path, pages_pdf, tmp_path
+):
+    """Regression (round-2 advice, maintenance._finish_compact): a
+    delete_docs landing between a crash at 'staged' and the resumed
+    commit must NOT be wiped by the resume — the doc stays filtered at
+    query time and the NEXT compaction folds it in. The journal records
+    the exact tombstone files staged; finish removes only those."""
+    out = str(tmp_path / "idx")
+    pages = read_pages(spark, pages_path)
+    build_segments(
+        tokenized_docs(docs_from_pages(pages)), out, pages_path,
+        n_buckets=8, n_shards=4, buckets_per_job=8,
+    )
+    idx0 = SegmentIndex(spark, out)
+    q = marker_term(0)
+    hits = [r["docid"] for r in bm25_topk_wand(idx0, q, k=100).collect()]
+    assert len(hits) >= 3
+    v1, v2 = hits[:2], hits[2:3]
+
+    delete_docs(out, v1, reason="first wave")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        compact(spark, out, _fail_at="staged")
+    delete_docs(out, v2, reason="landed during the crash window")
+
+    summary = compact(spark, out)  # resumes the staged commit (v1 only)
+    assert summary["compacted"] == 2
+    idx1 = SegmentIndex(spark, out)
+    # v2's tombstone survived the resume: doc filtered immediately
+    assert set(idx1.tombstones) == set(v2)
+    after = [r["docid"] for r in bm25_topk_wand(idx1, q, k=100).collect()]
+    assert set(after) == set(hits) - set(v1) - set(v2)
+
+    # and the next compaction folds v2 in
+    summary2 = compact(spark, out)
+    assert summary2["compacted"] == 1
+    idx2 = SegmentIndex(spark, out)
+    assert not idx2.tombstones
+    assert idx2.stats.n_docs == idx0.stats.n_docs - 3

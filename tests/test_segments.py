@@ -226,6 +226,43 @@ def test_and_score_bound_pruning_exact_and_cheaper(monkeypatch):
     assert pruned_blocks < full_blocks, (pruned_blocks, full_blocks)
 
 
+def test_and_pruning_sound_when_high_driver_docs_fail_conjunction():
+    """Regression (round-2 advice, wand.py theta): theta must come from
+    documents VERIFIED against the conjunction. Adversarial shard: the
+    driver term has 40 high-tf docs that all LACK the second term, plus
+    one low-tf doc that contains it. An unverified theta (k-th driver
+    contribution) exceeds the lone true match's score and pruned it to
+    []; the sound kernel must return it, identically to prune=False."""
+    import numpy as np
+
+    from honeywell_search_engine_spark.index import codec
+    from honeywell_search_engine_spark.query.wand import _shard_kernel_and
+
+    avgdl = 100.0
+    # driver t0: docs 1..40 with tf=20 (no t1), doc 1000 with tf=1 (has t1)
+    d0 = np.concatenate(
+        [np.arange(1, 41, dtype=np.uint64), np.array([1000], dtype=np.uint64)]
+    )
+    tf0 = np.concatenate(
+        [np.full(40, 20, dtype=np.uint64), np.array([1], dtype=np.uint64)]
+    )
+    dl0 = np.full(d0.size, 100, dtype=np.uint64)
+    # t1: docs 1000..1999, tf=1
+    d1 = np.arange(1000, 2000, dtype=np.uint64)
+    tf1 = np.ones(d1.size, dtype=np.uint64)
+    dl1 = np.full(d1.size, 100, dtype=np.uint64)
+    rows = [
+        ("t0", codec.encode_postings(d0, tf0, dl0, avgdl)),
+        ("t1", codec.encode_postings(d1, tf1, dl1, avgdl)),
+    ]
+    idf = {"t0": 2.0, "t1": 0.5}
+    res_full = _shard_kernel_and(rows, idf, avgdl, k=10, prune=False)
+    res_pruned = _shard_kernel_and(rows, idf, avgdl, k=10, prune=True)
+    assert res_full, "fixture must have exactly one true conjunctive match"
+    assert [d for d, _ in res_full] == [1000]
+    assert res_pruned == res_full
+
+
 def test_near_topk_matches_oracle(spark, seg_index, oracle, pages_pdf):
     """Ordered-NEAR (slop) top-k == oracle at slop 1 and 2; slop widens or
     keeps the hit set vs the exact phrase."""

@@ -317,3 +317,83 @@ def test_full_lifecycle_build_delete_compact_merge(spark, tmp_path):
     assert [
         (r["docid"], r["score"]) for r in bm25_topk_phrase(idx, ph, k=10).collect()
     ] == oracle.search_phrase(ph, k=10)
+
+
+def test_merge_deltas_reingest_replaces_documents(spark, tmp_path):
+    """Regression (round-2 advice, maintenance.merge_deltas): re-ingesting
+    an EXISTING docid must REPLACE its occurrence rows and refresh its
+    doclen — not union on top (which double-counted tf, duplicated
+    positions, and left the docmap doclen stale). Two re-ingest waves in
+    separate delta batches also pin latest-batch-wins. Merged index ==
+    from-scratch build of the UPDATED corpus: N, avgdl, BM25 scores and
+    phrase positions all exact."""
+    from honeywell_search_engine_spark.index.corpus import docid_py
+    from honeywell_search_engine_spark.index.maintenance import merge_deltas
+    from honeywell_search_engine_spark.index.segments import SegmentIndex, build_segments
+    from honeywell_search_engine_spark.oracle import OracleIndex
+    from honeywell_search_engine_spark.query.wand import bm25_topk_phrase, bm25_topk_wand
+    from honeywell_search_engine_spark.sources.pages import marker_term
+
+    pdf = generate_pages_pdf(300)
+    base_dir, idx_dir = str(tmp_path / "pages_base"), str(tmp_path / "idx")
+    _write_slice(spark, pdf, 0, 300, base_dir)
+    base = spark.read.schema(PAGES_SCHEMA).parquet(base_dir)
+    build_segments(
+        tokenized_docs(docs_from_pages(base)), idx_dir, base_dir,
+        n_buckets=8, n_shards=4, buckets_per_job=8,
+    )
+
+    stream_dir, delta_dir = str(tmp_path / "pages_re"), str(tmp_path / "delta_re")
+    # wave 1: re-crawl docs 0..20 with drifted text + 10 genuinely new urls
+    wave1 = pdf.iloc[0:20].copy()
+    wave1["text"] = wave1["text"].astype(str) + " zzalpha zzbeta zzalpha"
+    fresh = pdf.iloc[40:50].copy()
+    fresh["url"] = fresh["url"].astype(str) + "?v=2"
+    import pandas as pd  # noqa: F811
+
+    w1 = pd.concat([wave1, fresh], ignore_index=True)
+    os.makedirs(stream_dir, exist_ok=True)
+    spark.createDataFrame(w1, schema=PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dir)
+    stream_postings_delta(spark, stream_dir, delta_dir, n_buckets=8, n_shards=4)
+    # wave 2 (later batch): docs 0..10 re-crawled AGAIN — this version wins
+    wave2 = pdf.iloc[0:10].copy()
+    wave2["text"] = wave2["text"].astype(str) + " zzgamma zzdelta"
+    spark.createDataFrame(wave2, schema=PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dir)
+    stream_postings_delta(spark, stream_dir, delta_dir, n_buckets=8, n_shards=4)
+
+    summary = merge_deltas(spark, idx_dir, delta_dir)
+    assert summary["docs_added"] == int((fresh.lang == "en").sum())
+
+    # expected corpus: wave2 for 0..10, wave1 for 10..20, base for the
+    # rest, plus the fresh docs
+    updated = pd.concat(
+        [wave2, wave1.iloc[10:20], pdf.iloc[20:300], fresh], ignore_index=True
+    )
+    en = updated[updated.lang == "en"]
+    oracle = OracleIndex.build([(docid_py(u), t) for u, t in zip(en.url, en.text)])
+    idx = SegmentIndex(spark, idx_dir)
+    assert idx.stats.n_docs == oracle.n_docs
+    assert abs(idx.stats.avgdl - oracle.avgdl) < 1e-9
+    for q in ("data", "zzalpha", "zzgamma", marker_term(0), "data search"):
+        exp = oracle.search(q, k=10)
+        got = [
+            (r["docid"], r["score"]) for r in bm25_topk_wand(idx, q, k=10).collect()
+        ]
+        assert got == exp, q
+    # positions replaced, not appended: phrase over the NEW text matches
+    # the oracle, and the wave-1 phrase no longer hits the wave-2 docs
+    for ph in ("zzalpha zzbeta", "zzgamma zzdelta"):
+        exp = oracle.search_phrase(ph, k=20)
+        got = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_phrase(idx, ph, k=20).collect()
+        ]
+        assert got == exp, ph
+
+    # idempotence still holds with re-ingests in the registry
+    again = merge_deltas(spark, idx_dir, delta_dir)
+    assert again["docs_added"] == 0
