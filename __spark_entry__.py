@@ -252,8 +252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), FLAGSHIP_QUERY, k=10
     )
     q["search_history"] = lambda s, d: _search_history(s, d)
-    # rows-only: hierarchical chunking stats (pure-Python oracle lives in
-    # tests/test_chunking.py instead of SQL)
+    # hierarchical chunking stats — oracled via a VALUES literal computed
+    # driver-side by the shared pure-Python kernel (_chunk_stats_oracle)
     q["chunk_stats"] = lambda s, d: _chunk_stats(s, d)
 
     return q
@@ -1068,4 +1068,35 @@ SELECT user_id,
          AS rrf_score
 FROM f ORDER BY rrf_score DESC, user_id"""
 
+    o["chunk_stats"] = _chunk_stats_oracle()
+
     return o
+
+
+def _chunk_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Greedy hierarchical packing is recursive — not expressible as one
+    SQL query — so the expected rows are computed driver-side by the SAME
+    pure-Python kernel the pytest oracle uses (functions/chunking.py,
+    semantics cited against reference backend/app/worker/chunking.py) over
+    the sf0.01 documents table the driver compares at, and emitted as a
+    VALUES literal. The driver still value-checks rows + schema + hash."""
+    import pyarrow.parquet as pq
+
+    from honeywell_search_engine_spark.functions.chunking import chunk_rows
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    agg: dict[str, tuple[int, int, int]] = {}
+    for txt in tbl.column("text").to_pylist():
+        for kind, _p, _c, _t, tok in chunk_rows(txt or ""):
+            n, s, m = agg.get(kind, (0, 0, 0))
+            agg[kind] = (n + 1, s + tok, max(m, tok))
+    rows = ", ".join(
+        f"('{k}', {n}, {s}, {m})" for k, (n, s, m) in sorted(agg.items())
+    )
+    return (
+        "SELECT kind, CAST(n_chunks AS BIGINT) AS n_chunks, "
+        "CAST(total_tokens AS BIGINT) AS total_tokens, "
+        "CAST(max_tokens AS INT) AS max_tokens "
+        f"FROM (VALUES {rows}) AS t(kind, n_chunks, total_tokens, max_tokens) "
+        "ORDER BY kind"
+    )

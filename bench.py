@@ -129,20 +129,90 @@ def main() -> None:
     extra: dict = {}
 
     # ---- part 1: headline queries at SF_DIR ------------------------------
+    # every timing in this file is min-of-K: this shared VM's capacity
+    # swings ±30-300% between minutes, so a single shot measures the
+    # neighbors, not the code (the round-2 artifact recorded a phantom 66%
+    # regression exactly this way)
     spark = fresh_spark(CPUS, "bench-headline")
     qs = E.queries()
     # warm the JVM once (codegen compile + parquet footprint) so per-query
     # numbers measure query cost, not first-touch cost; the BM25 plan has
     # the most codegen surface, so warm with it
     qs["bm25_single"](spark, SF_DIR).collect()
+    head_reps = int(os.environ.get("BENCH_HEADLINE_REPS", "2"))
     total = 0.0
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).collect()
-        dt = time.time() - t0
-        results[name] = round(dt, 3)
-        total += dt
-        log(f"[bench] {name}: {dt:.2f}s")
+        best = None
+        for _ in range(head_reps):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = round(best, 3)
+        total += best
+        log(f"[bench] {name}: {best:.2f}s (min of {head_reps})")
+
+    # ANN quality: the dupes/ANN gates prove bucket arithmetic, recall is
+    # a measured property — recall@10 of the LSH and IVF paths vs exact
+    # bruteforce, and pair recall of the LSH near-dup path vs the exact
+    # pairwise slice, at the driver's correctness SF
+    rec_dir = os.environ.get("BENCH_RECALL_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        exact = {r["vec_id"] for r in qs["knn_bruteforce"](spark, rec_dir).collect()}
+        lsh = {r["vec_id"] for r in qs["knn_lsh"](spark, rec_dir).collect()}
+        ivf = {r["vec_id"] for r in qs["knn_ivf"](spark, rec_dir).collect()}
+        extra["knn_lsh_recall_at_10"] = round(len(lsh & exact) / len(exact), 3)
+        extra["knn_ivf_recall_at_10"] = round(len(ivf & exact) / len(exact), 3)
+        pe = {
+            (r["id_a"], r["id_b"])
+            for r in qs["cosine_dupes"](spark, rec_dir).collect()
+        }
+        pl = {
+            (r["id_a"], r["id_b"])
+            for r in qs["cosine_dupes_lsh"](spark, rec_dir).collect()
+        }
+        extra["cosine_dupes_lsh_pair_recall"] = (
+            round(len(pl & pe) / len(pe), 3) if pe else None
+        )
+        log(f"[bench] ANN recall@10: lsh {extra['knn_lsh_recall_at_10']}, "
+            f"ivf {extra['knn_ivf_recall_at_10']}; dupes pair recall "
+            f"{extra['cosine_dupes_lsh_pair_recall']}")
+
+        # the sf embeddings are UNIFORM RANDOM (top-10 cosines 0.28-0.37
+        # vs bulk ~0.25): with no cluster structure, recall ~= selectivity
+        # for ANY sublinear method — the numbers above measure the data,
+        # not the operators. Real embedding corpora are clustered; plant
+        # 50 clusters x 10 points (deterministic seed) and measure the
+        # SAME operators at their defaults.
+        import numpy as _np
+
+        from honeywell_search_engine_spark.operators import similarity as _sim
+
+        _rng = _np.random.default_rng(11)
+        _centers = _rng.standard_normal((50, 64))
+        _V = _np.repeat(_centers, 10, axis=0) + 0.25 * _rng.standard_normal((500, 64))
+        _q = (_centers[0] + 0.25 * _rng.standard_normal(64)).tolist()
+        emb_c = spark.createDataFrame(
+            [(i + 1, v.tolist()) for i, v in enumerate(_V)],
+            "vec_id long, embedding array<double>",
+        )
+        exact_c = {
+            r["vec_id"]
+            for r in _sim.cosine_topk_bruteforce(emb_c, _q, k=10).collect()
+        }
+        lsh_c = {
+            r["vec_id"] for r in _sim.cosine_ann_lsh(emb_c, _q, k=10).collect()
+        }
+        ivf_c = {
+            r["vec_id"] for r in _sim.cosine_ann_ivf(emb_c, _q, k=10).collect()
+        }
+        extra["knn_lsh_recall_clustered"] = round(len(lsh_c & exact_c) / 10, 3)
+        extra["knn_ivf_recall_clustered"] = round(len(ivf_c & exact_c) / 10, 3)
+        log(f"[bench] clustered-corpus recall@10: "
+            f"lsh {extra['knn_lsh_recall_clustered']}, "
+            f"ivf {extra['knn_ivf_recall_clustered']}")
+    except Exception as ex:  # recall is reporting, not a gate
+        log(f"[bench] recall measurement skipped: {ex}")
 
     # ---- part 2+3: index build at two parallelism levels ------------------
     # (the north_rule's N-vs-4N criterion: same job, same input, two core
@@ -158,7 +228,7 @@ def main() -> None:
     # burn itself varies ~30% between runs), so each level is built twice
     # in one warm JVM and the BEST time is kept — min-of-K under noisy
     # neighbors measures the code, not the neighbor
-    reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
+    reps = int(os.environ.get("BENCH_BUILD_REPS", "3"))
     times = {}
     core_levels = [N_LOW, N_HIGH] if RUN_SCALING else [N_HIGH]
     for cores in core_levels:
@@ -214,28 +284,68 @@ def main() -> None:
     spark = fresh_spark(CPUS, "bench-queries")
     idx = SegmentIndex(spark, f"{WORK}/idx_scale_{N_HIGH}")
     bm25_topk_wand(idx, "warmup query data", k=10).collect()  # compile pass
-    qtimes = []
-    t0 = time.time()
-    for qname, qtext in reference_queries().items():
-        tq = time.time()
-        bm25_topk_wand(idx, qtext, k=10).collect()
-        qtimes.append(time.time() - tq)
-    wand_total = time.time() - t0
-    qtimes.sort()
-    results["wand_20_queries"] = round(wand_total, 3)
+    # per-query latency = min over reps (per query, not per suite): the
+    # artifact must measure the engine, not a neighbor's noisy minute
+    q_reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+    per_q = {qn: [] for qn in reference_queries()}
+    for _ in range(q_reps):
+        for qname, qtext in reference_queries().items():
+            tq = time.time()
+            bm25_topk_wand(idx, qtext, k=10).collect()
+            per_q[qname].append(time.time() - tq)
+    qtimes = sorted(min(v) for v in per_q.values())
+    results["wand_20_queries"] = round(sum(qtimes), 3)
     extra["bm25_latency_median_sec"] = round(qtimes[len(qtimes) // 2], 3)
     extra["bm25_latency_p95_sec"] = round(qtimes[int(len(qtimes) * 0.95) - 1], 3)
+    extra["bm25_latency_reps"] = q_reps
+    log(f"[bench] wand 20 queries (min of {q_reps}): {sum(qtimes):.1f}s, "
+        f"median {extra['bm25_latency_median_sec']}s, "
+        f"p95 {extra['bm25_latency_p95_sec']}s")
 
     # batch mode: the whole reference set in ONE job (query-throughput path)
     from honeywell_search_engine_spark.query.wand import bm25_topk_wand_batch
 
-    t0 = time.time()
-    n_rows = bm25_topk_wand_batch(idx, reference_queries(), k=10).count()
-    batch_sec = time.time() - t0
+    batch_sec = None
+    for _ in range(q_reps):
+        t0 = time.time()
+        n_rows = bm25_topk_wand_batch(idx, reference_queries(), k=10).count()
+        dt = time.time() - t0
+        batch_sec = dt if batch_sec is None else min(batch_sec, dt)
     results["wand_20_queries_batch"] = round(batch_sec, 3)
     extra["bm25_batch_qps"] = round(len(reference_queries()) / batch_sec, 1)
     log(f"[bench] batch 20 queries: {batch_sec:.2f}s "
         f"({20/batch_sec:.1f} q/s, {n_rows} rows)")
+
+    # serving-node path (query/local.py): same kernels, pruned Arrow reads,
+    # no Spark job — the apples-to-apples answer to the reference's
+    # serving-process p95/qps targets. Cold = fresh instance (term LRU
+    # empty), warm = second pass.
+    from honeywell_search_engine_spark.query.local import ServingIndex
+
+    sv = ServingIndex(f"{WORK}/idx_scale_{N_HIGH}")
+    cold = []
+    for qtext in reference_queries().values():
+        tq = time.time()
+        sv.search(qtext, k=10)
+        cold.append(time.time() - tq)
+    warm_rounds = 5
+    warm = []
+    t0 = time.time()
+    for _ in range(warm_rounds):
+        for qtext in reference_queries().values():
+            tq = time.time()
+            sv.search(qtext, k=10)
+            warm.append(time.time() - tq)
+    serve_sec = time.time() - t0
+    cold.sort()
+    warm.sort()
+    extra["serving_cold_p95_sec"] = round(cold[int(len(cold) * 0.95) - 1], 4)
+    extra["serving_warm_p95_sec"] = round(warm[int(len(warm) * 0.95) - 1], 4)
+    extra["serving_warm_median_sec"] = round(warm[len(warm) // 2], 4)
+    extra["serving_qps"] = round(len(warm) / serve_sec, 1)
+    log(f"[bench] serving path: cold p95 {extra['serving_cold_p95_sec']}s, "
+        f"warm p95 {extra['serving_warm_p95_sec']}s, "
+        f"{extra['serving_qps']} q/s single-thread")
 
     # concurrent per-query streams (the reference's 100 q/s target is a
     # CONCURRENT-clients figure, PIPELINE.md:350): N threads share the
@@ -289,12 +399,18 @@ def main() -> None:
 
     ph = "data search"
     bm25_topk_phrase(idx, ph, k=10).collect()  # warm positional codegen
-    t0 = time.time()
-    n_ph = len(bm25_topk_phrase(idx, ph, k=10).collect())
-    extra["phrase_query_sec"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_nr = len(bm25_topk_phrase(idx, ph, k=10, slop=2).collect())
-    extra["near_query_sec"] = round(time.time() - t0, 3)
+    ph_best = nr_best = None
+    for _ in range(q_reps):
+        t0 = time.time()
+        n_ph = len(bm25_topk_phrase(idx, ph, k=10).collect())
+        dt = time.time() - t0
+        ph_best = dt if ph_best is None else min(ph_best, dt)
+        t0 = time.time()
+        n_nr = len(bm25_topk_phrase(idx, ph, k=10, slop=2).collect())
+        dt = time.time() - t0
+        nr_best = dt if nr_best is None else min(nr_best, dt)
+    extra["phrase_query_sec"] = round(ph_best, 3)
+    extra["near_query_sec"] = round(nr_best, 3)
     log(f"[bench] phrase {extra['phrase_query_sec']}s ({n_ph} rows), "
         f"near {extra['near_query_sec']}s ({n_nr} rows)")
 

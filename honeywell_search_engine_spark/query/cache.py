@@ -21,14 +21,27 @@ from honeywell_search_engine_spark.query.wand import bm25_topk_phrase, bm25_topk
 
 
 class CachedSearcher:
-    """LRU memo over bm25_topk_wand / bm25_topk_phrase collected rows."""
+    """LRU memo over the query surface. Misses are served by the
+    in-process serving path (query/local.ServingIndex — bit-exact with
+    the Spark plans, tested) by default, so a miss costs a pruned Arrow
+    read + numpy kernels instead of a Spark job; pass
+    ``local_misses=False`` to route misses through the Spark plans
+    (bm25_topk_wand / bm25_topk_phrase) instead — useful when the caller
+    wants the query inside a larger lazy pipeline."""
 
-    def __init__(self, index: SegmentIndex, capacity: int = 1024):
+    def __init__(
+        self, index: SegmentIndex, capacity: int = 1024, local_misses: bool = True
+    ):
         self.index = index
         self.capacity = capacity
         self._lru: OrderedDict[tuple, list] = OrderedDict()
         self.hits = 0
         self.misses = 0
+        self._local = None
+        if local_misses:
+            from honeywell_search_engine_spark.query.local import ServingIndex
+
+            self._local = ServingIndex(index.path)
 
     def _get(self, key, compute):
         if key in self._lru:
@@ -45,6 +58,8 @@ class CachedSearcher:
     def search(self, query: str, k: int = 10, mode: str = "and") -> list:
         """[(docid, score)] — collected, memoized."""
         key = ("q", query, k, mode)
+        if self._local is not None:
+            return self._get(key, lambda: self._local.search(query, k, mode))
         return self._get(
             key,
             lambda: [
@@ -55,6 +70,10 @@ class CachedSearcher:
 
     def search_phrase(self, phrase: str, k: int = 10, slop: int = 0) -> list:
         key = ("p", phrase, k, slop)
+        if self._local is not None:
+            return self._get(
+                key, lambda: self._local.search_phrase(phrase, k, slop)
+            )
         return self._get(
             key,
             lambda: [

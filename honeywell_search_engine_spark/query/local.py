@@ -1,0 +1,212 @@
+"""Serving-node query path: in-process BM25 over the Spark-built segments.
+
+Why this exists: the reference's latency targets (p95 < 500 ms, 100 q/s —
+reference PIPELINE.md:349-350) describe its *serving process* (FastAPI +
+Postgres GIN lookups, backend/app/routers/search.py), not a batch engine.
+Spark is the right tool for building, merging, and compacting the index
+and for batch query workloads (query/wand.py), but a per-query Spark job
+carries a fixed ~0.3-0.5 s scheduling cost that no kernel speed can
+remove. The deployment story at 10^12 docs is the standard one: Spark
+writes immutable segments to the lake; stateless serving nodes read them.
+
+This module is that serving node. It is bit-exact with the Spark path by
+construction — it runs the SAME shard kernels (query/wand.py) over the
+SAME encoded rows; only the I/O differs:
+
+- posting rows: pyarrow dataset read of ``{index}/segments`` with bucket
+  partition-directory pruning + a `term IN (...)` filter pushed to parquet
+  row groups — a query touches only its terms' lists (the whole point of
+  an inverted index), a few KB-MB regardless of corpus size. Rows are
+  LRU-memoized per term (hot-term working set).
+- idf: the pruned term rows also ride the dataset read (term_stats is
+  only needed for idf, which equals ln1p((N-df+.5)/(df+.5)) from the
+  segment metadata df = sum of per-shard n) — no second lookup.
+- docid rehydration: the docmap (forward index / docvalues) is loaded as
+  per-shard lid->docid arrays. At bench scale that is a few MB; at
+  10^12 docs a serving shard holds only ITS shard's docvalues
+  (mmap/KV-backed), exactly like Lucene docvalues — the per-shard array
+  layout here is that design at sandbox scale.
+
+Tombstones are read from the same manifest files as the Spark path and
+translated per shard with vectorized searchsorted. An instance is a
+snapshot of one immutable index generation (see query/cache.py — staged
+swaps require reopening to observe).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections import OrderedDict
+
+import numpy as np
+
+from honeywell_search_engine_spark.functions.analyzer import analyze_query, tokenize
+from honeywell_search_engine_spark.index.naive import bucket_of
+from honeywell_search_engine_spark.index.segments import load_tombstones
+from honeywell_search_engine_spark.query import wand as W
+
+
+class ServingIndex:
+    """Spark-free reader over a segment index directory (serving node)."""
+
+    def __init__(self, path: str, term_cache_capacity: int = 65536):
+        import pyarrow.parquet as pq
+
+        self.path = path
+        with open(f"{path}/stats.json") as f:
+            meta = json.load(f)
+        self.n_docs = int(meta["n_docs"])
+        self.avgdl = float(meta["avgdl"])
+        self.n_shards = int(meta["n_shards"])
+        self.n_buckets = int(meta["n_buckets"])
+        # forward index: per-shard lid->docid (lids may have holes after
+        # compaction — fill with -1) + sorted docid->lid translation pair
+        dm = pq.read_table(
+            f"{path}/docmap", columns=["shard", "local_id", "docid"]
+        )
+        shard = dm.column("shard").to_numpy()
+        lid = dm.column("local_id").to_numpy()
+        docid = dm.column("docid").to_numpy()
+        self._docid_of: dict[int, np.ndarray] = {}
+        self._by_docid: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for s in np.unique(shard):
+            m = shard == s
+            ls, ds = lid[m], docid[m]
+            arr = np.full(int(ls.max()) + 1 if ls.size else 0, -1, dtype=np.int64)
+            arr[ls] = ds
+            self._docid_of[int(s)] = arr
+            o = np.argsort(ds)
+            self._by_docid[int(s)] = (ds[o], ls[o])
+        # tombstones -> {shard: sorted lid array}
+        self._dead = self._lids_by_shard(load_tombstones(path))
+        self._term_lru: OrderedDict[str, list[dict]] = OrderedDict()
+        self._term_cap = term_cache_capacity
+
+    # ---- translation ----------------------------------------------------
+
+    def _lids_by_shard(self, docids) -> dict[int, np.ndarray]:
+        out: dict[int, np.ndarray] = {}
+        if not docids:
+            return out
+        ids = np.array(sorted(int(d) for d in docids), dtype=np.int64)
+        sh = ids % self.n_shards
+        for s in np.unique(sh):
+            ds, ls = self._by_docid.get(int(s), (None, None))
+            if ds is None:
+                continue
+            want = ids[sh == s]
+            pos = np.searchsorted(ds, want)
+            ok = pos < ds.size
+            ok[ok] = ds[pos[ok]] == want[ok]
+            if ok.any():
+                out[int(s)] = np.sort(ls[pos[ok]])
+        return out
+
+    # ---- pruned posting reads --------------------------------------------
+
+    def _rows_for(self, terms: list[str]) -> dict[str, list[dict]]:
+        """{term: [segment row dict per shard]} — LRU first, then ONE
+        pruned dataset read for all missing terms."""
+        out: dict[str, list[dict]] = {}
+        missing = []
+        for t in dict.fromkeys(terms):
+            if t in self._term_lru:
+                self._term_lru.move_to_end(t)
+                out[t] = self._term_lru[t]
+            else:
+                missing.append(t)
+        if missing:
+            import pyarrow.dataset as ds
+
+            data = ds.dataset(
+                f"{self.path}/segments", format="parquet", partitioning="hive"
+            )
+            buckets = sorted({bucket_of(t, self.n_buckets) for t in missing})
+            flt = ds.field("bucket").isin(buckets) & ds.field("term").isin(missing)
+            tbl = data.to_table(filter=flt)
+            got: dict[str, list[dict]] = {t: [] for t in missing}
+            for row in tbl.to_pylist():
+                got[row["term"]].append(row)
+            for t, rows in got.items():
+                self._term_lru[t] = rows
+                out[t] = rows
+                if len(self._term_lru) > self._term_cap:
+                    self._term_lru.popitem(last=False)
+        return out
+
+    def _idf(self, rows: list[dict]) -> float:
+        """idf from segment metadata: df = sum of per-shard n (identical to
+        the finalize aggregate, index/stats.py)."""
+        df = sum(int(r["n"]) for r in rows)
+        return math.log1p((self.n_docs - df + 0.5) / (df + 0.5))
+
+    # ---- queries ----------------------------------------------------------
+
+    def search(
+        self, query: str, k: int = 10, mode: str = "and", allowed_docids=None
+    ) -> list[tuple[int, float]]:
+        """[(docid, score)] by (-score, docid) — rank/score bit-identical
+        to query/wand.bm25_topk_wand (tested on the reference query set)."""
+        terms = analyze_query(query)
+        if not terms:
+            return []
+        rows_by_term = self._rows_for(terms)
+        if mode == "and" and any(not rows_by_term[t] for t in terms):
+            return []  # a term unknown globally -> conjunction empty
+        idf = {t: self._idf(r) for t, r in rows_by_term.items() if r}
+        scope = self._lids_by_shard(allowed_docids) if allowed_docids is not None else None
+        by_shard: dict[int, list] = {}
+        for t in terms:
+            for row in rows_by_term[t]:
+                by_shard.setdefault(int(row["shard"]), []).append((t, row))
+        out: list[tuple[int, float]] = []
+        for s, trs in by_shard.items():
+            dead = self._dead.get(s, W._NO_DEAD)
+            sc = scope.get(s, W._NO_DEAD) if scope is not None else None
+            rows = [(t, W._enc_from_row(r)) for t, r in trs]
+            if mode == "and":
+                if len(rows) < len(terms):
+                    continue
+                if len(terms) == 1:
+                    res = W._topk_single(
+                        rows[0][1], idf[rows[0][0]], self.avgdl, k, dead, sc
+                    )
+                else:
+                    res = W._shard_kernel_and(
+                        rows, idf, self.avgdl, k, dead, scope=sc
+                    )
+            else:
+                res = W._shard_kernel_or(rows, idf, self.avgdl, k, dead, scope=sc)
+            arr = self._docid_of[s]
+            out.extend((int(arr[int(l)]), float(v)) for l, v in res)
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
+    def search_phrase(
+        self, phrase: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Exact phrase / ordered-NEAR — mirrors wand.bm25_topk_phrase."""
+        terms = tokenize(phrase)
+        if not terms:
+            return []
+        rows_by_term = self._rows_for(terms)
+        if any(not rows_by_term[t] for t in set(terms)):
+            return []
+        idf = {t: self._idf(r) for t, r in rows_by_term.items()}
+        by_shard: dict[int, dict[str, dict]] = {}
+        for t, rows in rows_by_term.items():
+            for row in rows:
+                by_shard.setdefault(int(row["shard"]), {})[t] = row
+        out: list[tuple[int, float]] = []
+        for s, tmap in by_shard.items():
+            if any(t not in tmap for t in terms):
+                continue
+            dead = self._dead.get(s, W._NO_DEAD)
+            rows = [(t, W._enc_from_row(tmap[t])) for t in terms]
+            res = W._shard_kernel_phrase(rows, idf, self.avgdl, k, dead, slop)
+            arr = self._docid_of[s]
+            out.extend((int(arr[int(l)]), float(v)) for l, v in res)
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]

@@ -1,0 +1,100 @@
+"""ServingIndex (query/local.py) — the Spark-free serving-node path must
+be bit-exact with the Spark plans on every query mode: it runs the same
+kernels over the same encoded rows, so any divergence is an I/O or
+translation bug."""
+
+import pytest
+
+from honeywell_search_engine_spark.query.local import ServingIndex
+from honeywell_search_engine_spark.query.wand import bm25_topk_phrase, bm25_topk_wand
+from honeywell_search_engine_spark.sources.pages import marker_term, reference_queries
+
+
+@pytest.fixture(scope="module")
+def serving(seg_index):
+    return ServingIndex(seg_index.path)
+
+
+def test_serving_matches_spark_and_or(spark, seg_index, serving):
+    for qid, q in reference_queries().items():
+        for mode in ("and", "or"):
+            exp = [
+                (r["docid"], r["score"])
+                for r in bm25_topk_wand(seg_index, q, k=10, mode=mode).collect()
+            ]
+            assert serving.search(q, k=10, mode=mode) == exp, (qid, mode)
+
+
+def test_serving_matches_spark_phrase_near(spark, seg_index, serving, pages_pdf):
+    from honeywell_search_engine_spark.functions.analyzer import analyze
+
+    en = pages_pdf[pages_pdf.lang == "en"]
+    phrases = [
+        " ".join(analyze(en.text.iloc[3])[:2]),
+        " ".join(analyze(en.text.iloc[11])[:3]),
+        "data search",
+    ]
+    for ph in phrases:
+        for slop in (0, 2):
+            exp = [
+                (r["docid"], r["score"])
+                for r in bm25_topk_phrase(seg_index, ph, k=10, slop=slop).collect()
+            ]
+            assert serving.search_phrase(ph, k=10, slop=slop) == exp, (ph, slop)
+
+
+def test_serving_scope_and_degenerates(spark, seg_index, serving):
+    q = marker_term(0)
+    hits = [r["docid"] for r in bm25_topk_wand(seg_index, q, k=100).collect()]
+    assert len(hits) >= 3
+    scope = hits[:2] + [123456789]  # two real + one unknown docid
+    exp = [
+        (r["docid"], r["score"])
+        for r in bm25_topk_wand(seg_index, q, k=10, allowed_docids=scope).collect()
+    ]
+    assert serving.search(q, k=10, allowed_docids=scope) == exp
+    assert serving.search("", k=10) == []
+    assert serving.search("zzzznotaterm", k=10) == []
+    assert serving.search(f"{q} zzzznotaterm", k=10) == []  # AND w/ unknown
+
+
+def test_serving_respects_tombstones(spark, pages_path, tmp_path):
+    from honeywell_search_engine_spark.index.corpus import docs_from_pages, tokenized_docs
+    from honeywell_search_engine_spark.index.maintenance import delete_docs
+    from honeywell_search_engine_spark.index.segments import SegmentIndex, build_segments
+    from honeywell_search_engine_spark.sources.pages import read_pages
+
+    out = str(tmp_path / "idx")
+    pages = read_pages(spark, pages_path)
+    build_segments(
+        tokenized_docs(docs_from_pages(pages)), out, pages_path,
+        n_buckets=8, n_shards=4, buckets_per_job=8,
+    )
+    idx = SegmentIndex(spark, out)
+    q = marker_term(1)
+    before = [r["docid"] for r in bm25_topk_wand(idx, q, k=100).collect()]
+    victims = before[:2]
+    delete_docs(out, victims, reason="serving test")
+    idx2 = SegmentIndex(spark, out)  # fresh snapshot sees tombstones
+    sv = ServingIndex(out)
+    exp = [
+        (r["docid"], r["score"])
+        for r in bm25_topk_wand(idx2, q, k=100).collect()
+    ]
+    got = sv.search(q, k=100)
+    assert got == exp
+    assert not set(victims) & {d for d, _ in got}
+
+
+def test_cached_searcher_local_misses_equal_spark_path(spark, seg_index):
+    from honeywell_search_engine_spark.query.cache import CachedSearcher
+
+    cs_local = CachedSearcher(seg_index)  # default: local misses
+    cs_spark = CachedSearcher(seg_index, local_misses=False)
+    for q in list(reference_queries().values())[:6]:
+        assert cs_local.search(q, k=10) == cs_spark.search(q, k=10), q
+    assert cs_local.misses == 6
+    # repeat -> hits, same rows
+    for q in list(reference_queries().values())[:6]:
+        assert cs_local.search(q, k=10) == cs_spark.search(q, k=10), q
+    assert cs_local.hits == 6
