@@ -46,6 +46,8 @@ def __getattr__(name):
         "merge_deltas": ("honeywell_search_engine_spark.index.maintenance", "merge_deltas"),
         "stream_postings_delta": ("honeywell_search_engine_spark.streaming.ingest", "stream_postings_delta"),
         "search_response": ("honeywell_search_engine_spark.operators.serving", "search_response"),
+        "search_response_indexed": ("honeywell_search_engine_spark.operators.serving", "search_response_indexed"),
+        "ServingIndex": ("honeywell_search_engine_spark.query.local", "ServingIndex"),
     }
     if name in _api:
         import importlib

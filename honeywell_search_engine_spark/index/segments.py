@@ -57,6 +57,7 @@ import json
 import os
 import time
 import zlib
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -514,6 +515,7 @@ class SegmentIndex:
         self._idf_cache: dict[str, float | None] = {}
         self.tombstones = load_tombstones(path)
         self._dead_bc = None
+        self._scope_bcs: "OrderedDict[int, object]" = OrderedDict()
 
     def dead_broadcast(self):
         """Tombstones translated to shard-local ordinals and memoized as a
@@ -534,13 +536,29 @@ class SegmentIndex:
         to the caller's own documents — allowed_ids,
         backend/app/routers/search.py:99-116 / F2-F3) translated to
         {shard: sorted lid array} and broadcast, same mechanics as
-        tombstones. Returns None for an unrestricted query."""
+        tombstones. Returns None for an unrestricted query.
+
+        MEMOIZED per docid set (a caller's scope repeats across their
+        query stream — round-2 advice: rebuilding the broadcast per query
+        re-collected the translation every time). Small scopes only: the
+        query layer (query/wand.py) routes scopes above SCOPE_INLINE_MAX
+        through a cogroup join instead, so this path never materializes a
+        large scope on the driver."""
         if allowed_docids is None:
             return None
+        key = hash(frozenset(int(d) for d in allowed_docids))
+        if key in self._scope_bcs:
+            self._scope_bcs.move_to_end(key)
+            return self._scope_bcs[key]
         from honeywell_search_engine_spark.index.docmap import dead_lids_by_shard
 
         by_shard = dead_lids_by_shard(self.docmap, allowed_docids)
-        return self.spark.sparkContext.broadcast(by_shard)
+        bc = self.spark.sparkContext.broadcast(by_shard)
+        self._scope_bcs[key] = bc
+        if len(self._scope_bcs) > 64:  # bound driver+executor memory
+            _, old = self._scope_bcs.popitem(last=False)
+            old.unpersist()
+        return bc
 
     def rehydrate(self, df: DataFrame) -> DataFrame:
         """(shard, lid, ...) -> same rows with the global `docid` attached

@@ -161,26 +161,45 @@ def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # scalar Arrow eval type, which is what we want
     @F.pandas_udf(T.LongType())
     def _simhash(texts):
+        # batch-vectorized (round-2 verdict item 7): md5 runs ONCE per
+        # UNIQUE token in the Arrow batch (np.unique digest table), and
+        # the tf-weighted ±1 bit votes are two numpy scatter-adds — no
+        # per-document Counter/hash loop. Identical output: vote weight
+        # is still tf per (doc, token), ties (vote sum 0) still bit 0.
         import re
-        from collections import Counter
 
         tok_re = re.compile(r"[a-z0-9]+")
+        n = len(texts)
         shifts = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(texts), dtype=np.int64)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        doc_idx, toks = [], []
         for i, t in enumerate(texts.fillna("")):
-            toks = tok_re.findall(t.lower())
-            if not toks:
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            for tok, tf in Counter(toks).items():
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                )
-                bits = (h >> shifts) & np.uint64(1)
-                votes += np.where(bits == 1, tf, -tf)
-            sim = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-            out[i] = sim - 2**64 if sim >= 2**63 else sim
-        return pd.Series(out)
+            tt = tok_re.findall(t.lower())
+            doc_idx.append(np.full(len(tt), i, dtype=np.int64))
+            toks.extend(tt)
+        d = np.concatenate(doc_idx)
+        if d.size == 0:
+            return pd.Series(out)
+        uniq, inv = np.unique(np.array(toks, dtype=object), return_inverse=True)
+        H = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+                for u in uniq
+            ),
+            count=uniq.size,
+            dtype=np.uint64,
+        )
+        signs = ((H[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+        key = (d << 32) | inv.astype(np.int64)  # tf via unique (doc, token)
+        uk, cnt = np.unique(key, return_counts=True)
+        votes = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(votes, uk >> 32, signs[uk & 0xFFFFFFFF] * cnt[:, None])
+        sims = ((votes > 0).astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(sims.view(np.int64))
 
     return docs.select(
         F.col(id_col).alias("docid"), _simhash(F.col(text_col)).alias("simhash")

@@ -203,13 +203,51 @@ def search_response(
     join prunes the doc scan before the per-sentence work) -> one row per
     hit. Returns (rnk, docid, score_r, snippet, highlights, lex_score,
     has_oie, confidence) ordered by rnk."""
-    from honeywell_search_engine_spark.functions.analyzer import analyze_query
     from honeywell_search_engine_spark.operators import search as S
 
     hits = S.bm25_inflight(docs, query, k, id_col, text_col)
+    return _compose_response(docs, hits, query, id_col, text_col)
+
+
+def search_response_indexed(
+    index,
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """search_response served FROM THE SEGMENT INDEX: the BM25 top-k rides
+    bm25_topk_wand (pruned segment scan + WAND kernels) instead of
+    re-scoring raw text, then the identical snippet/highlight/triple
+    composition runs over only the k hit documents. At 100 TB the response
+    path never tokenizes the corpus — it reads ≤ |terms| posting lists
+    plus k documents. Row-identical to the in-flight search_response
+    (tested on the reference query set): both paths are rank/score
+    bit-exact, and the composition is shared code."""
+    from honeywell_search_engine_spark.query.wand import bm25_topk_wand
+
+    raw = bm25_topk_wand(index, query, k)
+    w = Window.orderBy(F.desc("score"), F.asc("docid"))
+    hits = raw.select(
+        F.row_number().over(w).alias("rnk"),
+        F.col("docid").cast("long").alias("docid"),
+        F.round("score", 6).alias("score_r"),
+    )
+    return _compose_response(docs, hits, query, id_col, text_col)
+
+
+def _compose_response(
+    docs: DataFrame, hits: DataFrame, query: str, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared response composition: hits(rnk, docid, score_r) -> full
+    response rows (see search_response docstring for the plan shape)."""
+    from honeywell_search_engine_spark.functions.analyzer import analyze_query
+    from honeywell_search_engine_spark.operators import search as S
+
     topdocs = docs.join(
-        F.broadcast(hits.select("docid")),
-        F.col(id_col).cast("long") == F.col("docid"),
+        F.broadcast(hits.select(F.col("docid").alias("_hit_id"))),
+        F.col(id_col).cast("long") == F.col("_hit_id"),
         "left_semi",
     )
     snip = best_snippet(topdocs, query, id_col, text_col).select(

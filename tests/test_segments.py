@@ -417,6 +417,47 @@ def test_scoped_search_matches_oracle(seg_index, oracle):
     )
 
 
+def test_large_scope_cogroup_path_no_driver_materialization(spark, seg_index, oracle):
+    """A scope above SCOPE_INLINE_MAX (or any DataFrame scope) must ride
+    the distributed cogroup path: the plan joins the docmap with the scope
+    and feeds FlatMapCoGroupsInPandas — no driver collect/broadcast of the
+    scope — with results identical to the memoized-broadcast path
+    (round-2 verdict item 5)."""
+    from pyspark.sql import functions as F
+
+    q = QUERIES["q01"]
+    full = oracle.search(q, k=50)
+    allowed = [d for d, _ in full[1::2]][:10]
+    exp = oracle.search(q, k=10, allowed=allowed)
+
+    # scope as a ~1.3M-id DataFrame (10 real hits + 1.3M nonexistent ids)
+    # built executor-side: the driver never holds the id list
+    scope_df = (
+        spark.range(10_000_000, 11_300_000)
+        .select(F.col("id").alias("docid"))
+        .unionByName(
+            spark.createDataFrame([(int(d),) for d in allowed], "docid long")
+        )
+    )
+    df = bm25_topk_wand(seg_index, q, k=10, allowed_docids=scope_df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    got = [(r["docid"], r["score"]) for r in df.collect()]
+    assert got == exp
+
+    # a plain list above the threshold routes through the same path
+    big_list = allowed + list(range(20_000_000, 20_150_000))
+    df2 = bm25_topk_wand(seg_index, q, k=10, allowed_docids=big_list)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan2
+    assert [(r["docid"], r["score"]) for r in df2.collect()] == exp
+
+    # memoization: the same small scope reuses ONE broadcast across queries
+    bc1 = seg_index.scope_broadcast(allowed)
+    bc2 = seg_index.scope_broadcast(list(allowed))
+    assert bc1 is bc2
+
+
 def test_assign_local_ids_partition_independent(spark):
     """Local-id assignment is a pure function of the docid SET: identical
     under wildly different input partitionings, and ids are dense 0..n-1
