@@ -181,6 +181,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_dupes_lsh"] = lambda s, d: similarity.pairwise_cosine_dupes_lsh(
         _embeddings(s, d), threshold=0.35, n_planes=6
     )
+    # banded variant: b bands of r planes — the recall lever (a pair is a
+    # candidate iff ANY band matches fully); same exact-cosine verify
+    q["cosine_dupes_lsh_banded"] = lambda s, d: similarity.pairwise_cosine_dupes_lsh_banded(
+        _embeddings(s, d), threshold=0.35, n_planes=12, bands=3
+    )
     q["knn_lsh"] = lambda s, d: similarity.cosine_ann_lsh(
         _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
     )
@@ -374,7 +379,11 @@ def _fusion_confidence(s: SparkSession, d: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """DuckDB mirrors. `sf_dir` only affects the one non-SQL-expressible
+    oracle (chunk_stats, a VALUES literal computed by the shared Python
+    kernel over that dir's documents table); the driver compares at
+    sf0.01, the default."""
     from honeywell_search_engine_spark.functions.analyzer import analyze_query
 
     o: dict[str, str] = {}
@@ -793,6 +802,41 @@ p AS (
   JOIN embeddings eb ON eb.vec_id = b.vec_id)
 SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.35 ORDER BY id_a, id_b"""
 
+    # banded sign-LSH mirror: same md5 planes (12), 3 bands of 4 bits;
+    # candidate iff some band's 4-bit slice matches fully
+    o["cosine_dupes_lsh_banded"] = """
+WITH planes AS (
+  SELECT p, i,
+         CAST(('0x' || substr(md5(concat('rp', CAST(p AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 - 0.5 AS v
+  FROM (SELECT unnest(range(12)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS i)),
+ei AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, p, list_sum(list(x * v ORDER BY i)) AS dot
+  FROM ei JOIN planes USING (i) GROUP BY vec_id, p),
+sigs AS (
+  SELECT vec_id, sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS sig
+  FROM dots GROUP BY vec_id),
+bnd AS (
+  SELECT vec_id, b, (sig >> (b * 4)) & 15 AS bv
+  FROM sigs CROSS JOIN (SELECT unnest(range(3)) AS b)),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM bnd l JOIN bnd r ON l.b = r.b AND l.bv = r.bv AND l.vec_id < r.vec_id),
+p AS (
+  SELECT c.id_a, c.id_b,
+         list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                  i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b)
+SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.35 ORDER BY id_a, id_b"""
+
     o["cosine_dupes"] = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 150),
 p AS (
@@ -1068,7 +1112,7 @@ SELECT user_id,
          AS rrf_score
 FROM f ORDER BY rrf_score DESC, user_id"""
 
-    o["chunk_stats"] = _chunk_stats_oracle()
+    o["chunk_stats"] = _chunk_stats_oracle(sf_dir)
 
     return o
 

@@ -174,6 +174,13 @@ def main() -> None:
         extra["cosine_dupes_lsh_pair_recall"] = (
             round(len(pl & pe) / len(pe), 3) if pe else None
         )
+        pb = {
+            (r["id_a"], r["id_b"])
+            for r in qs["cosine_dupes_lsh_banded"](spark, rec_dir).collect()
+        }
+        extra["cosine_dupes_lsh_banded_pair_recall"] = (
+            round(len(pb & pe) / len(pe), 3) if pe else None
+        )
         log(f"[bench] ANN recall@10: lsh {extra['knn_lsh_recall_at_10']}, "
             f"ivf {extra['knn_ivf_recall_at_10']}; dupes pair recall "
             f"{extra['cosine_dupes_lsh_pair_recall']}")

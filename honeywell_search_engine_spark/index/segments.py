@@ -213,8 +213,19 @@ def _read_manifest(index_dir: str, name: str) -> dict | None:
 
 
 def input_fingerprint(spark: SparkSession, input_path: str) -> str:
-    """Cheap lineage identity of the input table: file names + sizes.
-    (With Iceberg this would be the snapshot id.)"""
+    """Cheap lineage identity of the input table. For an Iceberg input
+    (``iceberg:<table>``, sources/pages.read_pages) this is the table's
+    CURRENT SNAPSHOT ID — the exact immutable data version the build read,
+    resumable/auditable across engines. For filesystem parquet it falls
+    back to a file-name+size listing checksum."""
+    if input_path.startswith("iceberg:"):
+        tbl = input_path[len("iceberg:"):]
+        row = (
+            spark.sql(f"SELECT snapshot_id FROM {tbl}.snapshots "
+                      "ORDER BY committed_at DESC LIMIT 1")
+            .collect()
+        )
+        return f"iceberg-snapshot:{row[0]['snapshot_id']}" if row else "iceberg-snapshot:empty"
     jvm_files = []
     for root, _, files in os.walk(input_path):
         for fn in files:

@@ -320,6 +320,68 @@ def pairwise_cosine_dupes_lsh(
     )
 
 
+def pairwise_cosine_dupes_lsh_banded(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 12,
+    bands: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via BANDED sign-LSH — the standard recall
+    lever (MinHash-style banding applied to hyperplane signs): the
+    n_planes signature splits into `bands` bands of r = n_planes/bands
+    planes; a pair is a candidate iff it agrees on EVERY plane of at least
+    one band. With per-plane agreement p = 1 - angle/pi, candidate
+    probability is 1 - (1 - p^r)^bands — e.g. cos 0.95, 12 planes,
+    3 bands: ~0.96 vs ~0.28 for the all-12-planes single bucket. Exact
+    cosine verify after the bucket join removes false positives; the only
+    shuffle keys on (band, band value); all-pairs never materializes.
+    Returns (id_a < id_b, cos_r) — recall approximate (reported per-round
+    in BENCH extra), every returned cosine exact."""
+    assert n_planes % bands == 0
+    r_bits = n_planes // bands
+    planes = rp_planes_md5(dim, n_planes)
+    with_sig = rp_signatures_col(
+        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
+        planes,
+        "v",
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), b * r_bits)
+                .bitwiseAND(F.lit((1 << r_bits) - 1))
+                .alias("bv"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = with_sig.select(
+        "vid", "v", F.explode(slices).alias("s")
+    ).select("vid", "v", F.col("s.band").alias("band"), F.col("s.bv").alias("bv"))
+    l = exploded.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "band", "bv"
+    )
+    r = exploded.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "band", "bv"
+    )
+    pairs = (
+        l.join(r, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair may share several bands
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def pairwise_cosine_dupes(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -223,9 +223,38 @@ def write_pages_table_spark(
     )
 
 
+def iceberg_available(spark) -> bool:
+    """True iff the Iceberg Spark runtime jar is on the session classpath
+    (probe once per JVM; the sandbox container ships without it)."""
+    if not hasattr(iceberg_available, "_memo"):
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.source.IcebergSource"
+            )
+            iceberg_available._memo = True
+        except Exception:
+            iceberg_available._memo = False
+    return iceberg_available._memo
+
+
 def read_pages(spark, path: str):
-    """Single entry point for the corpus scan (parquet now, Iceberg on a
-    real cluster: swap for spark.read.table('catalog.db.pages'))."""
+    """Single entry point for the corpus scan.
+
+    `path` is either a filesystem parquet directory (sandbox/testdata) or
+    an Iceberg table identifier written as ``iceberg:<catalog.db.table>``
+    — the form the input_hint's Common-Crawl pages table takes on a real
+    cluster. The Iceberg branch needs the runtime jar (iceberg_available);
+    Catalyst pushes the same lang/column pruning into either scan, and
+    with Iceberg it additionally prunes partitions/files via the table's
+    metadata tree. Lineage: segments.input_fingerprint uses the current
+    SNAPSHOT ID for Iceberg inputs and a file listing for parquet."""
+    if path.startswith("iceberg:"):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg table requested but the Iceberg Spark runtime jar "
+                "is not on the classpath"
+            )
+        return spark.read.table(path[len("iceberg:"):])
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
 
 

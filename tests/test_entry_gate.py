@@ -33,14 +33,14 @@ def _canon(df):
     return df.sort_values(list(df.columns)).reset_index(drop=True).astype(str)
 
 
-ORACLED = sorted(set(E.queries()) & set(E.oracle_sql()))
-ROWS_ONLY = sorted(set(E.queries()) - set(E.oracle_sql()))
+ORACLED = sorted(set(E.queries()) & set(E.oracle_sql(SF)))
+ROWS_ONLY = sorted(set(E.queries()) - set(E.oracle_sql(SF)))
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, ddb, name):
     got = _canon(E.queries()[name](spark, SF).toPandas())
-    exp = _canon(ddb.sql(E.oracle_sql()[name]).df())
+    exp = _canon(ddb.sql(E.oracle_sql(SF)[name]).df())
     assert list(got.columns) == list(exp.columns), f"{name}: columns"
     assert len(got) == len(exp), f"{name}: row count"
     assert got.equals(exp), f"{name}: values"
@@ -161,3 +161,42 @@ def test_multiprobe_lsh_dupes_superset(spark):
     assert len(p1) > len(p0)  # multi-probe actually recovered extra pairs
     for k, v in p1.items():
         assert exact[k] == v  # every returned cosine exact
+
+
+def test_banded_lsh_dupes_precision_and_recall_lever(spark):
+    """pairwise_cosine_dupes_lsh_banded: every returned pair must appear in
+    the exact all-pairs result (the cosine verify removes ALL false
+    positives), and banding must recall at least as many true pairs as the
+    all-planes single bucket at the same plane count (the banding lever)."""
+    from pyspark.sql import functions as F
+
+    from honeywell_search_engine_spark.operators.similarity import (
+        pairwise_cosine_dupes,
+        pairwise_cosine_dupes_lsh,
+        pairwise_cosine_dupes_lsh_banded,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") <= 200
+    )
+    thr = 0.30
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_r"])
+        for r in pairwise_cosine_dupes(emb, threshold=thr).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["cos_r"])
+        for r in pairwise_cosine_dupes_lsh_banded(
+            emb, threshold=thr, n_planes=12, bands=3
+        ).collect()
+    }
+    single = {
+        (r["id_a"], r["id_b"], r["cos_r"])
+        for r in pairwise_cosine_dupes_lsh(
+            emb, threshold=thr, n_planes=12, probe_hamming=0
+        ).collect()
+    }
+    assert exact, "fixture must contain pairs above the threshold"
+    assert banded <= exact  # precision 1.0: verify removes bucket FPs
+    assert single <= banded  # an intact 12-plane sig implies 3 intact bands
+    assert len(banded) > len(single)  # the lever actually recalls more
