@@ -210,18 +210,40 @@ def encode_postings(
     )
 
 
+def _abs_positions(flat: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Flat decoded position-deltas -> flat ABSOLUTE positions (the cumsum
+    restarts at each posting) — fully vectorized segmented cumsum: one
+    global cumsum, then subtract each segment's base. Valid because every
+    delta is >= 0, so the global cumsum is non-decreasing and each
+    segment's base propagates with maximum.accumulate."""
+    if flat.size == 0:
+        return flat.astype(np.uint64)
+    tfs64 = tfs.astype(np.int64)
+    starts = np.zeros(tfs64.size, dtype=np.int64)
+    np.cumsum(tfs64[:-1], out=starts[1:])
+    csum = np.cumsum(flat, dtype=np.uint64)
+    base = np.zeros(flat.size, dtype=np.uint64)
+    nz = starts[starts > 0]
+    base[nz] = csum[nz - 1]
+    base = np.maximum.accumulate(base)
+    return csum - base
+
+
 def _split_positions(flat: np.ndarray, tfs: np.ndarray) -> list:
     """Flat decoded position-deltas -> list of absolute position arrays,
-    one per posting (cumsum restarts at each posting)."""
-    out = []
-    i = 0
-    for tf in tfs.astype(np.int64):
-        out.append(np.cumsum(flat[i : i + tf], dtype=np.uint64))
-        i += tf
-    return out
+    one per posting."""
+    tfs64 = tfs.astype(np.int64)
+    starts = np.zeros(tfs64.size, dtype=np.int64)
+    np.cumsum(tfs64[:-1], out=starts[1:])
+    return np.split(_abs_positions(flat, tfs), starts[1:])
 
 
-def decode_postings(enc: EncodedList, with_positions: bool = False) -> PostingList:
+def decode_postings(
+    enc: EncodedList, with_positions: bool = False, flat_positions: bool = False
+) -> PostingList:
+    """`flat_positions=True` returns positions as ONE flat absolute-position
+    array (per-posting boundaries are the tfs) — the kernel-friendly shape
+    with no per-posting list materialization."""
     deltas = varbyte_decode(enc.deltas, enc.n)
     docids = np.cumsum(deltas, dtype=np.uint64)
     tfs = varbyte_decode(enc.tfs, enc.n) + np.uint64(1)
@@ -229,7 +251,10 @@ def decode_postings(enc: EncodedList, with_positions: bool = False) -> PostingLi
     positions = None
     if with_positions and enc.p_off is not None:
         flat = varbyte_decode(enc.positions, int(tfs.sum()))
-        positions = _split_positions(flat, tfs)
+        positions = (
+            _abs_positions(flat, tfs) if flat_positions
+            else _split_positions(flat, tfs)
+        )
     return PostingList(docids=docids, tfs=tfs, doclens=doclens, positions=positions)
 
 
@@ -240,7 +265,10 @@ def _block_bounds(enc: EncodedList, b: int):
 
 
 def decode_blocks(
-    enc: EncodedList, blocks: np.ndarray, with_positions: bool = False
+    enc: EncodedList,
+    blocks: np.ndarray,
+    with_positions: bool = False,
+    flat_positions: bool = False,
 ) -> PostingList:
     """Selective decode of the given (sorted, unique) block indices only —
     the skip path: O(bytes of selected blocks), not O(list length).
@@ -274,13 +302,22 @@ def decode_blocks(
             flat = varbyte_decode(
                 enc.positions[enc.p_off[b] : p_end], int(tfs_b.sum())
             )
-            parts_p.extend(_split_positions(flat, tfs_b))
+            if flat_positions:
+                parts_p.append(_abs_positions(flat, tfs_b))
+            else:
+                parts_p.extend(_split_positions(flat, tfs_b))
     if not parts_d:
         z = np.zeros(0, dtype=np.uint64)
-        return PostingList(z, z.copy(), z.copy(), [] if want_pos else None)
+        if not want_pos:
+            pos = None
+        else:
+            pos = np.zeros(0, dtype=np.uint64) if flat_positions else []
+        return PostingList(z, z.copy(), z.copy(), pos)
     return PostingList(
         np.concatenate(parts_d),
         np.concatenate(parts_t),
         np.concatenate(parts_l),
-        parts_p if want_pos else None,
+        (np.concatenate(parts_p) if flat_positions else parts_p)
+        if want_pos
+        else None,
     )

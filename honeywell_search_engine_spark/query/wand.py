@@ -353,16 +353,21 @@ def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
     terms (lexicographic sum order — oracle bit-parity)."""
     m = len(term_rows)
     drive = min(range(m), key=lambda i: term_rows[i][1].n)
-    pl0 = codec.decode_postings(term_rows[drive][1], with_positions=True)
+    pl0 = codec.decode_postings(
+        term_rows[drive][1], with_positions=True, flat_positions=True
+    )
     cand = pl0.docids
+    # per_term[i] = (tfs, doclens, flat absolute positions) — positions
+    # stay ONE flat array per term (per-posting boundaries are the tfs);
+    # filtering/gathering is vectorized, never a per-doc list walk
     per_term: dict[int, tuple] = {drive: (pl0.tfs, pl0.doclens, pl0.positions)}
+
+    def _filter_cols(tfs, dls, flat, keep):
+        return tfs[keep], dls[keep], flat[np.repeat(keep, tfs.astype(np.int64))]
+
     if dead.size:
         alive = ~np.isin(cand.astype(np.int64), dead)
-        per_term[drive] = (
-            pl0.tfs[alive],
-            pl0.doclens[alive],
-            [p for p, a in zip(pl0.positions, alive) if a],
-        )
+        per_term[drive] = _filter_cols(*per_term[drive], alive)
         cand = cand[alive]
     for i in sorted(range(m), key=lambda i: term_rows[i][1].n):
         if i == drive:
@@ -374,7 +379,7 @@ def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
         blocks = _candidate_blocks(enc, cand.astype(np.int64))
         valid = blocks < nblocks
         ublocks = np.unique(blocks[valid])
-        pl = codec.decode_blocks(enc, ublocks, with_positions=True)
+        pl = codec.decode_blocks(enc, ublocks, with_positions=True, flat_positions=True)
         cand_v = cand[valid]
         pos = np.searchsorted(pl.docids, cand_v)
         ok = pos < pl.docids.size
@@ -384,17 +389,21 @@ def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
         keep[np.flatnonzero(valid)[match]] = True
         sel = pos[match]
         for tt in list(per_term):
-            tfs, dls, ps = per_term[tt]
-            per_term[tt] = (
-                tfs[keep],
-                dls[keep],
-                [p for p, kk in zip(ps, keep) if kk],
-            )
-        per_term[i] = (
-            pl.tfs[sel],
-            pl.doclens[sel],
-            [pl.positions[j] for j in sel],
+            per_term[tt] = _filter_cols(*per_term[tt], keep)
+        # vectorized segment gather of pl's flat positions at postings `sel`
+        cnt = pl.tfs.astype(np.int64)
+        starts = np.zeros(cnt.size + 1, dtype=np.int64)
+        np.cumsum(cnt, out=starts[1:])
+        seg_s, seg_l = starts[sel], cnt[sel]
+        out_starts = np.zeros(sel.size, dtype=np.int64)
+        if sel.size > 1:
+            np.cumsum(seg_l[:-1], out=out_starts[1:])
+        gidx = (
+            np.arange(int(seg_l.sum()), dtype=np.int64)
+            - np.repeat(out_starts, seg_l)
+            + np.repeat(seg_s, seg_l)
         )
+        per_term[i] = (pl.tfs[sel], pl.doclens[sel], pl.positions[gidx])
         cand = cand[keep]
     if cand.size == 0:
         return []
@@ -411,11 +420,9 @@ def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
     span_max = (m - 1) + slop
 
     def _keys(j: int) -> np.ndarray:
-        ps = per_term[j][2]
-        lens = np.fromiter((len(p) for p in ps), count=n_cand, dtype=np.int64)
-        c = np.repeat(np.arange(n_cand, dtype=np.int64), lens)
-        pos = np.concatenate([np.asarray(p, dtype=np.int64) for p in ps])
-        return (c << 32) | pos  # every candidate holds every term: size >= n_cand
+        tfs_j, _dls_j, flat_j = per_term[j]
+        c = np.repeat(np.arange(n_cand, dtype=np.int64), tfs_j.astype(np.int64))
+        return (c << 32) | flat_j.astype(np.int64)  # ascending by construction
 
     cur = _keys(0)
     if slop == 0:
