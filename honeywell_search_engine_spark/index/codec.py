@@ -284,23 +284,35 @@ def decode_blocks(
     parts_d, parts_t, parts_l = [], [], []
     parts_p: list = []
     want_pos = with_positions and enc.p_off is not None
-    for b in blocks:
-        s, e = _block_bounds(enc, int(b))
+    # decode CONTIGUOUS RUNS of blocks in one varbyte call per stream:
+    # delta chains are unbroken inside a run (block b's first delta is
+    # relative to bmax_docid[b-1]), so only the run's base needs adding.
+    # A head-term candidate set typically selects most blocks — that
+    # collapses hundreds of per-block decodes into a handful.
+    runs = (
+        np.split(blocks, np.flatnonzero(np.diff(blocks) != 1) + 1)
+        if blocks.size
+        else []
+    )
+    for run in runs:
+        b0, b1 = int(run[0]), int(run[-1])
+        s = b0 * BLOCK
+        e = min((b1 + 1) * BLOCK, enc.n)
         cnt = e - s
-        d_end = enc.d_off[b + 1] if b + 1 < nblocks else len(enc.deltas)
-        t_end = enc.t_off[b + 1] if b + 1 < nblocks else len(enc.tfs)
-        l_end = enc.l_off[b + 1] if b + 1 < nblocks else len(enc.doclens)
-        d = varbyte_decode(enc.deltas[enc.d_off[b] : d_end], cnt)
-        base = np.uint64(enc.bmax_docid[b - 1]) if b > 0 else np.uint64(0)
+        d_end = enc.d_off[b1 + 1] if b1 + 1 < nblocks else len(enc.deltas)
+        t_end = enc.t_off[b1 + 1] if b1 + 1 < nblocks else len(enc.tfs)
+        l_end = enc.l_off[b1 + 1] if b1 + 1 < nblocks else len(enc.doclens)
+        d = varbyte_decode(enc.deltas[enc.d_off[b0] : d_end], cnt)
+        base = np.uint64(enc.bmax_docid[b0 - 1]) if b0 > 0 else np.uint64(0)
         docids = np.cumsum(d, dtype=np.uint64) + base
         parts_d.append(docids)
-        tfs_b = varbyte_decode(enc.tfs[enc.t_off[b] : t_end], cnt) + np.uint64(1)
+        tfs_b = varbyte_decode(enc.tfs[enc.t_off[b0] : t_end], cnt) + np.uint64(1)
         parts_t.append(tfs_b)
-        parts_l.append(varbyte_decode(enc.doclens[enc.l_off[b] : l_end], cnt))
+        parts_l.append(varbyte_decode(enc.doclens[enc.l_off[b0] : l_end], cnt))
         if want_pos:
-            p_end = enc.p_off[b + 1] if b + 1 < nblocks else len(enc.positions)
+            p_end = enc.p_off[b1 + 1] if b1 + 1 < nblocks else len(enc.positions)
             flat = varbyte_decode(
-                enc.positions[enc.p_off[b] : p_end], int(tfs_b.sum())
+                enc.positions[enc.p_off[b0] : p_end], int(tfs_b.sum())
             )
             if flat_positions:
                 parts_p.append(_abs_positions(flat, tfs_b))

@@ -36,8 +36,6 @@ into the segments.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -102,14 +100,22 @@ def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int,
     sorted allowed-lid array (the reference's per-caller allowed_ids
     restriction, F2/F3)."""
     order = np.argsort(-enc.bmax_u, kind="stable")
-    heap: list[float] = []  # k best scores seen — the pruning threshold
+    # Blocks are visited in descending-bound order in CHUNKS: the stop
+    # test uses the first (= highest-bound) block of the next chunk, so
+    # pruning stays exact — at worst chunk-1 extra blocks decode. The
+    # chunk turns per-block Python/decode overhead into one batched
+    # decode + one argpartition per chunk (a per-score Python heap and a
+    # per-block loop both measured as the serving hot spot).
+    chunk = 16
+    topbuf = np.empty(0, dtype=np.float64)
     cand_d: list[np.ndarray] = []
     cand_s: list[np.ndarray] = []
-    for b in order:
-        bound = idf * enc.bmax_u[b]
-        if len(heap) >= k and bound < heap[0]:
-            break  # all remaining blocks have strictly smaller bounds
-        pl = codec.decode_blocks(enc, np.array([b]))
+    for i in range(0, order.size, chunk):
+        batch = order[i : i + chunk]
+        bound = idf * enc.bmax_u[batch[0]]  # max bound among all remaining
+        if topbuf.size >= k and bound < topbuf.min():
+            break  # every remaining block has a strictly smaller bound
+        pl = codec.decode_blocks(enc, np.sort(batch))
         lids = pl.docids.astype(np.int64)
         scores = idf * _u_exact(pl.tfs, pl.doclens, avgdl)
         if dead.size:
@@ -120,11 +126,11 @@ def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int,
             lids, scores = lids[m], scores[m]
         cand_d.append(lids)
         cand_s.append(scores)
-        for s in scores:
-            if len(heap) < k:
-                heapq.heappush(heap, float(s))
-            elif s > heap[0]:
-                heapq.heapreplace(heap, float(s))
+        if scores.size:
+            merged = np.concatenate([topbuf, scores])
+            if merged.size > k:
+                merged = merged[np.argpartition(merged, merged.size - k)[merged.size - k:]]
+            topbuf = merged
     if not cand_d:
         return []
     return _select_topk_with_ties(
