@@ -233,6 +233,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("ws_us", "event_type")
 
     q["windowed_counts"] = _windowed
+    # gap-and-island sessionization (batch form of the stateful-streaming
+    # operator in streaming/sessions.py; stream==batch pytested)
+    q["user_sessions"] = lambda s, d: __import__(
+        "honeywell_search_engine_spark.streaming.sessions",
+        fromlist=["sessionize"],
+    ).sessionize(_events(s, d), gap_seconds=1800)
     q["rrf_fusion"] = lambda s, d: _rrf_fusion(s, d)
 
     # --- scoring / NLP scalar operators ------------------------------------
@@ -1087,6 +1093,23 @@ SELECT datediff('microseconds', TIMESTAMP '2024-01-01',
        event_type, count(*) AS n,
        round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type"""
+
+    o["user_sessions"] = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         datediff('microseconds', TIMESTAMP '2024-01-01', ts) AS us
+  FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                 OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+  FROM m)
+SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us,
+       max(us) AS end_us, round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
     o["rrf_fusion"] = """
 WITH ranks AS (

@@ -1,0 +1,217 @@
+"""Sessionization: gap-based user sessions, batch and stateful-streaming.
+
+The reference keeps per-user search history but has no session concept;
+this is the custom STATEFUL streaming operator the engine's event tables
+call for (SURVEY §2.10 capability row) — the canonical
+``applyInPandasWithState`` use case: state that no windowed aggregate can
+express (a session's end depends on the NEXT event's timestamp).
+
+Two implementations with one contract:
+
+- ``sessionize`` (batch): gap-and-island via window functions — lag per
+  user ordered by (ts, event_id), a new session starts where the gap
+  exceeds ``gap_seconds``, the session ordinal is a running sum. ONE
+  shuffle on user_id; fully SQL-mirrorable (driver gate
+  ``user_sessions``).
+- ``sessionize_stream_update`` (streaming): groupBy(user).
+  applyInPandasWithState — per-user state carries (last event ts, open
+  session ordinal/start/count/value); each micro-batch continues the gap
+  chain exactly where the previous batch left it and emits UPDATED rows
+  for every session it touched. With per-user ts-ordered arrival the
+  latest emission per (user_id, session_id) equals the batch result
+  (tested stream == batch over multi-batch file feeds).
+
+At 100 TB/day the state is one tiny tuple per ACTIVE user (closed
+sessions leave state immediately), the exact property that makes
+sessionization viable as a continuous query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+EPOCH = "2024-01-01"  # gate-comparable µs offsets, like windowed_counts
+
+SESSION_SCHEMA = (
+    "user_id long, session_id int, n_events long, "
+    "start_us long, end_us long, total_value double"
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, session_id, n_events, start_us, end_us, total_value) —
+    gap-and-island sessionization. Timestamps are emitted as microsecond
+    offsets from EPOCH so the DuckDB mirror compares exactly."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{EPOCH} 00:00:00', {ts_col})"
+    )
+    marked = events.select(
+        F.col(user_col).alias("user_id"), "event_id", "value", us.alias("us")
+    ).withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(
+                Window.partitionBy("user_id").orderBy("us", "event_id")
+            ).isNull()
+            | (
+                F.col("us")
+                - F.lag("us").over(
+                    Window.partitionBy("user_id").orderBy("us", "event_id")
+                )
+                > gap_seconds * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_id", F.sum("new_sess").over(w2).cast("int"))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def _session_state_fn(gap_seconds: int):
+    """Builds the applyInPandasWithState function: per-user state tuple
+    (last_us, session_id, n_events, start_us, total_value)."""
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            last_us, sid, n_ev, start_us, total_v = state.get
+        else:
+            last_us, sid, n_ev, start_us, total_v = None, 0, 0, 0, 0.0
+        touched: dict[int, tuple] = {}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for usv, val in zip(pdf["us"].to_numpy(), pdf["value"].to_numpy()):
+                usv = int(usv)
+                if last_us is None or usv - last_us > gap_us:
+                    sid += 1
+                    n_ev, start_us, total_v = 0, usv, 0.0
+                n_ev += 1
+                total_v += float(val)
+                last_us = usv
+                touched[sid] = (n_ev, start_us, last_us, total_v)
+        state.update((last_us, sid, n_ev, start_us, total_v))
+        rows = [
+            {
+                "user_id": int(user_id),
+                "session_id": int(s),
+                "n_events": int(n),
+                "start_us": int(st),
+                "end_us": int(en),
+                "total_value": round(tv, 6),
+            }
+            for s, (n, st, en, tv) in sorted(touched.items())
+        ]
+        yield pd.DataFrame(
+            rows
+            or {
+                "user_id": pd.Series([], dtype="int64"),
+                "session_id": pd.Series([], dtype="int32"),
+                "n_events": pd.Series([], dtype="int64"),
+                "start_us": pd.Series([], dtype="int64"),
+                "end_us": pd.Series([], dtype="int64"),
+                "total_value": pd.Series([], dtype="float64"),
+            }
+        )
+
+    return fn
+
+
+def sessionize_stream_update(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Streaming sessionization in update mode: emits the current
+    (user_id, session_id) aggregate whenever a micro-batch touches it.
+    Requires per-user ts-ordered arrival across batches (file feeds with
+    ordered files satisfy this); the latest emission per key equals the
+    batch ``sessionize`` row."""
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{EPOCH} 00:00:00', ts)"
+    )
+    prepared = events.select(
+        "user_id", "event_id", "value", us.alias("us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_state_fn(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType="last_us long, sid int, n_ev long, start_us long, total_v double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    gap_seconds: int = 1800,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain available event files (one file per micro-batch, so per-user
+    order across batches follows file order) through the stateful
+    sessionizer; append every update emission to parquet. The reader takes
+    the LATEST emission per (user_id, session_id)."""
+    checkpoint_dir = checkpoint_dir or f"{out_dir}/_checkpoint"
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(events_dir)
+    )
+    sess = sessionize_stream_update(stream, gap_seconds).withColumn(
+        "batch_seq", F.lit(None).cast("long")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_seq", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{out_dir}/updates")
+        )
+
+    q = (
+        sess.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def latest_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold the update stream: newest emission per (user_id, session_id)."""
+    upd = spark.read.parquet(f"{out_dir}/updates")
+    w = Window.partitionBy("user_id", "session_id").orderBy(F.desc("batch_seq"))
+    return (
+        upd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "session_id", "n_events", "start_us", "end_us", "total_value"
+        )
+        .orderBy("user_id", "session_id")
+    )
