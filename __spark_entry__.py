@@ -129,6 +129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_single"] = lambda s, d: _bm25_spark(s, d, "spark")
     q["bm25_conj"] = lambda s, d: _bm25_spark(s, d, FLAGSHIP_QUERY)
     q["match_and"] = lambda s, d: search.match_all_terms(_docs(s, d), "spark merge vector")
+    # websearch_to_tsquery '-term' negation (reference fusion.py:42)
+    q["match_websearch"] = lambda s, d: search.match_websearch(
+        _docs(s, d), "spark merge -vector"
+    )
     q["match_or"] = lambda s, d: search.match_any_terms(_docs(s, d), "spark vector")
     q["match_phrase"] = lambda s, d: search.match_phrase(_docs(s, d), "data table")
     q["match_near"] = lambda s, d: search.match_near(_docs(s, d), "data query", slop=2)
@@ -412,6 +416,15 @@ WITH {_TOK_CTE}
 SELECT doc_id AS docid FROM tf
 WHERE term IN ({', '.join(f"'{t}'" for t in terms_and)})
 GROUP BY doc_id HAVING count(*) = {len(terms_and)} ORDER BY docid"""
+
+    o["match_websearch"] = f"""
+WITH {_TOK_CTE},
+m AS (
+  SELECT doc_id FROM tf WHERE term IN ('merge', 'spark')
+  GROUP BY doc_id HAVING count(*) = 2)
+SELECT doc_id AS docid FROM m
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector')
+ORDER BY docid"""
 
     terms_or = analyze_query("spark vector")
     o["match_or"] = f"""

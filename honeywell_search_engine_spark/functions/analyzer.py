@@ -108,6 +108,24 @@ def analyze_query(query: str) -> list[str]:
     return sorted(set(tokenize(query)))[:MAX_QUERY_TERMS]
 
 
+def parse_websearch(query: str) -> tuple[list[str], list[str]]:
+    """Postgres websearch_to_tsquery negation: a whitespace word prefixed
+    with '-' excludes documents containing it (reference F4/T9 use
+    websearch_to_tsquery, fusion.py:42). Returns (positive terms, negated
+    terms), each through the standard query analyzer. A term that is both
+    required and negated is a contradiction — the caller returns empty,
+    matching Postgres (``a & !a`` never matches). Negated terms are NOT
+    capped together with positives; each side gets the analyzer's own
+    dedup/sort/cap."""
+    pos_raw, neg_raw = [], []
+    for w in query.split():
+        if w.startswith("-") and len(w) > 1:
+            neg_raw.append(w[1:])
+        else:
+            pos_raw.append(w)
+    return analyze_query(" ".join(pos_raw)), analyze_query(" ".join(neg_raw))
+
+
 # --- vectorized (Arrow-batch) versions --------------------------------------
 # pandas .str ops run the same `re` engine over whole columns; identical
 # output to the pure kernels is asserted by tests/test_analyzer.py.

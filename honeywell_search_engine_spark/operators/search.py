@@ -147,6 +147,38 @@ def match_all_terms(
     )
 
 
+def match_websearch(
+    docs: DataFrame, query: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Full websearch_to_tsquery semantics incl. '-term' negation
+    (reference fusion.py:42): docids containing every unprefixed term and
+    NONE of the '-'-prefixed ones, ascending. The exclusion is a left-anti
+    join against the negated terms' posting rows — one extra shuffle-free
+    pass over the same tf table; a required term that is also negated is a
+    contradiction (empty)."""
+    from honeywell_search_engine_spark.functions.analyzer import parse_websearch
+
+    spark = docs.sparkSession
+    pos, neg = parse_websearch(query)
+    if not pos or set(pos) & set(neg):
+        return spark.createDataFrame([], "docid long")
+    tf = doc_term_freqs(docs, id_col, text_col)
+    matched = (
+        tf.filter(F.col("term").isin(pos))
+        .groupBy("docid")
+        .agg(F.count("*").alias("nt"))
+        .filter(F.col("nt") == len(pos))
+        .select("docid")
+    )
+    if neg:
+        matched = matched.join(
+            tf.filter(F.col("term").isin(neg)).select("docid").distinct(),
+            "docid",
+            "left_anti",
+        )
+    return matched.select(F.col("docid").cast("long")).orderBy("docid")
+
+
 def match_any_terms(
     docs: DataFrame, query: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -66,11 +66,13 @@ class OracleIndex:
         return math.log1p((self.n_docs - df + 0.5) / (df + 0.5))
 
     def search(
-        self, query: str, k: int = 10, allowed=None
+        self, query: str, k: int = 10, allowed=None, exclude=None
     ) -> list[tuple[int, float]]:
         """Exhaustive conjunctive BM25 top-k: [(docid, score)] sorted by
         (-score, docid). Unknown term => empty (AND semantics). `allowed`
-        restricts candidates to a docid scope (global stats unchanged)."""
+        restricts candidates to a docid scope (global stats unchanged);
+        `exclude` drops every doc containing ANY of those (analyzed)
+        terms — websearch '-term' negation."""
         terms = analyze_query(query)
         if not terms:
             return []
@@ -86,6 +88,9 @@ class OracleIndex:
             candidate &= p.keys()
         if allowed is not None:
             candidate &= set(allowed)
+        if exclude:
+            for t in exclude:
+                candidate -= self.postings.get(t, {}).keys()
         scored = []
         for docid in candidate:
             dl = self.doclen[docid]

@@ -145,37 +145,59 @@ class ServingIndex:
     # ---- queries ----------------------------------------------------------
 
     def search(
-        self, query: str, k: int = 10, mode: str = "and", allowed_docids=None
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        allowed_docids=None,
+        exclude_terms: list[str] | None = None,
     ) -> list[tuple[int, float]]:
         """[(docid, score)] by (-score, docid) — rank/score bit-identical
-        to query/wand.bm25_topk_wand (tested on the reference query set)."""
+        to query/wand.bm25_topk_wand (tested on the reference query set).
+        `exclude_terms` is websearch '-term' negation (AND mode only)."""
         terms = analyze_query(query)
         if not terms:
             return []
-        rows_by_term = self._rows_for(terms)
+        neg_terms: list[str] = []
+        if exclude_terms:
+            if mode != "and":
+                raise ValueError("exclude_terms (websearch '-term') is AND-only")
+            neg_terms = sorted(set(exclude_terms))
+            if set(terms) & set(neg_terms):
+                return []  # contradiction: a & !a never matches
+        rows_by_term = self._rows_for(terms + neg_terms)
         if mode == "and" and any(not rows_by_term[t] for t in terms):
             return []  # a term unknown globally -> conjunction empty
         idf = {t: self._idf(r) for t, r in rows_by_term.items() if r}
         scope = self._lids_by_shard(allowed_docids) if allowed_docids is not None else None
         by_shard: dict[int, list] = {}
+        neg_by_shard: dict[int, list] = {}
         for t in terms:
             for row in rows_by_term[t]:
                 by_shard.setdefault(int(row["shard"]), []).append((t, row))
+        for t in neg_terms:
+            for row in rows_by_term[t]:
+                neg_by_shard.setdefault(int(row["shard"]), []).append((t, row))
         out: list[tuple[int, float]] = []
         for s, trs in by_shard.items():
             dead = self._dead.get(s, W._NO_DEAD)
             sc = scope.get(s, W._NO_DEAD) if scope is not None else None
             rows = [(t, W._enc_from_row(r)) for t, r in trs]
+            neg_rows = [
+                (t, W._enc_from_row(r)) for t, r in neg_by_shard.get(s, [])
+            ]
             if mode == "and":
                 if len(rows) < len(terms):
                     continue
                 if len(terms) == 1:
                     res = W._topk_single(
-                        rows[0][1], idf[rows[0][0]], self.avgdl, k, dead, sc
+                        rows[0][1], idf[rows[0][0]], self.avgdl, k, dead, sc,
+                        neg_rows,
                     )
                 else:
                     res = W._shard_kernel_and(
-                        rows, idf, self.avgdl, k, dead, scope=sc
+                        rows, idf, self.avgdl, k, dead, scope=sc,
+                        neg_rows=neg_rows,
                     )
             else:
                 res = W._shard_kernel_or(rows, idf, self.avgdl, k, dead, scope=sc)
@@ -183,6 +205,16 @@ class ServingIndex:
             out.extend((int(arr[int(l)]), float(v)) for l, v in res)
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
+
+    def search_websearch(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """websearch_to_tsquery semantics ('-term' negation) — mirrors
+        query/wand.bm25_topk_websearch."""
+        from honeywell_search_engine_spark.functions.analyzer import parse_websearch
+
+        pos, neg = parse_websearch(query)
+        if not pos or set(pos) & set(neg):
+            return []
+        return self.search(" ".join(pos), k, exclude_terms=neg)
 
     def search_phrase(
         self, phrase: str, k: int = 10, slop: int = 0

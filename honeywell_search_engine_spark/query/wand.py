@@ -93,12 +93,15 @@ def _select_topk_with_ties(lids: np.ndarray, scores: np.ndarray, k: int):
 
 
 def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int,
-                 dead: np.ndarray = _NO_DEAD, scope: np.ndarray | None = None):
+                 dead: np.ndarray = _NO_DEAD, scope: np.ndarray | None = None,
+                 neg_rows: list = ()):
     """Exact single-term top-k with block-max score pruning. `dead` is a
     sorted int64 tombstoned-lid array for THIS shard (from a Spark
     broadcast — never a per-task Python set); `scope`, when given, is the
     sorted allowed-lid array (the reference's per-caller allowed_ids
-    restriction, F2/F3)."""
+    restriction, F2/F3); `neg_rows` are (term, EncodedList) exclusions
+    (websearch '-term'), filtered per chunk BEFORE the top-k buffer so the
+    pruning threshold never counts an excluded doc."""
     order = np.argsort(-enc.bmax_u, kind="stable")
     # Blocks are visited in descending-bound order in CHUNKS: the stop
     # test uses the first (= highest-bound) block of the next chunk, so
@@ -124,6 +127,9 @@ def _topk_single(enc: codec.EncodedList, idf: float, avgdl: float, k: int,
         if scope is not None:
             m = np.isin(lids, scope)
             lids, scores = lids[m], scores[m]
+        if neg_rows and lids.size:
+            keep_n = ~_negated_mask(neg_rows, lids)
+            lids, scores = lids[keep_n], scores[keep_n]
         cand_d.append(lids)
         cand_s.append(scores)
         if scores.size:
@@ -144,9 +150,35 @@ def _candidate_blocks(enc: codec.EncodedList, cand: np.ndarray) -> np.ndarray:
     return np.searchsorted(enc.bmax_docid, cand, side="left")
 
 
+def _negated_mask(neg_rows: list, cand: np.ndarray) -> np.ndarray:
+    """True where cand appears in ANY negated term's posting list —
+    websearch '-term' exclusion. Candidate-selective decode: only the
+    blocks that could contain a candidate are touched (same skip pattern
+    as the AND intersect); a negated term's list is never fully decoded."""
+    ci = cand.astype(np.int64)
+    hit = np.zeros(ci.size, dtype=bool)
+    for _t, enc in neg_rows:
+        if ci.size == 0:
+            break
+        blocks = _candidate_blocks(enc, ci)
+        valid = blocks < enc.bmax_docid.size
+        if not valid.any():
+            continue
+        ublocks = np.unique(blocks[valid])
+        pl = codec.decode_blocks(enc, ublocks)
+        pd_ids = pl.docids.astype(np.int64)
+        cand_v = ci[valid]
+        pos = np.searchsorted(pd_ids, cand_v)
+        ok = pos < pd_ids.size
+        match = np.zeros(cand_v.size, dtype=bool)
+        match[ok] = pd_ids[pos[ok]] == cand_v[ok]
+        hit[np.flatnonzero(valid)[match]] = True
+    return hit
+
+
 def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
                       k: int, dead: np.ndarray = _NO_DEAD, prune: bool = True,
-                      scope: np.ndarray | None = None):
+                      scope: np.ndarray | None = None, neg_rows: list = ()):
     """Conjunctive evaluation of one shard. term_rows: (term, EncodedList),
     all query terms present (caller enforces).
 
@@ -183,6 +215,14 @@ def _shard_kernel_and(term_rows: list, idf: dict[str, float], avgdl: float,
         tfs0, dls0 = tf_cols[t0]
         cand = cand[m]
         tf_cols[t0] = (tfs0[m], dls0[m])
+    if neg_rows and cand.size:
+        # websearch '-term' exclusion BEFORE pruning, so theta derives
+        # only from docs that can actually be returned
+        keep_n = ~_negated_mask(neg_rows, cand)
+        if not keep_n.all():
+            tfs0, dls0 = tf_cols[t0]
+            cand = cand[keep_n]
+            tf_cols[t0] = (tfs0[keep_n], dls0[keep_n])
     if prune and cand.size > k:
         tfs0, dls0 = tf_cols[t0]
         exact0 = idf[t0] * _u_exact(tfs0, dls0, avgdl)  # exact driver part
@@ -529,6 +569,7 @@ def bm25_topk_wand(
     k: int = 10,
     mode: str = "and",
     allowed_docids=None,
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the segment index. mode='and' (conjunctive, default)
     or 'or' (disjunctive). Returns DataFrame(docid, score) ordered by
@@ -553,6 +594,13 @@ def bm25_topk_wand(
     terms = analyze_query(query)
     if not terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
+    neg_terms: list[str] = []
+    if exclude_terms:
+        if mode != "and":
+            raise ValueError("exclude_terms (websearch '-term') is AND-only")
+        neg_terms = sorted(set(exclude_terms))
+        if set(terms) & set(neg_terms):
+            return spark.createDataFrame([], RESULT_SCHEMA)  # contradiction
     n_terms = len(terms)
     avgdl = index.stats.avgdl
     mode_and = mode == "and"
@@ -569,19 +617,26 @@ def bm25_topk_wand(
             scope_bc = index.scope_broadcast(allowed_docids)
     scoped = allowed_docids is not None
 
+    neg_set = set(neg_terms)
+
     def eval_shard(shard: int, pdf: pd.DataFrame, scope) -> pd.DataFrame:
         dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
-        rows = [(r["term"], _enc_from_row(r)) for _, r in pdf.iterrows()]
+        all_rows = [(r["term"], _enc_from_row(r)) for _, r in pdf.iterrows()]
+        rows = [tr for tr in all_rows if tr[0] not in neg_set]
+        neg_rows = [tr for tr in all_rows if tr[0] in neg_set]
         idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         if mode_and:
             if len(rows) < n_terms:
                 return pd.DataFrame({"shard": [], "lid": [], "score": []})
             if n_terms == 1:
                 res = _topk_single(
-                    rows[0][1], idf_b[rows[0][0]], avgdl, k, dead, scope
+                    rows[0][1], idf_b[rows[0][0]], avgdl, k, dead, scope,
+                    neg_rows,
                 )
             else:
-                res = _shard_kernel_and(rows, idf_b, avgdl, k, dead, scope=scope)
+                res = _shard_kernel_and(
+                    rows, idf_b, avgdl, k, dead, scope=scope, neg_rows=neg_rows
+                )
         else:
             res = _shard_kernel_or(rows, idf_b, avgdl, k, dead, scope=scope)
         if not res:
@@ -611,7 +666,7 @@ def bm25_topk_wand(
             return pd.DataFrame({"shard": [], "lid": [], "score": []})
         return eval_shard(shard, seg_pdf, scope)
 
-    segs = index.segments_with_idf(terms)
+    segs = index.segments_with_idf(terms + neg_terms)
     if scope_df is not None:
         scope_lids = index.docmap.join(
             scope_df.select(F.col("docid").cast("long").alias("docid")),
@@ -637,6 +692,22 @@ def bm25_topk_wand(
         .limit(k)
         .select("docid", "score")
     )
+
+
+def bm25_topk_websearch(
+    index: SegmentIndex, query: str, k: int = 10
+) -> DataFrame:
+    """Full websearch_to_tsquery AND/'-term' semantics over the segment
+    index (reference fusion.py:42): unprefixed words must ALL match,
+    '-word' excludes documents containing it, a required term that is also
+    negated is a contradiction (empty — Postgres a & !a). Rank/score
+    bit-identical to OracleIndex.search(pos, exclude=neg) (tested)."""
+    from honeywell_search_engine_spark.functions.analyzer import parse_websearch
+
+    pos, neg = parse_websearch(query)
+    if not pos or set(pos) & set(neg):
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    return bm25_topk_wand(index, " ".join(pos), k, exclude_terms=neg)
 
 
 def bm25_topk_phrase_batch(

@@ -484,3 +484,50 @@ def test_assign_local_ids_partition_independent(spark):
         per_shard.setdefault(s, []).append(lid)
     for s, lids in per_shard.items():
         assert sorted(lids) == list(range(len(lids))), s
+
+
+def test_websearch_negation_matches_oracle(spark, seg_index, oracle):
+    """websearch '-term' negation on the segment path: bit-exact vs the
+    oracle with exclusions, across head/marker combinations; contradiction
+    and unknown negated terms behave like Postgres websearch."""
+    from honeywell_search_engine_spark.functions.analyzer import parse_websearch
+    from honeywell_search_engine_spark.query.wand import bm25_topk_websearch
+
+    cases = [
+        f"{QUERIES['q01']} -{QUERIES['q02']}",        # head minus head
+        f"{QUERIES['q01']} {QUERIES['q02']} -data",   # two heads minus head
+        f"{QUERIES['q06']} -zzzznotaterm",            # unknown negation: no-op
+    ]
+    n_nonempty = n_reduced = 0
+    for q in cases:
+        pos, neg = parse_websearch(q)
+        exp = oracle.search(" ".join(pos), k=10, exclude=neg)
+        got = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_websearch(seg_index, q, k=10).collect()
+        ]
+        assert got == exp, q
+        n_nonempty += bool(exp)
+        full = {d for d, _ in oracle.search(" ".join(pos), k=100000)}
+        excl = {d for d, _ in oracle.search(" ".join(pos), k=100000, exclude=neg)}
+        n_reduced += excl < full  # negation actually removed docs
+    assert n_nonempty >= 2 and n_reduced >= 2
+    # contradiction: a required term also negated -> empty (a & !a)
+    assert (
+        bm25_topk_websearch(seg_index, f"{QUERIES['q01']} -{QUERIES['q01']}", k=10)
+        .count()
+        == 0
+    )
+
+
+def test_websearch_serving_matches_spark(spark, seg_index):
+    from honeywell_search_engine_spark.query.local import ServingIndex
+    from honeywell_search_engine_spark.query.wand import bm25_topk_websearch
+
+    sv = ServingIndex(seg_index.path)
+    for q in (f"{QUERIES['q01']} -{QUERIES['q02']}", f"{QUERIES['q06']} -data"):
+        exp = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_websearch(seg_index, q, k=10).collect()
+        ]
+        assert sv.search_websearch(q, k=10) == exp, q
