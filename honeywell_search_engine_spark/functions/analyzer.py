@@ -126,6 +126,36 @@ def parse_websearch(query: str) -> tuple[list[str], list[str]]:
     return analyze_query(" ".join(pos_raw)), analyze_query(" ".join(neg_raw))
 
 
+_QUOTE_RE = re.compile(r'(-?)"([^"]*)"')
+
+
+def parse_websearch_full(query: str) -> tuple[list[str], list[str], list[list[str]]]:
+    """Full websearch_to_tsquery surface: unquoted words AND, '-word'
+    negation, '"quoted words"' adjacency groups (Postgres turns a quote
+    into chained <-> phrase operators inside the conjunction). Returns
+    (loose positive terms, negated terms, phrase token-lists). Single-word
+    quotes degrade to loose terms; negated phrases ('-"..."') are not
+    supported (raises — excluding per-word would be stricter than the
+    Postgres semantics, and silently wrong beats loudly absent)."""
+    phrases: list[list[str]] = []
+    singles: list[str] = []
+
+    def grab(m: "re.Match") -> str:
+        if m.group(1) == "-":
+            raise ValueError("negated quoted phrases are not supported")
+        toks = tokenize(m.group(2))
+        if len(toks) >= 2:
+            phrases.append(toks)
+        elif toks:
+            singles.append(toks[0])
+        return " "
+
+    rest = _QUOTE_RE.sub(grab, query)
+    pos, neg = parse_websearch(rest)
+    loose = sorted(set(pos) | set(singles))[:MAX_QUERY_TERMS]
+    return loose, neg, phrases
+
+
 # --- vectorized (Arrow-batch) versions --------------------------------------
 # pandas .str ops run the same `re` engine over whole columns; identical
 # output to the pure kernels is asserted by tests/test_analyzer.py.

@@ -134,6 +134,53 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def _phrase_in_doc(self, terms: list[str], docid: int) -> bool:
+        """True iff `terms` occur at consecutive filtered-stream positions
+        in docid (caller guarantees every term's posting contains docid)."""
+        pset = set(self.positions[terms[0]][docid])
+        for j in range(1, len(terms)):
+            pset &= {x - j for x in self.positions[terms[j]][docid]}
+            if not pset:
+                return False
+        return True
+
+    def search_websearch(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Full websearch_to_tsquery semantics: loose terms AND, quoted
+        groups adjacent, '-term' negation, contradiction empty. Scored
+        like `search` over ALL distinct positive terms."""
+        from honeywell_search_engine_spark.functions.analyzer import (
+            parse_websearch_full,
+        )
+
+        loose, neg, phrases = parse_websearch_full(query)
+        all_pos = sorted(set(loose) | {t for ph in phrases for t in ph})
+        if not all_pos or set(all_pos) & set(neg):
+            return []
+        plists = []
+        for t in all_pos:
+            p = self.postings.get(t)
+            if not p:
+                return []
+            plists.append((t, p))
+        candidate = set(min((p for _, p in plists), key=len))
+        for _, p in plists:
+            candidate &= p.keys()
+        for t in neg:
+            candidate -= self.postings.get(t, {}).keys()
+        for ph in phrases:
+            candidate = {d for d in candidate if self._phrase_in_doc(ph, d)}
+        scored = []
+        for docid in candidate:
+            dl = self.doclen[docid]
+            norm = K1 * (1.0 - B + B * dl / self.avgdl)
+            s = 0.0
+            for t, p in plists:
+                tf = float(p[docid])
+                s += self.idf(t) * (tf * (K1 + 1.0) / (tf + norm))
+            scored.append((docid, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def search_phrase(
         self, phrase: str, k: int = 10, slop: int = 0
     ) -> list[tuple[int, float]]:

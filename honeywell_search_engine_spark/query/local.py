@@ -207,14 +207,47 @@ class ServingIndex:
         return out[:k]
 
     def search_websearch(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """websearch_to_tsquery semantics ('-term' negation) — mirrors
-        query/wand.bm25_topk_websearch."""
-        from honeywell_search_engine_spark.functions.analyzer import parse_websearch
+        """Full websearch_to_tsquery semantics (quoted adjacency groups +
+        '-term' negation) — mirrors query/wand.bm25_topk_websearch."""
+        from honeywell_search_engine_spark.functions.analyzer import (
+            parse_websearch_full,
+        )
 
-        pos, neg = parse_websearch(query)
-        if not pos or set(pos) & set(neg):
+        loose, neg, phrases = parse_websearch_full(query)
+        all_pos = sorted(set(loose) | {t for ph in phrases for t in ph})
+        if not all_pos or set(all_pos) & set(neg):
             return []
-        return self.search(" ".join(pos), k, exclude_terms=neg)
+        if not phrases:
+            return self.search(" ".join(all_pos), k, exclude_terms=neg)
+        rows_by_term = self._rows_for(all_pos + neg)
+        if any(not rows_by_term[t] for t in all_pos):
+            return []
+        idf = {t: self._idf(r) for t, r in rows_by_term.items() if r}
+        neg_set = set(neg)
+        by_shard: dict[int, list] = {}
+        neg_by_shard: dict[int, list] = {}
+        for t in all_pos:
+            for row in rows_by_term[t]:
+                by_shard.setdefault(int(row["shard"]), []).append((t, row))
+        for t in neg:
+            for row in rows_by_term[t]:
+                neg_by_shard.setdefault(int(row["shard"]), []).append((t, row))
+        out: list[tuple[int, float]] = []
+        for s, trs in by_shard.items():
+            if len(trs) < len(all_pos):
+                continue
+            dead = self._dead.get(s, W._NO_DEAD)
+            pos_rows = [(t, W._enc_from_row(r)) for t, r in trs]
+            neg_rows = [
+                (t, W._enc_from_row(r)) for t, r in neg_by_shard.get(s, [])
+            ]
+            res = W._shard_kernel_websearch(
+                pos_rows, phrases, neg_rows, idf, self.avgdl, k, dead
+            )
+            arr = self._docid_of[s]
+            out.extend((int(arr[int(l)]), float(v)) for l, v in res)
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
 
     def search_phrase(
         self, phrase: str, k: int = 10, slop: int = 0

@@ -515,6 +515,122 @@ def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
     return _select_topk_with_ties(cand.astype(np.int64), score, k)
 
 
+def _shard_kernel_websearch(
+    pos_rows: list,
+    phrase_groups: list,
+    neg_rows: list,
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    dead: np.ndarray = _NO_DEAD,
+):
+    """Combined websearch evaluation of one shard: pos_rows are the
+    DISTINCT required (term, EncodedList) pairs (loose terms + every
+    quoted-phrase member), phrase_groups are token-lists that must each
+    occur adjacently, neg_rows exclude. Exact; positions decode only for
+    phrase members and only in candidate blocks. No score-bound pruning:
+    with unverified phrase groups pending there is no sound theta (same
+    reasoning as the AND-prune fix)."""
+    need_pos = {t for ph in phrase_groups for t in ph}
+    rows = sorted(pos_rows, key=lambda tr: tr[1].n)
+    t0, e0 = rows[0]
+    pl0 = codec.decode_postings(
+        e0, with_positions=t0 in need_pos, flat_positions=True
+    )
+    cand = pl0.docids
+    cols: dict[str, tuple] = {
+        t0: (pl0.tfs, pl0.doclens, pl0.positions if t0 in need_pos else None)
+    }
+
+    def _filter(keep: np.ndarray) -> None:
+        nonlocal cand
+        for tt in list(cols):
+            tfs, dls, flat = cols[tt]
+            nf = (
+                flat[np.repeat(keep, tfs.astype(np.int64))]
+                if flat is not None
+                else None
+            )
+            cols[tt] = (tfs[keep], dls[keep], nf)
+        cand = cand[keep]
+
+    if dead.size:
+        _filter(~np.isin(cand.astype(np.int64), dead))
+    for t, enc in rows[1:]:
+        if cand.size == 0:
+            return []
+        blocks = _candidate_blocks(enc, cand.astype(np.int64))
+        valid = blocks < enc.bmax_docid.size
+        ublocks = np.unique(blocks[valid])
+        wp = t in need_pos
+        pl = codec.decode_blocks(enc, ublocks, with_positions=wp, flat_positions=True)
+        cand_v = cand[valid]
+        pos = np.searchsorted(pl.docids, cand_v)
+        ok = pos < pl.docids.size
+        match = np.zeros(cand_v.size, dtype=bool)
+        match[ok] = pl.docids[pos[ok]] == cand_v[ok]
+        keep = np.zeros(cand.size, dtype=bool)
+        keep[np.flatnonzero(valid)[match]] = True
+        sel = pos[match]
+        _filter(keep)
+        if wp:
+            cnt = pl.tfs.astype(np.int64)
+            starts = np.zeros(cnt.size + 1, dtype=np.int64)
+            np.cumsum(cnt, out=starts[1:])
+            seg_s, seg_l = starts[sel], cnt[sel]
+            out_starts = np.zeros(sel.size, dtype=np.int64)
+            if sel.size > 1:
+                np.cumsum(seg_l[:-1], out=out_starts[1:])
+            gidx = (
+                np.arange(int(seg_l.sum()), dtype=np.int64)
+                - np.repeat(out_starts, seg_l)
+                + np.repeat(seg_s, seg_l)
+            )
+            cols[t] = (pl.tfs[sel], pl.doclens[sel], pl.positions[gidx])
+        else:
+            cols[t] = (pl.tfs[sel], pl.doclens[sel], None)
+    if cand.size == 0:
+        return []
+    if neg_rows:
+        hit = _negated_mask(neg_rows, cand)
+        if hit.any():
+            _filter(~hit)
+    if cand.size == 0:
+        return []
+    # adjacency verification per quoted group — same composite-key sweep
+    # as the phrase kernel, all groups must hold
+    ok_all = np.ones(cand.size, dtype=bool)
+    n_cand = cand.size
+    for ph in phrase_groups:
+        def _keys_of(t: str) -> np.ndarray:
+            tfs, _dls, flat = cols[t]
+            c = np.repeat(np.arange(n_cand, dtype=np.int64), tfs.astype(np.int64))
+            return (c << 32) | flat.astype(np.int64)
+
+        cur = _keys_of(ph[0])
+        for j in range(1, len(ph)):
+            if cur.size == 0:
+                break
+            kj = _keys_of(ph[j])
+            tgt = cur + j
+            idx = np.searchsorted(kj, tgt)
+            okk = idx < kj.size
+            okk[okk] = kj[idx[okk]] == tgt[okk]
+            cur = cur[okk]
+        g = np.zeros(n_cand, dtype=bool)
+        g[np.unique(cur >> 32)] = True
+        ok_all &= g
+    if not ok_all.all():
+        _filter(ok_all)
+    if cand.size == 0:
+        return []
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in sorted(cols):
+        tfs, dls, _flat = cols[t]
+        score += idf[t] * _u_exact(tfs, dls, avgdl)
+    return _select_topk_with_ties(cand.astype(np.int64), score, k)
+
+
 def bm25_topk_phrase(
     index: SegmentIndex, phrase: str, k: int = 10, slop: int = 0
 ) -> DataFrame:
@@ -697,17 +813,59 @@ def bm25_topk_wand(
 def bm25_topk_websearch(
     index: SegmentIndex, query: str, k: int = 10
 ) -> DataFrame:
-    """Full websearch_to_tsquery AND/'-term' semantics over the segment
-    index (reference fusion.py:42): unprefixed words must ALL match,
-    '-word' excludes documents containing it, a required term that is also
-    negated is a contradiction (empty — Postgres a & !a). Rank/score
-    bit-identical to OracleIndex.search(pos, exclude=neg) (tested)."""
-    from honeywell_search_engine_spark.functions.analyzer import parse_websearch
+    """Full websearch_to_tsquery semantics over the segment index
+    (reference fusion.py:42): unprefixed words must ALL match, '"quoted
+    words"' must additionally occur adjacently (chained <->), '-word'
+    excludes documents containing it, and a required term that is also
+    negated is a contradiction (empty — Postgres a & !a). Queries without
+    quotes ride the pruned AND path; quoted queries run the combined
+    positional kernel. Rank/score bit-identical to
+    OracleIndex.search_websearch (tested)."""
+    from honeywell_search_engine_spark.functions.analyzer import parse_websearch_full
 
-    pos, neg = parse_websearch(query)
-    if not pos or set(pos) & set(neg):
-        return index.spark.createDataFrame([], RESULT_SCHEMA)
-    return bm25_topk_wand(index, " ".join(pos), k, exclude_terms=neg)
+    spark = index.spark
+    loose, neg, phrases = parse_websearch_full(query)
+    all_pos = sorted(set(loose) | {t for ph in phrases for t in ph})
+    if not all_pos or set(all_pos) & set(neg):
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    if not phrases:
+        return bm25_topk_wand(index, " ".join(all_pos), k, exclude_terms=neg)
+
+    avgdl = index.stats.avgdl
+    dead_bc = index.dead_broadcast()
+    neg_set = set(neg)
+    n_pos = len(all_pos)
+
+    def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
+        all_rows = [(r["term"], _enc_from_row(r)) for _, r in pdf.iterrows()]
+        idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
+        pos_rows = [tr for tr in all_rows if tr[0] not in neg_set]
+        neg_rows = [tr for tr in all_rows if tr[0] in neg_set]
+        if len(pos_rows) < n_pos:
+            return pd.DataFrame({"shard": [], "lid": [], "score": []})
+        res = _shard_kernel_websearch(
+            pos_rows, phrases, neg_rows, idf_b, avgdl, k, dead
+        )
+        return pd.DataFrame(
+            {
+                "shard": [shard] * len(res),
+                "lid": [int(d) for d, _ in res],
+                "score": [float(s) for _, s in res],
+            }
+        )
+
+    segs = index.segments_with_idf(all_pos + neg)
+    per_shard = segs.groupBy("shard").applyInPandas(
+        run_shard, schema="shard int, lid long, score double"
+    )
+    return (
+        index.rehydrate(per_shard)
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+        .select("docid", "score")
+    )
 
 
 def bm25_topk_phrase_batch(

@@ -531,3 +531,42 @@ def test_websearch_serving_matches_spark(spark, seg_index):
             for r in bm25_topk_websearch(seg_index, q, k=10).collect()
         ]
         assert sv.search_websearch(q, k=10) == exp, q
+
+
+def test_websearch_full_quoted_plus_negation_matches_oracle(
+    spark, seg_index, oracle, pages_pdf
+):
+    """Combined websearch surface — '"quoted phrase" word -neg' — is
+    rank/score bit-exact vs OracleIndex.search_websearch, and the phrase
+    group genuinely constrains (quoted result set strictly inside the
+    unquoted AND set somewhere across the cases)."""
+    from honeywell_search_engine_spark.functions.analyzer import analyze
+    from honeywell_search_engine_spark.query.local import ServingIndex
+    from honeywell_search_engine_spark.query.wand import bm25_topk_websearch
+
+    en = pages_pdf[pages_pdf.lang == "en"]
+    a0, a1 = analyze(en.text.iloc[3])[:2]    # real adjacent pair
+    b0, b1 = analyze(en.text.iloc[11])[:2]
+    sv = ServingIndex(seg_index.path)
+    cases = [
+        f'"{a0} {a1}"',
+        f'"{a0} {a1}" {QUERIES["q01"]}',
+        f'"{a0} {a1}" -{QUERIES["q02"]}',
+        f'"{b0} {b1}" "{a0} {a1}"',          # two phrase groups
+        f'"{a0} {a1}" -zzzznotaterm',
+    ]
+    n_nonempty = 0
+    for q in cases:
+        exp = oracle.search_websearch(q, k=10)
+        got = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_websearch(seg_index, q, k=10).collect()
+        ]
+        assert got == exp, q
+        assert sv.search_websearch(q, k=10) == exp, q
+        n_nonempty += bool(exp)
+    assert n_nonempty >= 3
+    # the quote constrains: unordered AND of the same words is a superset
+    quoted = {d for d, _ in oracle.search_websearch(f'"{a0} {a1}"', k=100000)}
+    anded = {d for d, _ in oracle.search(f"{a0} {a1}", k=100000)}
+    assert quoted <= anded and quoted
