@@ -68,6 +68,22 @@ class CachedSearcher:
             ],
         )
 
+    def search_websearch(self, query: str, k: int = 10) -> list:
+        """Full websearch surface (quotes + '-term'), memoized; misses ride
+        the serving path when enabled, else the Spark plan."""
+        key = ("w", query, k)
+        if self._local is not None:
+            return self._get(key, lambda: self._local.search_websearch(query, k))
+        from honeywell_search_engine_spark.query.wand import bm25_topk_websearch
+
+        return self._get(
+            key,
+            lambda: [
+                (r["docid"], r["score"])
+                for r in bm25_topk_websearch(self.index, query, k).collect()
+            ],
+        )
+
     def search_phrase(self, phrase: str, k: int = 10, slop: int = 0) -> list:
         key = ("p", phrase, k, slop)
         if self._local is not None:

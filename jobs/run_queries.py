@@ -11,8 +11,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# local runs: make the repo root importable (spark-submit ships the
+# package via --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> None:
@@ -21,7 +26,9 @@ def main(argv=None) -> None:
     ap.add_argument("--query", action="append", default=[])
     ap.add_argument("--reference-set", action="store_true")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=["and", "or", "phrase"], default="and")
+    ap.add_argument("--mode", choices=["and", "or", "phrase", "websearch", "serve"],
+                default="and",
+                help="websearch = full websearch_to_tsquery syntax (quotes, -neg); serve = Spark-free ServingIndex path")
     ap.add_argument("--batch", action="store_true",
                     help="evaluate all queries in one Spark job")
     ap.add_argument("--cores", type=int, default=None)
@@ -61,13 +68,26 @@ def main(argv=None) -> None:
                 (r["docid"], r["score"])
             )
         out["_batch_sec"] = round(time.time() - t0, 3)
+    elif args.mode == "serve":
+        from honeywell_search_engine_spark.query.local import ServingIndex
+
+        sv = ServingIndex(args.index)
+        for name, q in queries.items():
+            t0 = time.time()
+            hits = sv.search(q, k=args.k)
+            out[str(name)] = {"sec": round(time.time() - t0, 4), "hits": hits}
     else:
-        from honeywell_search_engine_spark.query.wand import bm25_topk_phrase
+        from honeywell_search_engine_spark.query.wand import (
+            bm25_topk_phrase,
+            bm25_topk_websearch,
+        )
 
         for name, q in queries.items():
             t0 = time.time()
             if args.mode == "phrase":
                 rows = bm25_topk_phrase(idx, q, k=args.k).collect()
+            elif args.mode == "websearch":
+                rows = bm25_topk_websearch(idx, q, k=args.k).collect()
             else:
                 rows = bm25_topk_wand(idx, q, k=args.k, mode=args.mode).collect()
             out[str(name)] = {
