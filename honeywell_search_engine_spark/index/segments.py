@@ -122,66 +122,133 @@ def _encode_group(term: str, shard: int, bucket: int,
 
 
 def make_segment_encoder(avgdl: float, n_buckets: int):
-    """mapInPandas kernel: consumes (term, shard, lid, doclen) OCCURRENCE
-    batches sorted by (term, shard, lid) within the partition — duplicate
-    lids are occurrences; tf = run length (np.unique on the sorted run).
-    Emits one encoded row per (term, shard) run. Carries the open run
-    across batch boundaries — memory is O(batch + largest single run),
-    not O(partition). Posting values are shard-local dense ordinals
-    (index/docmap.py); the docmap rehydrates global docids at query time.
-    """
+    """mapInPandas kernel: consumes (term, shard, lid, doclen, pos)
+    OCCURRENCE batches sorted by (term, shard, lid, pos) within the
+    partition — duplicate lids are occurrences; tf = run length. Emits one
+    encoded row per (term, shard) run.
+
+    MEGA-BATCHED: every complete run in an Arrow batch is encoded by ONE
+    varbyte call per stream (block=1 gives per-value byte offsets, so each
+    run's bytes/block-offsets are slices of the shared buffer). Varbyte is
+    value-wise independent, so the output is BYTE-IDENTICAL to per-run
+    encode_postings (asserted by tests/test_codec.py::
+    test_mega_batch_encoder_byte_identical and the build-checksum
+    invariance tests); the per-run Python cost drops to metadata assembly.
+    The open trailing run is carried across batch boundaries as plain
+    arrays — memory stays O(batch + largest single run). Posting values
+    are shard-local dense ordinals (index/docmap.py); the docmap
+    rehydrates global docids at query time."""
+
+    def _emit(t, s, l, dl, po) -> list[dict]:
+        """Encode every run in the given sorted occurrence arrays."""
+        n = t.size
+        if n == 0:
+            return []
+        run_new = np.concatenate(([True], (t[1:] != t[:-1]) | (s[1:] != s[:-1])))
+        post_new = run_new | np.concatenate(([True], l[1:] != l[:-1]))
+        p_idx = np.flatnonzero(post_new)  # occurrence index of posting starts
+        docid = l[p_idx].astype(np.uint64)
+        tf = np.diff(np.append(p_idx, n)).astype(np.uint64)
+        dlp = dl[p_idx].astype(np.uint64)
+        run_of_post = np.cumsum(run_new)[p_idx] - 1
+        r_starts = np.flatnonzero(
+            np.concatenate(([True], run_of_post[1:] != run_of_post[:-1]))
+        )
+        r_ends = np.append(r_starts[1:], docid.size)
+        # docid deltas, chain reset at each run start
+        deltas = np.empty(docid.size, dtype=np.uint64)
+        deltas[0] = docid[0]
+        np.subtract(docid[1:], docid[:-1], out=deltas[1:])
+        deltas[r_starts] = docid[r_starts]
+        # position deltas, chain reset at each posting start
+        pou = po.astype(np.uint64)
+        posd = np.empty(n, dtype=np.uint64)
+        posd[0] = pou[0]
+        np.subtract(pou[1:], pou[:-1], out=posd[1:])
+        posd[p_idx] = pou[p_idx]
+        d_b, d_voff = codec.varbyte_encode(deltas, block=1)
+        t_b, t_voff = codec.varbyte_encode(tf - np.uint64(1), block=1)
+        l_b, l_voff = codec.varbyte_encode(dlp, block=1)
+        p_b, p_voff = codec.varbyte_encode(posd, block=1)
+        d_voff = np.append(d_voff, len(d_b))
+        t_voff = np.append(t_voff, len(t_b))
+        l_voff = np.append(l_voff, len(l_b))
+        p_voff = np.append(p_voff, len(p_b))
+        u = codec.bm25_u_bound(tf)
+        occ_start = np.append(p_idx, n)  # occurrence start per posting (+end)
+        run_rows = np.flatnonzero(run_new)
+        B_ = codec.BLOCK
+        rows: list[dict] = []
+        for r in range(r_starts.size):
+            ps, pe = int(r_starts[r]), int(r_ends[r])
+            cnt = pe - ps
+            nblocks = (cnt + B_ - 1) // B_
+            blk = ps + np.arange(nblocks, dtype=np.int64) * B_
+            dd, uu = docid[ps:pe], u[ps:pe]
+            pad = nblocks * B_ - cnt
+            if pad:
+                dd = np.concatenate([dd, np.zeros(pad, dtype=dd.dtype)])
+                uu = np.concatenate([uu, np.full(pad, -np.inf)])
+            term = t[run_rows[r]]
+            d0, t0_, l0 = int(d_voff[ps]), int(t_voff[ps]), int(l_voff[ps])
+            p0 = int(p_voff[occ_start[ps]])
+            rows.append(
+                {
+                    "term": term,
+                    "shard": int(s[run_rows[r]]),
+                    "n": cnt,
+                    "ctf": int(tf[ps:pe].sum()),
+                    "bmax_docid": dd.reshape(nblocks, B_).max(axis=1)
+                    .astype(np.int64).tolist(),
+                    "bmax_u": uu.reshape(nblocks, B_).max(axis=1)
+                    .astype(np.float64).tolist(),
+                    "d_off": (d_voff[blk] - d0).tolist(),
+                    "t_off": (t_voff[blk] - t0_).tolist(),
+                    "l_off": (l_voff[blk] - l0).tolist(),
+                    "deltas": d_b[d0 : int(d_voff[pe])],
+                    "tfs": t_b[t0_ : int(t_voff[pe])],
+                    "doclens": l_b[l0 : int(l_voff[pe])],
+                    "positions": p_b[p0 : int(p_voff[occ_start[pe]])],
+                    "p_off": (p_voff[occ_start[blk]] - p0).tolist(),
+                    "bucket": int(bucket_of(term, n_buckets)),
+                }
+            )
+        return rows
 
     def encode_stream(batches):
-        cur_key = None
-        buf: list[pd.DataFrame] = []
-        out: list[dict] = []
+        carry = None  # (t, s, l, dl, po) arrays of the open trailing run
 
-        def flush_run():
-            if cur_key is None:
-                return
-            run = pd.concat(buf) if len(buf) > 1 else buf[0]
-            occ = run["lid"].to_numpy(np.uint64)
-            dls = run["doclen"].to_numpy(np.uint64)
-            pos = run["pos"].to_numpy(np.uint64)  # (lid, pos)-sorted by phase 1
-            docids, first_idx, tfs = np.unique(
-                occ, return_index=True, return_counts=True
-            )
-            out.append(
-                _encode_group(
-                    cur_key[0], cur_key[1], bucket_of(cur_key[0], n_buckets),
-                    docids,
-                    tfs.astype(np.uint64),
-                    dls[first_idx],
-                    avgdl,
-                    positions=pos,
-                )
+        def cols_of(pdf):
+            return (
+                pdf["term"].to_numpy(),
+                pdf["shard"].to_numpy().astype(np.int64),
+                pdf["lid"].to_numpy().astype(np.int64),
+                pdf["doclen"].to_numpy().astype(np.int64),
+                pdf["pos"].to_numpy().astype(np.int64),
             )
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            t_arr = pdf["term"].to_numpy()
-            s_arr = pdf["shard"].to_numpy()
-            boundaries = np.flatnonzero(
-                np.concatenate(
-                    ([True], (t_arr[1:] != t_arr[:-1]) | (s_arr[1:] != s_arr[:-1]))
-                )
+            cols = cols_of(pdf)
+            if carry is not None:
+                cols = tuple(np.concatenate([c, x]) for c, x in zip(carry, cols))
+            t, s = cols[0], cols[1]
+            # hold back the (possibly still open) final run
+            last_start = int(
+                np.flatnonzero(
+                    np.concatenate(
+                        ([True], (t[1:] != t[:-1]) | (s[1:] != s[:-1]))
+                    )
+                )[-1]
             )
-            for i, s in enumerate(boundaries):
-                e = boundaries[i + 1] if i + 1 < len(boundaries) else len(pdf)
-                chunk = pdf.iloc[s:e]
-                key = (chunk["term"].iat[0], int(chunk["shard"].iat[0]))
-                if key != cur_key:
-                    flush_run()
-                    cur_key, buf = key, [chunk]
-                else:
-                    buf.append(chunk)
-            if len(out) >= 128:
-                yield pd.DataFrame(out)
-                out = []
-        flush_run()
-        if out:
-            yield pd.DataFrame(out)
+            carry = tuple(c[last_start:] for c in cols)
+            head = tuple(c[:last_start] for c in cols)
+            rows = _emit(*head)
+            if rows:
+                yield pd.DataFrame(rows)
+        if carry is not None and carry[0].size:
+            yield pd.DataFrame(_emit(*carry))
 
     return encode_stream
 

@@ -130,3 +130,55 @@ def test_positions_absent_when_not_encoded():
     docids = np.array([3, 9, 12], dtype=np.uint64)
     enc = encode_postings(docids, np.array([1, 2, 1]), np.array([10, 20, 30]), 20.0)
     assert decode_postings(enc, with_positions=True).positions is None
+
+
+def test_mega_batch_encoder_byte_identical():
+    """The mega-batched segment encoder (one varbyte call per stream per
+    Arrow batch) must produce byte-identical rows to per-run
+    codec.encode_postings — including runs that span Arrow batch
+    boundaries (the carry path) and single-posting runs."""
+    import numpy as np
+    import pandas as pd
+
+    from honeywell_search_engine_spark.index import codec
+    from honeywell_search_engine_spark.index.segments import make_segment_encoder
+
+    rng = np.random.default_rng(5)
+    avgdl = 37.5
+    rows = []
+    expected = {}
+    for term, n_docs in [("alpha", 300), ("beta", 1), ("gamma", 129), ("delta", 7)]:
+        for shard in (0, 1):
+            lids = np.sort(rng.choice(5000, size=n_docs, replace=False)).astype(np.int64)
+            tfs = rng.integers(1, 5, size=n_docs).astype(np.uint64)
+            dls = rng.integers(20, 90, size=n_docs).astype(np.uint64)
+            flat = []
+            for tf in tfs:
+                p = np.sort(rng.choice(200, size=int(tf), replace=False))
+                flat.append(p)
+            pos = np.concatenate(flat).astype(np.uint64)
+            enc = codec.encode_postings(lids.astype(np.uint64), tfs, dls, avgdl, positions=pos)
+            expected[(term, shard)] = enc
+            for lid, tf, dl, pp in zip(lids, tfs, dls, flat):
+                for p in pp:
+                    rows.append((term, shard, int(lid), int(dl), int(p)))
+    # partition order: sorted by (term, shard, lid, pos) like phase 1
+    rows.sort(key=lambda r: (r[0], r[1], r[2], r[4]))
+    pdf = pd.DataFrame(rows, columns=["term", "shard", "lid", "doclen", "pos"])
+    # feed in small batches so runs cross batch boundaries
+    batches = [pdf.iloc[i : i + 97] for i in range(0, len(pdf), 97)]
+    out = pd.concat(list(make_segment_encoder(avgdl, 16)(iter(batches))))
+    assert len(out) == len(expected)
+    for _, r in out.iterrows():
+        enc = expected[(r["term"], int(r["shard"]))]
+        assert r["n"] == enc.n
+        assert bytes(r["deltas"]) == enc.deltas
+        assert bytes(r["tfs"]) == enc.tfs
+        assert bytes(r["doclens"]) == enc.doclens
+        assert bytes(r["positions"]) == enc.positions
+        assert list(r["d_off"]) == enc.d_off.tolist()
+        assert list(r["t_off"]) == enc.t_off.tolist()
+        assert list(r["l_off"]) == enc.l_off.tolist()
+        assert list(r["p_off"]) == enc.p_off.tolist()
+        assert list(r["bmax_docid"]) == enc.bmax_docid.tolist()
+        assert list(r["bmax_u"]) == enc.bmax_u.tolist()
