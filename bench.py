@@ -271,26 +271,35 @@ def main() -> None:
         log(f"[bench] build at local[{N_HIGH}] rep{r}: {t:.1f}s "
             f"({N_DOCS/t:.0f} docs/s)")
         build_sec = t if build_sec is None else min(build_sec, t)
+    def _phase1_sec(idx_dir: str) -> float:
+        with open(f"{idx_dir}/manifests/phase1.json") as f:
+            return float(json.load(f)["elapsed_sec"])
+
     times = {}
+    p1_times = {}
     if RUN_SCALING:
-        best = None
+        best = p1 = None
         for r in range(SCALING_REPS):
             t = build_index(s, scaling_pages, f"{WORK}/idx_sc_{N_HIGH}")
             log(f"[bench] scaling build at local[{N_HIGH}] rep{r}: {t:.1f}s "
                 f"({SCALING_DOCS/t:.0f} docs/s)")
             best = t if best is None else min(best, t)
-        times[N_HIGH] = best
+            p1v = _phase1_sec(f"{WORK}/idx_sc_{N_HIGH}")
+            p1 = p1v if p1 is None else min(p1, p1v)
+        times[N_HIGH], p1_times[N_HIGH] = best, p1
     s.stop()
     if RUN_SCALING:
         s = fresh_spark(N_LOW, f"bench-build-{N_LOW}")
         build_index(s, warm_path, f"{WORK}/idx_warm_{N_LOW}")
-        best = None
+        best = p1 = None
         for r in range(SCALING_REPS):
             t = build_index(s, scaling_pages, f"{WORK}/idx_sc_{N_LOW}")
             log(f"[bench] scaling build at local[{N_LOW}] rep{r}: {t:.1f}s "
                 f"({SCALING_DOCS/t:.0f} docs/s)")
             best = t if best is None else min(best, t)
-        times[N_LOW] = best
+            p1v = _phase1_sec(f"{WORK}/idx_sc_{N_LOW}")
+            p1 = p1v if p1 is None else min(p1, p1v)
+        times[N_LOW], p1_times[N_LOW] = best, p1
         s.stop()
 
     extra["index_build_sec"] = round(build_sec, 2)
@@ -320,9 +329,21 @@ def main() -> None:
             "hw_burn_sec_high": round(t_hi, 2),
             "hw_ceiling_efficiency": round(hw_eff, 3),
             "normalized_efficiency": round(min(eff / hw_eff, 1.5), 3) if hw_eff else None,
+            # phase 1 (tokenize + docmap + THE build shuffle) vs phase 2
+            # (encode + segment WRITE + checksum): local[N] shares ONE
+            # disk at every N, so the write-bound phase cannot show core
+            # scaling by construction — on a real cluster each node
+            # brings its own disks. The phase-1 efficiency is the honest
+            # measure of how the distributed plan scales with compute.
+            "phase1_sec_low": round(p1_times[N_LOW], 2),
+            "phase1_sec_high": round(p1_times[N_HIGH], 2),
+            "phase1_efficiency": round(
+                (p1_times[N_LOW] / p1_times[N_HIGH]) / (N_HIGH / N_LOW), 3
+            ),
         }
         log(f"[bench] scaling efficiency {N_LOW}->{N_HIGH} cores: {eff:.2f} "
-            f"(hw ceiling {hw_eff:.2f}, normalized {eff/hw_eff:.2f})")
+            f"end-to-end (phase1 {extra['scaling']['phase1_efficiency']:.2f}; "
+            f"hw ceiling {hw_eff:.2f}, normalized {eff/hw_eff:.2f})")
 
     # ---- query latency over the built segment index -----------------------
     from honeywell_search_engine_spark.index.segments import SegmentIndex

@@ -80,6 +80,33 @@ SEGMENT_SCHEMA = (
 )
 
 
+def _pa_segment_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("shard", pa.int32()),
+            ("n", pa.int64()),
+            ("ctf", pa.int64()),
+            ("bmax_docid", pa.list_(pa.int64())),
+            ("bmax_u", pa.list_(pa.float64())),
+            ("d_off", pa.list_(pa.int64())),
+            ("t_off", pa.list_(pa.int64())),
+            ("l_off", pa.list_(pa.int64())),
+            ("deltas", pa.binary()),
+            ("tfs", pa.binary()),
+            ("doclens", pa.binary()),
+            ("positions", pa.binary()),
+            ("p_off", pa.list_(pa.int64())),
+            ("bucket", pa.int32()),
+        ]
+    )
+
+
+PA_SEGMENT_SCHEMA = _pa_segment_schema()
+
+
 # --------------------------------------------------------------------------
 # streaming group encoder (phase 2 kernel)
 # --------------------------------------------------------------------------
@@ -122,7 +149,7 @@ def _encode_group(term: str, shard: int, bucket: int,
 
 
 def make_segment_encoder(avgdl: float, n_buckets: int):
-    """mapInPandas kernel: consumes (term, shard, lid, doclen, pos)
+    """mapInArrow kernel: consumes (term, shard, lid, doclen, pos)
     OCCURRENCE batches sorted by (term, shard, lid, pos) within the
     partition — duplicate lids are occurrences; tf = run length. Emits one
     encoded row per (term, shard) run.
@@ -134,16 +161,24 @@ def make_segment_encoder(avgdl: float, n_buckets: int):
     encode_postings (asserted by tests/test_codec.py::
     test_mega_batch_encoder_byte_identical and the build-checksum
     invariance tests); the per-run Python cost drops to metadata assembly.
-    The open trailing run is carried across batch boundaries as plain
-    arrays — memory stays O(batch + largest single run). Posting values
-    are shard-local dense ordinals (index/docmap.py); the docmap
-    rehydrates global docids at query time."""
 
-    def _emit(t, s, l, dl, po) -> list[dict]:
-        """Encode every run in the given sorted occurrence arrays."""
-        n = t.size
+    mapInArrow, not mapInPandas: the dominant per-row payload is the TERM
+    STRING repeated on every occurrence — pandas conversion materializes
+    one Python str per row (measured as the majority of the encode job's
+    wall time). Arrow batches dictionary-encode the column instead: run
+    boundaries come from the int32 indices and the string is looked up
+    once per RUN. The open trailing run is carried across batch
+    boundaries as plain arrays — memory stays O(batch + largest run).
+    Posting values are shard-local dense ordinals (index/docmap.py); the
+    docmap rehydrates global docids at query time."""
+
+    def _emit(t_idx, t_vals, s, l, dl, po) -> list[dict]:
+        """Encode every run in the given sorted occurrence arrays.
+        `t_idx` are per-row dictionary indices into `t_vals`."""
+        n = t_idx.size
         if n == 0:
             return []
+        t = t_idx
         run_new = np.concatenate(([True], (t[1:] != t[:-1]) | (s[1:] != s[:-1])))
         post_new = run_new | np.concatenate(([True], l[1:] != l[:-1]))
         p_idx = np.flatnonzero(post_new)  # occurrence index of posting starts
@@ -189,7 +224,7 @@ def make_segment_encoder(avgdl: float, n_buckets: int):
             if pad:
                 dd = np.concatenate([dd, np.zeros(pad, dtype=dd.dtype)])
                 uu = np.concatenate([uu, np.full(pad, -np.inf)])
-            term = t[run_rows[r]]
+            term = t_vals[int(t[run_rows[r]])]
             d0, t0_, l0 = int(d_voff[ps]), int(t_voff[ps]), int(l_voff[ps])
             p0 = int(p_voff[occ_start[ps]])
             rows.append(
@@ -215,40 +250,82 @@ def make_segment_encoder(avgdl: float, n_buckets: int):
             )
         return rows
 
+    def _rows_batch(rows: list[dict]):
+        import pyarrow as pa
+
+        return pa.RecordBatch.from_pylist(rows, schema=PA_SEGMENT_SCHEMA)
+
     def encode_stream(batches):
-        carry = None  # (t, s, l, dl, po) arrays of the open trailing run
+        import pyarrow.compute as pc
 
-        def cols_of(pdf):
-            return (
-                pdf["term"].to_numpy(),
-                pdf["shard"].to_numpy().astype(np.int64),
-                pdf["lid"].to_numpy().astype(np.int64),
-                pdf["doclen"].to_numpy().astype(np.int64),
-                pdf["pos"].to_numpy().astype(np.int64),
-            )
+        # carry: (term_str, shard, lid, doclen, pos arrays) of the open
+        # trailing run — a run has ONE term, so the string carries whole
+        carry = None
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            cols = cols_of(pdf)
+            td = pc.dictionary_encode(batch.column("term"))
+            t_idx = np.asarray(td.indices).astype(np.int64)
+            t_vals = td.dictionary.to_pylist()
+            s = np.asarray(batch.column("shard")).astype(np.int64)
+            l = np.asarray(batch.column("lid")).astype(np.int64)
+            dl = np.asarray(batch.column("doclen")).astype(np.int64)
+            po = np.asarray(batch.column("pos")).astype(np.int64)
+            rows: list[dict] = []
             if carry is not None:
-                cols = tuple(np.concatenate([c, x]) for c, x in zip(carry, cols))
-            t, s = cols[0], cols[1]
+                cterm, cs, cl, cdl, cpo = carry
+                if cterm == t_vals[int(t_idx[0])] and cs == int(s[0]):
+                    nc = cl.size  # run continues: prepend the carry
+                    t_idx = np.concatenate(
+                        [np.full(nc, t_idx[0], dtype=np.int64), t_idx]
+                    )
+                    s = np.concatenate([np.full(nc, cs, dtype=np.int64), s])
+                    l = np.concatenate([cl, l])
+                    dl = np.concatenate([cdl, dl])
+                    po = np.concatenate([cpo, po])
+                else:  # carry was a complete run
+                    rows.extend(
+                        _emit(
+                            np.zeros(cl.size, dtype=np.int64), [cterm],
+                            np.full(cl.size, cs, dtype=np.int64), cl, cdl, cpo,
+                        )
+                    )
+                carry = None
             # hold back the (possibly still open) final run
             last_start = int(
                 np.flatnonzero(
                     np.concatenate(
-                        ([True], (t[1:] != t[:-1]) | (s[1:] != s[:-1]))
+                        (
+                            [True],
+                            (t_idx[1:] != t_idx[:-1]) | (s[1:] != s[:-1]),
+                        )
                     )
                 )[-1]
             )
-            carry = tuple(c[last_start:] for c in cols)
-            head = tuple(c[:last_start] for c in cols)
-            rows = _emit(*head)
+            carry = (
+                t_vals[int(t_idx[last_start])],
+                int(s[last_start]),
+                l[last_start:].copy(),
+                dl[last_start:].copy(),
+                po[last_start:].copy(),
+            )
+            rows.extend(
+                _emit(
+                    t_idx[:last_start], t_vals, s[:last_start],
+                    l[:last_start], dl[:last_start], po[:last_start],
+                )
+            )
             if rows:
-                yield pd.DataFrame(rows)
-        if carry is not None and carry[0].size:
-            yield pd.DataFrame(_emit(*carry))
+                yield _rows_batch(rows)
+        if carry is not None and carry[2].size:
+            cterm, cs, cl, cdl, cpo = carry
+            yield _rows_batch(
+                _emit(
+                    np.zeros(cl.size, dtype=np.int64), [cterm],
+                    np.full(cl.size, cs, dtype=np.int64), cl, cdl, cpo,
+                )
+            )
 
     return encode_stream
 
@@ -481,11 +558,21 @@ def encode_pending_buckets(
         or m.get("status") != "complete"
     ]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # a (term, shard) group must never be split across scan partitions:
-    # forbid file splitting for this read (packing whole files together is
-    # fine — groups never span files)
+    # a (term, shard) group must never be split across scan partitions.
+    # Spark's actual split size is min(maxPartitionBytes, max(openCost,
+    # bytes/parallelism)) — a huge maxPartitionBytes alone does NOT forbid
+    # splitting when bytes/core shrinks, so pin BOTH knobs: every phase-1
+    # file becomes exactly one scan partition (one task per file — the
+    # file is the atomic unit; a group lives in one file by construction).
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    prev_arb = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024**3))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024**3))
+    # 100k-row Arrow batches for the encoder: per-batch fixed work
+    # (dictionary encode, carry splice, varbyte setup) dominates at the
+    # 10k default; measured fastest at ~100k (bigger thrashes caches)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
     encoder = make_segment_encoder(avgdl, n_buckets)
     try:
         for i in range(0, len(todo), buckets_per_job):
@@ -496,7 +583,15 @@ def encode_pending_buckets(
                 .filter(F.col("bucket").isin(chunk))  # partition-pruned scan
                 .select("term", "shard", "lid", "doclen", "pos")
             )
-            encoded = rows.mapInPandas(encoder, schema=SEGMENT_SCHEMA)
+            # repartition the (small, self-contained) ENCODED rows by
+            # bucket before the write: one output file per bucket instead
+            # of tasks-per-bucket fragments — the serial driver-side
+            # commit shrinks ~17x and every later bucket-pruned query
+            # scan touches exactly one file. The exchange moves only the
+            # compressed segment payload (~0.7% of the corpus).
+            encoded = rows.mapInArrow(encoder, schema=SEGMENT_SCHEMA).repartition(
+                len(chunk), F.col("bucket")
+            )
             (
                 encoded.write.mode("overwrite")
                 .partitionBy("bucket")
@@ -520,6 +615,8 @@ def encode_pending_buckets(
                 print(f"[build_segments] buckets {chunk[0]}..{chunk[-1]} in {elapsed}s")
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_arb)
 
     # ---- finalize: term_stats from segment metadata (no posting scan) ----
     fin = _read_manifest(index_dir, "finalize.json")

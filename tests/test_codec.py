@@ -165,9 +165,16 @@ def test_mega_batch_encoder_byte_identical():
     # partition order: sorted by (term, shard, lid, pos) like phase 1
     rows.sort(key=lambda r: (r[0], r[1], r[2], r[4]))
     pdf = pd.DataFrame(rows, columns=["term", "shard", "lid", "doclen", "pos"])
-    # feed in small batches so runs cross batch boundaries
-    batches = [pdf.iloc[i : i + 97] for i in range(0, len(pdf), 97)]
-    out = pd.concat(list(make_segment_encoder(avgdl, 16)(iter(batches))))
+    # feed in small Arrow batches so runs cross batch boundaries
+    import pyarrow as pa
+
+    batches = [
+        pa.RecordBatch.from_pandas(pdf.iloc[i : i + 97])
+        for i in range(0, len(pdf), 97)
+    ]
+    out = pd.concat(
+        [b.to_pandas() for b in make_segment_encoder(avgdl, 16)(iter(batches))]
+    )
     assert len(out) == len(expected)
     for _, r in out.iterrows():
         enc = expected[(r["term"], int(r["shard"]))]
