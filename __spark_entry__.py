@@ -185,6 +185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_dupes_lsh"] = lambda s, d: similarity.pairwise_cosine_dupes_lsh(
         _embeddings(s, d), threshold=0.35, n_planes=6
     )
+    # benchmark decontamination: corpus docs sharing >=1 word 5-gram with
+    # the eval slice (docs 0-4) — the pre-training n-gram overlap pass
+    # (n=4 on this synthetic corpus: short zipf docs, real pipelines use ~13)
+    q["contamination"] = lambda s, d: dedup.decontaminate(
+        _docs(s, d), [0, 1, 2, 3, 4], "doc_id", "text", n=4
+    )
     # banded variant: b bands of r planes — the recall lever (a pair is a
     # candidate iff ANY band matches fully); same exact-cosine verify
     q["cosine_dupes_lsh_banded"] = lambda s, d: similarity.pairwise_cosine_dupes_lsh_banded(
@@ -626,6 +632,25 @@ g AS (
            ELSE CAST([] AS VARCHAR[]) END) AS grams
   FROM t)
 SELECT doc_id AS docid, {mh_cols} FROM g ORDER BY docid"""
+
+    o["contamination"] = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 4 THEN
+           list_transform(range(1, len(toks) - 2),
+                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                         toks[i+3]))
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM t),
+sh AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id IN (0, 1, 2, 3, 4))
+SELECT doc_id AS docid, count(*) AS n_hits
+FROM sh JOIN ev USING (shingle)
+WHERE doc_id NOT IN (0, 1, 2, 3, 4)
+GROUP BY doc_id ORDER BY docid"""
 
     o["ngram_jaccard"] = """
 WITH t AS (

@@ -265,6 +265,37 @@ def simhash_candidates(
     return pairs
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_ids: list[int],
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline staple: flag every
+    corpus document sharing at least one word n-gram with any document of
+    the held-out EVAL set. Returns (docid, n_hits = distinct shared
+    shingles, ordered by docid), eval docs excluded from the output.
+
+    Scale shape: the eval side is tiny (a benchmark suite), so its
+    distinct shingles BROADCAST; the corpus side streams through one
+    shingle explode + broadcast semi-join + one count aggregate — no
+    all-pairs, no shuffle of the corpus text. At 100 TB this is exactly
+    the n-gram-overlap decontamination pass run before training."""
+    ev = F.col(id_col).isin([int(i) for i in eval_ids])
+    eval_sh = shingles(docs.filter(ev), id_col, text_col, n).select(
+        "shingle"
+    ).distinct()
+    # shingles() is already per-doc distinct -> (docid, shingle) unique
+    corpus_sh = shingles(docs.filter(~ev), id_col, text_col, n)
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("docid")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy("docid")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,

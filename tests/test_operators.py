@@ -104,3 +104,27 @@ def test_simhash_candidates_pigeonhole(spark):
     assert rows[(1, 2)] == 0
     assert (1, 3) in rows and 0 < rows[(1, 3)] <= 10
     assert not any(4 in p for p in rows)
+
+
+def test_decontaminate_semantics(spark):
+    """decontaminate: planted-overlap fixture — docs sharing an n-gram with
+    the eval set are flagged with the exact distinct-shingle hit count;
+    eval docs never appear; disjoint docs never appear."""
+    from honeywell_search_engine_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),        # eval
+            (1, "one two three four five six"),                # eval
+            (10, "xx alpha beta gamma delta yy"),              # 1 shared 4-gram
+            (11, "one two three four five prime"),             # 2 shared
+            (12, "totally unrelated words here none match"),   # clean
+            (13, "alpha beta gamma delta epsilon tail"),       # 2 shared
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["docid"]: r["n_hits"]
+        for r in decontaminate(docs, [0, 1], "doc_id", "text", n=4).collect()
+    }
+    assert got == {10: 1, 11: 2, 13: 2}
