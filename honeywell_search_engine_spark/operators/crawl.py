@@ -1,0 +1,70 @@
+"""Crawl-side preprocessing: URL canonicalization + latest-capture dedup.
+
+Common-Crawl-style corpora capture the same page many times under
+near-identical URLs (scheme/case/tracking-parameter/fragment variants and
+recrawls). Before ANY content work, a web-scale pipeline collapses them:
+
+1. ``canonical_url_col`` — pure column expressions (whole-stage codegen):
+   lowercase scheme+host, strip the default ports, drop the fragment,
+   remove tracking query parameters (utm_*, gclid, fbclid, ref), sort the
+   surviving query parameters, strip a trailing slash. Deterministic and
+   engine-portable (regex + higher-order array functions only).
+2. ``latest_capture_per_url`` — keep the NEWEST capture (warc_ts) per
+   canonical url: one shuffle on the canonical key, row_number window,
+   ties broken by raw url for determinism.
+
+The docid derives from the RAW url (corpus.docid_col), so canonicalizing
+BEFORE indexing is what keeps recrawls from becoming near-duplicate
+documents — at 10^12 pages this one pass typically drops 20-40% of raw
+captures before tokenization ever runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_TRACKING = "^(utm_[a-z]+|gclid|fbclid|ref)="
+
+
+def canonical_url_col(url):
+    """Canonical form of a URL column (see module docstring)."""
+    u = F.trim(url)
+    # split off and drop the fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # lowercase scheme://host (the path/query keep their case)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/?]+)", 1)),
+        F.regexp_replace(u, r"^[a-zA-Z]+://[^/?]+", ""),
+    )
+    # default ports
+    u = F.regexp_replace(u, r"^(https?://[^/:?]+):(?:80|443)(/|\?|$)", r"$1$2")
+    # canonicalize the query string: split, drop tracking params, sort,
+    # rejoin (array HOFs — no UDF)
+    path = F.regexp_replace(u, r"\?.*$", "")
+    qs = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING),
+    )
+    canon_qs = F.array_join(F.array_sort(params), "&")
+    u = F.when(canon_qs != "", F.concat(path, F.lit("?"), canon_qs)).otherwise(path)
+    # trailing slash (but keep a bare "scheme://host/" root)
+    return F.when(u.rlike(r"^[a-z]+://[^/]+/$"), u).otherwise(
+        F.regexp_replace(u, r"/$", "")
+    )
+
+
+def latest_capture_per_url(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """One row per canonical URL — the newest capture wins (tie: raw url
+    descending for determinism). Adds the `canonical_url` column."""
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.desc(ts_col), F.desc(url_col)
+    )
+    return (
+        pages.withColumn("canonical_url", canonical_url_col(F.col(url_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
