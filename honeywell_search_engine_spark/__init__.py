@@ -41,6 +41,7 @@ def __getattr__(name):
         "bm25_topk_phrase": ("honeywell_search_engine_spark.query.wand", "bm25_topk_phrase"),
         "bm25_topk_phrase_batch": ("honeywell_search_engine_spark.query.wand", "bm25_topk_phrase_batch"),
         "bm25_topk_websearch": ("honeywell_search_engine_spark.query.wand", "bm25_topk_websearch"),
+        "bm25_topk_websearch_batch": ("honeywell_search_engine_spark.query.wand", "bm25_topk_websearch_batch"),
         "CachedSearcher": ("honeywell_search_engine_spark.query.cache", "CachedSearcher"),
         "delete_docs": ("honeywell_search_engine_spark.index.maintenance", "delete_docs"),
         "compact": ("honeywell_search_engine_spark.index.maintenance", "compact"),

@@ -868,6 +868,81 @@ def bm25_topk_websearch(
     )
 
 
+def bm25_topk_websearch_batch(
+    index: SegmentIndex, queries: dict[str, str], k: int = 10
+) -> DataFrame:
+    """A whole batch of websearch queries (plain AND, '"quoted"' groups,
+    '-term' negation, freely mixed) in ONE Spark job: one pruned segment
+    scan over the union of every query's positive AND negated terms, one
+    applyInPandas over shards where each kernel answers every query it
+    can serve, one per-query rank window. Returns (qid, rnk, docid,
+    score) — identical to per-query bm25_topk_websearch (tested)."""
+    from pyspark.sql import Window
+
+    from honeywell_search_engine_spark.functions.analyzer import parse_websearch_full
+
+    spark = index.spark
+    parsed: dict[str, tuple] = {}
+    for qid, q in queries.items():
+        loose, neg, phrases = parse_websearch_full(q)
+        all_pos = sorted(set(loose) | {t for ph in phrases for t in ph})
+        if not all_pos or set(all_pos) & set(neg):
+            continue  # empty/contradiction: no rows for this qid
+        parsed[qid] = (all_pos, neg, phrases)
+    scan_terms = sorted(
+        {t for ap, ng, _ in parsed.values() for t in ap + ng}
+    )
+    if not scan_terms:
+        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+    avgdl = index.stats.avgdl
+    dead_bc = index.dead_broadcast()
+
+    def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
+        by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
+        idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
+        out_q, out_d, out_s = [], [], []
+        for qid, (all_pos, neg, phrases) in parsed.items():
+            pos_rows = [(t, by_term[t]) for t in all_pos if t in by_term]
+            if len(pos_rows) < len(all_pos):
+                continue  # a required term absent in this shard
+            neg_rows = [(t, by_term[t]) for t in neg if t in by_term]
+            if phrases:
+                res = _shard_kernel_websearch(
+                    pos_rows, phrases, neg_rows, idf_b, avgdl, k, dead
+                )
+            elif len(all_pos) == 1:
+                res = _topk_single(
+                    pos_rows[0][1], idf_b[pos_rows[0][0]], avgdl, k, dead,
+                    None, neg_rows,
+                )
+            else:
+                res = _shard_kernel_and(
+                    pos_rows, idf_b, avgdl, k, dead, neg_rows=neg_rows
+                )
+            for d, s in res:
+                out_q.append(qid)
+                out_d.append(int(d))
+                out_s.append(float(s))
+        return pd.DataFrame(
+            {"qid": out_q, "shard": [shard] * len(out_q), "lid": out_d, "score": out_s}
+        )
+
+    segs = index.segments_with_idf(scan_terms)
+    per_shard = segs.groupBy("shard").applyInPandas(
+        run_shard, schema="qid string, shard int, lid long, score double"
+    )
+    hydrated = index.rehydrate(per_shard)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        hydrated.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "docid", "score")
+        .orderBy("qid", "rnk")
+    )
+
+
 def bm25_topk_phrase_batch(
     index: SegmentIndex, queries: dict[str, str], k: int = 10, slop: int = 0
 ) -> DataFrame:

@@ -570,3 +570,38 @@ def test_websearch_full_quoted_plus_negation_matches_oracle(
     quoted = {d for d, _ in oracle.search_websearch(f'"{a0} {a1}"', k=100000)}
     anded = {d for d, _ in oracle.search(f"{a0} {a1}", k=100000)}
     assert quoted <= anded and quoted
+
+
+def test_websearch_batch_equals_per_query(spark, seg_index, pages_pdf):
+    """The one-job websearch batch returns exactly the per-query results
+    across plain, negated, quoted, and mixed queries (plus a contradiction
+    and an all-stopword query, which contribute no rows)."""
+    from honeywell_search_engine_spark.functions.analyzer import analyze
+    from honeywell_search_engine_spark.query.wand import (
+        bm25_topk_websearch,
+        bm25_topk_websearch_batch,
+    )
+
+    en = pages_pdf[pages_pdf.lang == "en"]
+    a0, a1 = analyze(en.text.iloc[3])[:2]
+    qs = {
+        "plain": QUERIES["q01"],
+        "negated": f"{QUERIES['q01']} -{QUERIES['q02']}",
+        "quoted": f'"{a0} {a1}"',
+        "mixed": f'"{a0} {a1}" {QUERIES["q01"]} -{QUERIES["q02"]}',
+        "contradiction": f"{QUERIES['q01']} -{QUERIES['q01']}",
+        "empty": "the of and",
+    }
+    batch = bm25_topk_websearch_batch(seg_index, qs, k=10)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+    n_nonempty = 0
+    for qid, q in qs.items():
+        exp = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_websearch(seg_index, q, k=10).collect()
+        ]
+        assert got.get(qid, []) == exp, qid
+        n_nonempty += bool(exp)
+    assert n_nonempty >= 3
