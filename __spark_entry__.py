@@ -134,6 +134,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), "spark merge -vector"
     )
     q["match_or"] = lambda s, d: search.match_any_terms(_docs(s, d), "spark vector")
+    # FULL websearch surface: 'or' keyword (disjunction of conjunctive
+    # groups, AND binds tighter) + negated quoted phrases (round-3 advice)
+    q["match_websearch_or"] = lambda s, d: search.match_websearch_or(
+        _docs(s, d), 'spark merge or "data table" -vector'
+    )
+    q["match_websearch_negphrase"] = lambda s, d: search.match_websearch_or(
+        _docs(s, d), 'spark -"data table"'
+    )
     q["match_phrase"] = lambda s, d: search.match_phrase(_docs(s, d), "data table")
     q["match_near"] = lambda s, d: search.match_near(_docs(s, d), "data query", slop=2)
 
@@ -430,6 +438,26 @@ m AS (
   GROUP BY doc_id HAVING count(*) = 2)
 SELECT doc_id AS docid FROM m
 WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector')
+ORDER BY docid"""
+
+    # groups of 'spark merge or "data table" -vector': (merge AND spark)
+    # OR (data<->table AND NOT vector) — phrase adjacency via the same
+    # guarded start-offset scan as match_phrase's oracle
+    _ph_dt = (
+        "len(toks) >= 2 AND len(list_filter(range(0, len(toks) - 1), "
+        "i -> toks[i+1] = 'data' AND toks[i+2] = 'table')) > 0"
+    )
+    o["match_websearch_or"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id AS docid FROM tok
+WHERE (list_contains(toks, 'merge') AND list_contains(toks, 'spark'))
+   OR (({_ph_dt}) AND NOT list_contains(toks, 'vector'))
+ORDER BY docid"""
+
+    o["match_websearch_negphrase"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id AS docid FROM tok
+WHERE list_contains(toks, 'spark') AND NOT ({_ph_dt})
 ORDER BY docid"""
 
     terms_or = analyze_query("spark vector")

@@ -130,13 +130,15 @@ _QUOTE_RE = re.compile(r'(-?)"([^"]*)"')
 
 
 def parse_websearch_full(query: str) -> tuple[list[str], list[str], list[list[str]]]:
-    """Full websearch_to_tsquery surface: unquoted words AND, '-word'
-    negation, '"quoted words"' adjacency groups (Postgres turns a quote
-    into chained <-> phrase operators inside the conjunction). Returns
-    (loose positive terms, negated terms, phrase token-lists). Single-word
-    quotes degrade to loose terms; negated phrases ('-"..."') are not
-    supported (raises — excluding per-word would be stricter than the
-    Postgres semantics, and silently wrong beats loudly absent)."""
+    """AND-only websearch subset: unquoted words AND, '-word' negation,
+    '"quoted words"' adjacency groups (Postgres turns a quote into chained
+    <-> phrase operators inside the conjunction). Returns (loose positive
+    terms, negated terms, phrase token-lists). Single-word quotes degrade
+    to loose terms; negated phrases ('-"..."') raise here. SUPERSEDED by
+    :func:`parse_websearch_query`, which covers the whole Postgres surface
+    (the 'or' keyword + negated phrases) — every query entry point routes
+    through that; this remains the single-conjunction parser for callers
+    that want the strict subset."""
     phrases: list[list[str]] = []
     singles: list[str] = []
 
@@ -154,6 +156,87 @@ def parse_websearch_full(query: str) -> tuple[list[str], list[str], list[list[st
     pos, neg = parse_websearch(rest)
     loose = sorted(set(pos) | set(singles))[:MAX_QUERY_TERMS]
     return loose, neg, phrases
+
+
+_WS_TOKEN_RE = re.compile(r'-?"[^"]*"|\S+')
+
+
+def split_or_groups(query: str) -> list[str]:
+    """Split a websearch query string on the standalone OR keyword
+    (Postgres websearch_to_tsquery: the bare word 'or' becomes ``|``, and
+    AND binds tighter, so the query is a disjunction of conjunctive
+    groups). Quote-aware: an 'or' inside double quotes is a phrase token,
+    not an operator."""
+    groups: list[str] = []
+    cur: list[str] = []
+    for tok in _WS_TOKEN_RE.findall(query):
+        if not tok.startswith(('"', '-"')) and tok.lower() == "or":
+            groups.append(" ".join(cur))
+            cur = []
+        else:
+            cur.append(tok)
+    groups.append(" ".join(cur))
+    return groups
+
+
+def _parse_group(q: str) -> tuple[list[str], list[str], list[list[str]], list[list[str]]]:
+    """One conjunctive websearch group -> (loose, neg, phrases,
+    neg_phrases). '-"a b"' is Postgres ``!(a <-> b)``: exclude docs where
+    the phrase occurs adjacently; a negated single-word quote folds into
+    plain '-word' negation (Postgres !word)."""
+    phrases: list[list[str]] = []
+    neg_phrases: list[list[str]] = []
+    singles: list[str] = []
+    neg_singles: list[str] = []
+
+    def grab(m: "re.Match") -> str:
+        toks = tokenize(m.group(2))
+        if m.group(1) == "-":
+            if len(toks) >= 2:
+                neg_phrases.append(toks)
+            elif toks:
+                neg_singles.append(toks[0])
+        else:
+            if len(toks) >= 2:
+                phrases.append(toks)
+            elif toks:
+                singles.append(toks[0])
+        return " "
+
+    rest = _QUOTE_RE.sub(grab, q)
+    pos, neg = parse_websearch(rest)
+    loose = sorted(set(pos) | set(singles))[:MAX_QUERY_TERMS]
+    neg_all = sorted(set(neg) | set(neg_singles))[:MAX_QUERY_TERMS]
+    return loose, neg_all, phrases, neg_phrases
+
+
+def parse_websearch_query(
+    query: str,
+) -> list[tuple[list[str], list[str], list[list[str]], list[list[str]]]]:
+    """FULL Postgres websearch_to_tsquery surface: the standalone 'or'
+    keyword (disjunction of conjunctive groups, AND binds tighter),
+    '"quoted"' adjacency phrases, '-word' negation, and '-"quoted"'
+    negated phrases. Returns a list of groups, each
+    (all_pos_terms_sorted, neg_terms, phrases, neg_phrases); the query
+    matches a document iff ANY group's conjunction holds. Groups that can
+    never match are dropped here so every engine path agrees: a group with
+    no positive requirement, a pos∩neg term contradiction (Postgres
+    ``a & !a``), or a phrase that is both required and negated. An empty
+    return means the whole query matches nothing. Never raises on user
+    input (unlike parse_websearch_full's negated-quote ValueError —
+    round-3 advice)."""
+    out = []
+    for g in split_or_groups(query):
+        loose, neg, phrases, neg_phrases = _parse_group(g)
+        all_pos = sorted(set(loose) | {t for ph in phrases for t in ph})
+        if not all_pos:
+            continue
+        if set(all_pos) & set(neg):
+            continue
+        if any(ph in neg_phrases for ph in phrases):
+            continue
+        out.append((all_pos, neg, phrases, neg_phrases))
+    return out
 
 
 # --- vectorized (Arrow-batch) versions --------------------------------------

@@ -364,10 +364,15 @@ def input_fingerprint(spark: SparkSession, input_path: str) -> str:
     back to a file-name+size listing checksum."""
     if input_path.startswith("iceberg:"):
         tbl = input_path[len("iceberg:"):]
+        # The CURRENT snapshot pointer (the `main` branch ref), NOT
+        # MAX(committed_at) over the snapshots log: after a rollback the
+        # newest-ever snapshot is not the version a scan reads, and a
+        # concurrent commit between fingerprint and scan would race
+        # (round-3 advice). `refs` is the branch-pointer metadata table.
         row = (
-            spark.sql(f"SELECT snapshot_id FROM {tbl}.snapshots "
-                      "ORDER BY committed_at DESC LIMIT 1")
-            .collect()
+            spark.sql(
+                f"SELECT snapshot_id FROM {tbl}.refs WHERE name = 'main'"
+            ).collect()
         )
         return f"iceberg-snapshot:{row[0]['snapshot_id']}" if row else "iceberg-snapshot:empty"
     jvm_files = []
@@ -721,7 +726,11 @@ class SegmentIndex:
         large scope on the driver."""
         if allowed_docids is None:
             return None
-        key = hash(frozenset(int(d) for d in allowed_docids))
+        # Keyed by the frozenset VALUE (frozensets hash AND compare by
+        # content) — keying by hash() alone would let two distinct scopes
+        # that collide on the 64-bit hash silently share a broadcast and
+        # leak one caller's scoped results to another (round-3 advice).
+        key = frozenset(int(d) for d in allowed_docids)
         if key in self._scope_bcs:
             self._scope_bcs.move_to_end(key)
             return self._scope_bcs[key]

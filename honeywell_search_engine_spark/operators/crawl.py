@@ -36,8 +36,11 @@ def canonical_url_col(url):
         F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/?]+)", 1)),
         F.regexp_replace(u, r"^[a-zA-Z]+://[^/?]+", ""),
     )
-    # default ports
-    u = F.regexp_replace(u, r"^(https?://[^/:?]+):(?:80|443)(/|\?|$)", r"$1$2")
+    # default ports — scheme-specific: :80 is default only for http and
+    # :443 only for https; "https://host:80" is a genuinely distinct origin
+    # and must NOT collapse onto the portless URL (round-3 advice)
+    u = F.regexp_replace(u, r"^(http://[^/:?]+):80(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?]+):443(/|\?|$)", r"$1$2")
     # canonicalize the query string: split, drop tracking params, sort,
     # rejoin (array HOFs — no UDF)
     path = F.regexp_replace(u, r"\?.*$", "")

@@ -198,6 +198,67 @@ def match_any_terms(
     )
 
 
+def _phrase_occ(toks, terms: list[str]):
+    """Column expression: number of start offsets where `terms` occur at
+    consecutive positions of the token array `toks`. Pure codegen —
+    sequence(0, x) DESCENDS for x<0, so short docs are guarded
+    explicitly."""
+    m = len(terms)
+    starts = F.when(
+        F.size(toks) >= m, F.sequence(F.lit(0), F.size(toks) - m)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def hit(i):
+        cond = None
+        for j, t in enumerate(terms):
+            c = F.element_at(toks, i + j + 1) == F.lit(t)  # element_at is 1-based
+            cond = c if cond is None else cond & c
+        return cond
+
+    return F.size(F.filter(starts, hit))
+
+
+def match_websearch_or(
+    docs: DataFrame, query: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """FULL websearch_to_tsquery surface, in-flight (no index): the
+    standalone 'or' keyword joins conjunctive groups disjunctively (AND
+    binds tighter — Postgres turns bare 'or' into ``|``), '"quoted"'
+    phrases must occur adjacently, '-term' excludes, '-"quoted"' excludes
+    docs containing the phrase adjacently. Returns docids matching ANY
+    group, ascending.
+
+    Pure whole-stage-codegen single pass: each group becomes one boolean
+    predicate over the doc's token array (array_contains membership +
+    guarded phrase-start scans), OR-ed together — NO shuffle, NO tf
+    table, so at 100 TB this is a straight filter pushed through the
+    scan."""
+    from honeywell_search_engine_spark.functions.analyzer import (
+        parse_websearch_query,
+    )
+
+    spark = docs.sparkSession
+    groups = parse_websearch_query(query)
+    if not groups:
+        return spark.createDataFrame([], "docid long")
+    toks = tokens_col(text_col)
+    pred = None
+    for all_pos, neg, phrases, neg_phrases in groups:
+        conds = [F.array_contains(toks, t) for t in all_pos]
+        conds += [~F.array_contains(toks, t) for t in neg]
+        conds += [_phrase_occ(toks, ph) > 0 for ph in phrases]
+        conds += [_phrase_occ(toks, ph) == 0 for ph in neg_phrases]
+        g = conds[0]
+        for c in conds[1:]:
+            g = g & c
+        pred = g if pred is None else pred | g
+    return (
+        docs.filter(pred)
+        .select(F.col(id_col).cast("long").alias("docid"))
+        .orderBy("docid")
+    )
+
+
 def match_phrase(
     docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -215,21 +276,7 @@ def match_phrase(
     terms = tokenize(phrase)
     if not terms:
         return spark.createDataFrame([], "docid long, n_occ int")
-    m = len(terms)
-    toks = tokens_col(text_col)
-    # sequence(0, x) DESCENDS for x<0 — guard short docs explicitly
-    starts = F.when(
-        F.size(toks) >= m, F.sequence(F.lit(0), F.size(toks) - m)
-    ).otherwise(F.array().cast("array<int>"))
-
-    def hit(i):
-        cond = None
-        for j, t in enumerate(terms):
-            c = F.element_at(toks, i + j + 1) == F.lit(t)  # element_at is 1-based
-            cond = c if cond is None else cond & c
-        return cond
-
-    n_occ = F.size(F.filter(starts, hit))
+    n_occ = _phrase_occ(tokens_col(text_col), terms)
     return (
         docs.select(
             F.col(id_col).cast("long").alias("docid"), n_occ.alias("n_occ")

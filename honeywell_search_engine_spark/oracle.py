@@ -144,39 +144,74 @@ class OracleIndex:
                 return False
         return True
 
-    def search_websearch(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Full websearch_to_tsquery semantics: loose terms AND, quoted
-        groups adjacent, '-term' negation, contradiction empty. Scored
-        like `search` over ALL distinct positive terms."""
-        from honeywell_search_engine_spark.functions.analyzer import (
-            parse_websearch_full,
-        )
-
-        loose, neg, phrases = parse_websearch_full(query)
-        all_pos = sorted(set(loose) | {t for ph in phrases for t in ph})
-        if not all_pos or set(all_pos) & set(neg):
-            return []
+    def _group_candidates(
+        self,
+        all_pos: list[str],
+        neg: list[str],
+        phrases: list[list[str]],
+        neg_phrases: list[list[str]],
+    ) -> set[int]:
+        """Match set of one conjunctive websearch group: every positive
+        term present, no negated term, every quoted phrase adjacent, no
+        negated phrase adjacent."""
         plists = []
         for t in all_pos:
             p = self.postings.get(t)
             if not p:
-                return []
-            plists.append((t, p))
-        candidate = set(min((p for _, p in plists), key=len))
-        for _, p in plists:
+                return set()
+            plists.append(p)
+        candidate = set(min(plists, key=len))
+        for p in plists:
             candidate &= p.keys()
         for t in neg:
             candidate -= self.postings.get(t, {}).keys()
         for ph in phrases:
             candidate = {d for d in candidate if self._phrase_in_doc(ph, d)}
+        for ph in neg_phrases:
+            # a doc is excluded only if it contains EVERY phrase term and
+            # they occur adjacently (Postgres !(a <-> b))
+            candidate = {
+                d
+                for d in candidate
+                if not (
+                    all(d in self.positions.get(t, {}) for t in ph)
+                    and self._phrase_in_doc(ph, d)
+                )
+            }
+        return candidate
+
+    def search_websearch(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """FULL websearch_to_tsquery semantics: conjunctive groups joined
+        by the 'or' keyword (AND binds tighter), quoted adjacency groups,
+        '-term' negation, '-"quoted"' negated phrases, contradictions
+        empty. A doc matches iff ANY group's conjunction holds; its BM25
+        score sums over ALL distinct positive terms of the whole query
+        that the doc contains (union-presence scoring, lexicographic
+        order — the same convention as `search_or`; for a single group
+        this is exactly `search`'s all-present scoring)."""
+        from honeywell_search_engine_spark.functions.analyzer import (
+            parse_websearch_query,
+        )
+
+        groups = parse_websearch_query(query)
+        if not groups:
+            return []
+        union: set[int] = set()
+        for all_pos, neg, phrases, neg_phrases in groups:
+            union |= self._group_candidates(all_pos, neg, phrases, neg_phrases)
+        if not union:
+            return []
+        score_terms = sorted({t for g in groups for t in g[0]})
         scored = []
-        for docid in candidate:
+        for docid in union:
             dl = self.doclen[docid]
             norm = K1 * (1.0 - B + B * dl / self.avgdl)
             s = 0.0
-            for t, p in plists:
-                tf = float(p[docid])
-                s += self.idf(t) * (tf * (K1 + 1.0) / (tf + norm))
+            for t in score_terms:
+                p = self.postings.get(t)
+                if p and docid in p:
+                    tf = float(p[docid])
+                    s += self.idf(t) * (tf * (K1 + 1.0) / (tf + norm))
             scored.append((docid, s))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]

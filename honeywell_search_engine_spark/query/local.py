@@ -207,43 +207,51 @@ class ServingIndex:
         return out[:k]
 
     def search_websearch(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Full websearch_to_tsquery semantics (quoted adjacency groups +
-        '-term' negation) — mirrors query/wand.bm25_topk_websearch."""
+        """FULL websearch_to_tsquery semantics (quoted adjacency groups,
+        '-term' negation, '-"quoted"' negated phrases, the 'or' keyword)
+        — mirrors query/wand.bm25_topk_websearch, bit-identical. Never
+        raises on user query strings (round-3 advice)."""
         from honeywell_search_engine_spark.functions.analyzer import (
-            parse_websearch_full,
+            parse_websearch_query,
         )
 
-        loose, neg, phrases = parse_websearch_full(query)
-        all_pos = sorted(set(loose) | {t for ph in phrases for t in ph})
-        if not all_pos or set(all_pos) & set(neg):
+        groups = parse_websearch_query(query)
+        if not groups:
             return []
-        if not phrases:
+        single = len(groups) == 1 and not groups[0][3]
+        if single and not groups[0][2]:
+            all_pos, neg, _, _ = groups[0]
             return self.search(" ".join(all_pos), k, exclude_terms=neg)
-        rows_by_term = self._rows_for(all_pos + neg)
-        if any(not rows_by_term[t] for t in all_pos):
-            return []
+        scan_terms = sorted(
+            {t for g in groups for t in g[0]}
+            | {t for g in groups for t in g[1]}
+            | {t for g in groups for ph in g[3] for t in ph}
+        )
+        rows_by_term = self._rows_for(scan_terms)
+        if single and any(not rows_by_term[t] for t in groups[0][0]):
+            return []  # a required term unknown globally -> empty
         idf = {t: self._idf(r) for t, r in rows_by_term.items() if r}
-        neg_set = set(neg)
-        by_shard: dict[int, list] = {}
-        neg_by_shard: dict[int, list] = {}
-        for t in all_pos:
+        by_shard: dict[int, dict[str, dict]] = {}
+        for t in scan_terms:
             for row in rows_by_term[t]:
-                by_shard.setdefault(int(row["shard"]), []).append((t, row))
-        for t in neg:
-            for row in rows_by_term[t]:
-                neg_by_shard.setdefault(int(row["shard"]), []).append((t, row))
+                by_shard.setdefault(int(row["shard"]), {})[t] = row
         out: list[tuple[int, float]] = []
-        for s, trs in by_shard.items():
-            if len(trs) < len(all_pos):
-                continue
+        for s, tmap in by_shard.items():
             dead = self._dead.get(s, W._NO_DEAD)
-            pos_rows = [(t, W._enc_from_row(r)) for t, r in trs]
-            neg_rows = [
-                (t, W._enc_from_row(r)) for t, r in neg_by_shard.get(s, [])
-            ]
-            res = W._shard_kernel_websearch(
-                pos_rows, phrases, neg_rows, idf, self.avgdl, k, dead
-            )
+            by_term = {t: W._enc_from_row(r) for t, r in tmap.items()}
+            if single:
+                all_pos, neg, phrases, _ = groups[0]
+                if any(t not in by_term for t in all_pos):
+                    continue
+                pos_rows = [(t, by_term[t]) for t in all_pos]
+                neg_rows = [(t, by_term[t]) for t in neg if t in by_term]
+                res = W._shard_kernel_websearch(
+                    pos_rows, phrases, neg_rows, idf, self.avgdl, k, dead
+                )
+            else:
+                res = W._shard_kernel_websearch_or(
+                    groups, by_term, idf, self.avgdl, k, dead
+                )
             arr = self._docid_of[s]
             out.extend((int(arr[int(l)]), float(v)) for l, v in res)
         out.sort(key=lambda r: (-r[1], r[0]))

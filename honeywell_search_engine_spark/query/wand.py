@@ -515,22 +515,120 @@ def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
     return _select_topk_with_ties(cand.astype(np.int64), score, k)
 
 
-def _shard_kernel_websearch(
+def _gather_flat(pl, sel: np.ndarray) -> np.ndarray:
+    """Vectorized segment-gather of pl's flat position array at posting
+    indices `sel` (per-posting segment lengths are the tfs)."""
+    cnt = pl.tfs.astype(np.int64)
+    starts = np.zeros(cnt.size + 1, dtype=np.int64)
+    np.cumsum(cnt, out=starts[1:])
+    seg_s, seg_l = starts[sel], cnt[sel]
+    out_starts = np.zeros(sel.size, dtype=np.int64)
+    if sel.size > 1:
+        np.cumsum(seg_l[:-1], out=out_starts[1:])
+    gidx = (
+        np.arange(int(seg_l.sum()), dtype=np.int64)
+        - np.repeat(out_starts, seg_l)
+        + np.repeat(seg_s, seg_l)
+    )
+    return pl.positions[gidx]
+
+
+def _probe_at(enc: codec.EncodedList, cand: np.ndarray, with_positions: bool = False):
+    """Selectively decode `enc` at the sorted candidate docids `cand`:
+    only blocks that could contain a candidate are touched (block-max
+    docid skip). Returns (keep mask over cand, tfs, doclens,
+    flat_positions|None) — the value arrays aligned with cand[keep]."""
+    empty = np.zeros(0, dtype=np.int64)
+    if cand.size == 0:
+        return np.zeros(0, dtype=bool), empty, empty, (empty if with_positions else None)
+    blocks = _candidate_blocks(enc, cand.astype(np.int64))
+    valid = blocks < enc.bmax_docid.size
+    if not valid.any():
+        return (
+            np.zeros(cand.size, dtype=bool), empty, empty,
+            (empty if with_positions else None),
+        )
+    ublocks = np.unique(blocks[valid])
+    pl = codec.decode_blocks(
+        enc, ublocks, with_positions=with_positions, flat_positions=True
+    )
+    cand_v = cand[valid]
+    pos = np.searchsorted(pl.docids, cand_v)
+    ok = pos < pl.docids.size
+    match = np.zeros(cand_v.size, dtype=bool)
+    match[ok] = pl.docids[pos[ok]] == cand_v[ok]
+    keep = np.zeros(cand.size, dtype=bool)
+    keep[np.flatnonzero(valid)[match]] = True
+    sel = pos[match]
+    flat = _gather_flat(pl, sel) if with_positions else None
+    return keep, pl.tfs[sel], pl.doclens[sel], flat
+
+
+def _phrase_mask(ph_rows: list, cand: np.ndarray) -> np.ndarray:
+    """Boolean mask over `cand` (sorted docids): True where the phrase —
+    ph_rows as (term, EncodedList) in PHRASE order, repeats allowed —
+    occurs at consecutive filtered-stream positions. Used for negated
+    quoted phrases ('-"a b"', Postgres !(a <-> b)), where the phrase's
+    terms are NOT required of the candidates, so presence and adjacency
+    are both probed selectively (candidate blocks only)."""
+    n = cand.size
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    alive = np.arange(n, dtype=np.int64)
+    sub = cand
+    flats: dict[str, tuple] = {}  # distinct term -> (tfs, flat) aligned with sub
+    for t in dict.fromkeys(t for t, _ in ph_rows):
+        enc = next(e for tt, e in ph_rows if tt == t)
+        keep, tfs, _dls, flat = _probe_at(enc, sub, with_positions=True)
+        if not keep.any():
+            return out  # some phrase term absent from every candidate
+        for tt in flats:
+            ptfs, pflat = flats[tt]
+            flats[tt] = (
+                ptfs[keep], pflat[np.repeat(keep, ptfs.astype(np.int64))]
+            )
+        alive, sub = alive[keep], sub[keep]
+        flats[t] = (tfs, flat)
+    nsub = sub.size
+    m = len(ph_rows)
+
+    def _keys(j: int) -> np.ndarray:
+        tfs_j, flat_j = flats[ph_rows[j][0]]
+        c = np.repeat(np.arange(nsub, dtype=np.int64), tfs_j.astype(np.int64))
+        return (c << 32) | flat_j.astype(np.int64)
+
+    cur = _keys(0)
+    for j in range(1, m):
+        if cur.size == 0:
+            break
+        kj = _keys(j)
+        tgt = cur + j
+        idx = np.searchsorted(kj, tgt)
+        ok = idx < kj.size
+        ok[ok] = kj[idx[ok]] == tgt[ok]
+        cur = cur[ok]
+    if cur.size:
+        out[alive[np.unique(cur >> 32)]] = True
+    return out
+
+
+def _websearch_match(
     pos_rows: list,
     phrase_groups: list,
     neg_rows: list,
-    idf: dict[str, float],
-    avgdl: float,
-    k: int,
     dead: np.ndarray = _NO_DEAD,
+    neg_phrase_rows: list = (),
 ):
-    """Combined websearch evaluation of one shard: pos_rows are the
-    DISTINCT required (term, EncodedList) pairs (loose terms + every
-    quoted-phrase member), phrase_groups are token-lists that must each
-    occur adjacently, neg_rows exclude. Exact; positions decode only for
-    phrase members and only in candidate blocks. No score-bound pruning:
-    with unverified phrase groups pending there is no sound theta (same
-    reasoning as the AND-prune fix)."""
+    """Match portion of one conjunctive websearch group on one shard:
+    pos_rows are the DISTINCT required (term, EncodedList) pairs (loose
+    terms + every quoted-phrase member), phrase_groups are token-lists
+    that must each occur adjacently, neg_rows exclude docs containing the
+    term, neg_phrase_rows exclude docs where that phrase occurs adjacently
+    ('-"a b"'). Returns (cand, cols) — surviving lids plus per-required-
+    term (tfs, doclens, flat_positions|None) columns for scoring. Exact;
+    positions decode only for phrase members and only in candidate
+    blocks."""
     need_pos = {t for ph in phrase_groups for t in ph}
     rows = sorted(pos_rows, key=lambda tr: tr[1].n)
     t0, e0 = rows[0]
@@ -558,7 +656,7 @@ def _shard_kernel_websearch(
         _filter(~np.isin(cand.astype(np.int64), dead))
     for t, enc in rows[1:]:
         if cand.size == 0:
-            return []
+            return cand, cols
         blocks = _candidate_blocks(enc, cand.astype(np.int64))
         valid = blocks < enc.bmax_docid.size
         ublocks = np.unique(blocks[valid])
@@ -590,13 +688,13 @@ def _shard_kernel_websearch(
         else:
             cols[t] = (pl.tfs[sel], pl.doclens[sel], None)
     if cand.size == 0:
-        return []
+        return cand, cols
     if neg_rows:
         hit = _negated_mask(neg_rows, cand)
         if hit.any():
             _filter(~hit)
     if cand.size == 0:
-        return []
+        return cand, cols
     # adjacency verification per quoted group — same composite-key sweep
     # as the phrase kernel, all groups must hold
     ok_all = np.ones(cand.size, dtype=bool)
@@ -622,6 +720,35 @@ def _shard_kernel_websearch(
         ok_all &= g
     if not ok_all.all():
         _filter(ok_all)
+    # negated quoted phrases: exclude candidates where the phrase occurs
+    # adjacently — probed selectively, the phrase terms are NOT required
+    for ph_rows in neg_phrase_rows:
+        if cand.size == 0:
+            break
+        hits = _phrase_mask(ph_rows, cand)
+        if hits.any():
+            _filter(~hits)
+    return cand, cols
+
+
+def _shard_kernel_websearch(
+    pos_rows: list,
+    phrase_groups: list,
+    neg_rows: list,
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    dead: np.ndarray = _NO_DEAD,
+    neg_phrase_rows: list = (),
+):
+    """One conjunctive websearch group on one shard, scored: match via
+    _websearch_match, then BM25 over the group's required terms
+    (lexicographic sum order — oracle bit-parity). No score-bound
+    pruning: with unverified phrase groups pending there is no sound
+    theta (same reasoning as the AND-prune fix)."""
+    cand, cols = _websearch_match(
+        pos_rows, phrase_groups, neg_rows, dead, neg_phrase_rows
+    )
     if cand.size == 0:
         return []
     score = np.zeros(cand.size, dtype=np.float64)
@@ -629,6 +756,53 @@ def _shard_kernel_websearch(
         tfs, dls, _flat = cols[t]
         score += idf[t] * _u_exact(tfs, dls, avgdl)
     return _select_topk_with_ties(cand.astype(np.int64), score, k)
+
+
+def _shard_kernel_websearch_or(
+    groups: list,
+    by_term: dict,
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    dead: np.ndarray = _NO_DEAD,
+):
+    """Disjunction of conjunctive websearch groups on one shard (the
+    Postgres websearch 'or' keyword — AND binds tighter, so the query is
+    an OR of groups). `groups` are (all_pos, neg, phrases, neg_phrases)
+    from analyzer.parse_websearch_query; `by_term` maps this shard's terms
+    to EncodedLists. A doc matches iff ANY group holds; its score sums
+    BM25 over ALL distinct positive terms of the whole query present in
+    the doc (union-presence scoring, lexicographic order — the
+    `search_or` convention; oracle bit-parity). Group matching reuses
+    _websearch_match; the scoring pass probes each positive term
+    selectively at the matched union (candidate blocks only)."""
+    union: np.ndarray | None = None
+    for all_pos, neg, phrases, neg_phrases in groups:
+        if any(t not in by_term for t in all_pos):
+            continue  # a required term absent in this shard: group empty here
+        pos_rows = [(t, by_term[t]) for t in all_pos]
+        neg_rows = [(t, by_term[t]) for t in neg if t in by_term]
+        npr = [
+            [(t, by_term[t]) for t in ph]
+            for ph in neg_phrases
+            if all(t in by_term for t in ph)
+            # a negated phrase with a term absent from this shard can
+            # never occur adjacently -> excludes nothing
+        ]
+        cand, _cols = _websearch_match(pos_rows, phrases, neg_rows, dead, npr)
+        if cand.size:
+            union = cand if union is None else np.union1d(union, cand)
+    if union is None or union.size == 0:
+        return []
+    score = np.zeros(union.size, dtype=np.float64)
+    for t in sorted({t for g in groups for t in g[0]}):
+        enc = by_term.get(t)
+        if enc is None:
+            continue
+        keep, tfs, dls, _ = _probe_at(enc, union)
+        if keep.any():
+            score[keep] += idf[t] * _u_exact(tfs, dls, avgdl)
+    return _select_topk_with_ties(union.astype(np.int64), score, k)
 
 
 def bm25_topk_phrase(
@@ -813,50 +987,81 @@ def bm25_topk_wand(
 def bm25_topk_websearch(
     index: SegmentIndex, query: str, k: int = 10
 ) -> DataFrame:
-    """Full websearch_to_tsquery semantics over the segment index
+    """FULL websearch_to_tsquery semantics over the segment index
     (reference fusion.py:42): unprefixed words must ALL match, '"quoted
     words"' must additionally occur adjacently (chained <->), '-word'
-    excludes documents containing it, and a required term that is also
-    negated is a contradiction (empty — Postgres a & !a). Queries without
-    quotes ride the pruned AND path; quoted queries run the combined
-    positional kernel. Rank/score bit-identical to
+    excludes documents containing it, '-"quoted words"' excludes documents
+    containing the phrase adjacently, the standalone 'or' keyword joins
+    conjunctive groups disjunctively (AND binds tighter), and a group-
+    level contradiction drops that group (Postgres a & !a). Plain
+    single-group queries ride the pruned AND path; single quoted groups
+    run the combined positional kernel; everything else (OR / negated
+    phrases) runs the group-union kernel. Rank/score bit-identical to
     OracleIndex.search_websearch (tested)."""
-    from honeywell_search_engine_spark.functions.analyzer import parse_websearch_full
+    from honeywell_search_engine_spark.functions.analyzer import parse_websearch_query
 
     spark = index.spark
-    loose, neg, phrases = parse_websearch_full(query)
-    all_pos = sorted(set(loose) | {t for ph in phrases for t in ph})
-    if not all_pos or set(all_pos) & set(neg):
+    groups = parse_websearch_query(query)
+    if not groups:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    if not phrases:
-        return bm25_topk_wand(index, " ".join(all_pos), k, exclude_terms=neg)
 
     avgdl = index.stats.avgdl
     dead_bc = index.dead_broadcast()
-    neg_set = set(neg)
-    n_pos = len(all_pos)
 
-    def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        shard = int(key[0])
-        dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
-        all_rows = [(r["term"], _enc_from_row(r)) for _, r in pdf.iterrows()]
-        idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
-        pos_rows = [tr for tr in all_rows if tr[0] not in neg_set]
-        neg_rows = [tr for tr in all_rows if tr[0] in neg_set]
-        if len(pos_rows) < n_pos:
-            return pd.DataFrame({"shard": [], "lid": [], "score": []})
-        res = _shard_kernel_websearch(
-            pos_rows, phrases, neg_rows, idf_b, avgdl, k, dead
-        )
-        return pd.DataFrame(
-            {
-                "shard": [shard] * len(res),
-                "lid": [int(d) for d, _ in res],
-                "score": [float(s) for _, s in res],
-            }
+    if len(groups) == 1 and not groups[0][3]:
+        all_pos, neg, phrases, _ = groups[0]
+        if not phrases:
+            return bm25_topk_wand(index, " ".join(all_pos), k, exclude_terms=neg)
+        neg_set = set(neg)
+        n_pos = len(all_pos)
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(key[0])
+            dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
+            all_rows = [(r["term"], _enc_from_row(r)) for _, r in pdf.iterrows()]
+            idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
+            pos_rows = [tr for tr in all_rows if tr[0] not in neg_set]
+            neg_rows = [tr for tr in all_rows if tr[0] in neg_set]
+            if len(pos_rows) < n_pos:
+                return pd.DataFrame({"shard": [], "lid": [], "score": []})
+            res = _shard_kernel_websearch(
+                pos_rows, phrases, neg_rows, idf_b, avgdl, k, dead
+            )
+            return pd.DataFrame(
+                {
+                    "shard": [shard] * len(res),
+                    "lid": [int(d) for d, _ in res],
+                    "score": [float(s) for _, s in res],
+                }
+            )
+
+        scan_terms = all_pos + neg
+    else:
+        # general path: OR of groups and/or negated phrases — the scan
+        # covers every group's positive, negated, and neg-phrase terms
+        scan_terms = sorted(
+            {t for g in groups for t in g[0]}
+            | {t for g in groups for t in g[1]}
+            | {t for g in groups for ph in g[3] for t in ph}
         )
 
-    segs = index.segments_with_idf(all_pos + neg)
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(key[0])
+            dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
+            by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
+            idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
+            res = _shard_kernel_websearch_or(
+                groups, by_term, idf_b, avgdl, k, dead
+            )
+            return pd.DataFrame(
+                {
+                    "shard": [shard] * len(res),
+                    "lid": [int(d) for d, _ in res],
+                    "score": [float(s) for _, s in res],
+                }
+            )
+
+    segs = index.segments_with_idf(scan_terms)
     per_shard = segs.groupBy("shard").applyInPandas(
         run_shard, schema="shard int, lid long, score double"
     )
@@ -879,18 +1084,21 @@ def bm25_topk_websearch_batch(
     score) — identical to per-query bm25_topk_websearch (tested)."""
     from pyspark.sql import Window
 
-    from honeywell_search_engine_spark.functions.analyzer import parse_websearch_full
+    from honeywell_search_engine_spark.functions.analyzer import parse_websearch_query
 
     spark = index.spark
-    parsed: dict[str, tuple] = {}
+    parsed: dict[str, list] = {}
     for qid, q in queries.items():
-        loose, neg, phrases = parse_websearch_full(q)
-        all_pos = sorted(set(loose) | {t for ph in phrases for t in ph})
-        if not all_pos or set(all_pos) & set(neg):
-            continue  # empty/contradiction: no rows for this qid
-        parsed[qid] = (all_pos, neg, phrases)
+        groups = parse_websearch_query(q)
+        if groups:  # no matchable group: no rows for this qid
+            parsed[qid] = groups
     scan_terms = sorted(
-        {t for ap, ng, _ in parsed.values() for t in ap + ng}
+        {
+            t
+            for groups in parsed.values()
+            for g in groups
+            for t in list(g[0]) + list(g[1]) + [x for ph in g[3] for x in ph]
+        }
     )
     if not scan_terms:
         return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
@@ -903,23 +1111,29 @@ def bm25_topk_websearch_batch(
         by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
         idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         out_q, out_d, out_s = [], [], []
-        for qid, (all_pos, neg, phrases) in parsed.items():
-            pos_rows = [(t, by_term[t]) for t in all_pos if t in by_term]
-            if len(pos_rows) < len(all_pos):
-                continue  # a required term absent in this shard
-            neg_rows = [(t, by_term[t]) for t in neg if t in by_term]
-            if phrases:
-                res = _shard_kernel_websearch(
-                    pos_rows, phrases, neg_rows, idf_b, avgdl, k, dead
-                )
-            elif len(all_pos) == 1:
-                res = _topk_single(
-                    pos_rows[0][1], idf_b[pos_rows[0][0]], avgdl, k, dead,
-                    None, neg_rows,
-                )
-            else:
-                res = _shard_kernel_and(
-                    pos_rows, idf_b, avgdl, k, dead, neg_rows=neg_rows
+        for qid, groups in parsed.items():
+            if len(groups) == 1 and not groups[0][3]:
+                all_pos, neg, phrases, _ = groups[0]
+                pos_rows = [(t, by_term[t]) for t in all_pos if t in by_term]
+                if len(pos_rows) < len(all_pos):
+                    continue  # a required term absent in this shard
+                neg_rows = [(t, by_term[t]) for t in neg if t in by_term]
+                if phrases:
+                    res = _shard_kernel_websearch(
+                        pos_rows, phrases, neg_rows, idf_b, avgdl, k, dead
+                    )
+                elif len(all_pos) == 1:
+                    res = _topk_single(
+                        pos_rows[0][1], idf_b[pos_rows[0][0]], avgdl, k, dead,
+                        None, neg_rows,
+                    )
+                else:
+                    res = _shard_kernel_and(
+                        pos_rows, idf_b, avgdl, k, dead, neg_rows=neg_rows
+                    )
+            else:  # OR groups / negated phrases: group-union kernel
+                res = _shard_kernel_websearch_or(
+                    groups, by_term, idf_b, avgdl, k, dead
                 )
             for d, s in res:
                 out_q.append(qid)
