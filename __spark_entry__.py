@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from honeywell_search_engine_spark.functions.analyzer import STOPWORDS
 from honeywell_search_engine_spark.operators import (
     dedup,
+    embedder,
     relational,
     search,
     serving,
@@ -107,6 +108,7 @@ def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> Da
 
 
 FLAGSHIP_QUERY = "data table query"
+STEMMED_QUERY = "querying tables"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -128,6 +130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_stats_top100"] = lambda s, d: search.term_stats_table(_docs(s, d))
     q["bm25_single"] = lambda s, d: _bm25_spark(s, d, "spark")
     q["bm25_conj"] = lambda s, d: _bm25_spark(s, d, FLAGSHIP_QUERY)
+    # Porter-stemmed BM25 (T8/T9 parity: reference stems via Postgres
+    # to_tsvector('english', ...)): 'querying tables' stems to
+    # (queri, tabl) and matches docs whose surface forms are query/table —
+    # zero conjunctive hits unstemmed. Oracle = VALUES literal from the
+    # shared pure-Python kernel (DuckDB can't stem), like chunk_stats.
+    q["bm25_stemmed"] = lambda s, d: search.bm25_inflight(
+        _docs(s, d), STEMMED_QUERY, 10, stem=True
+    )
     q["match_and"] = lambda s, d: search.match_all_terms(_docs(s, d), "spark merge vector")
     # websearch_to_tsquery '-term' negation (reference fusion.py:42)
     q["match_websearch"] = lambda s, d: search.match_websearch(
@@ -151,6 +161,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d), "doc_id", "text").orderBy("docid")
     q["langid"] = lambda s, d: textstats.langid_en(_docs(s, d), "doc_id", "text").orderBy("docid")
     q["corpus_filter"] = lambda s, d: textstats.clean_corpus(_docs(s, d))
+    # deterministic model-free semantic channel (R3/N3 analog): hashed
+    # TF-IDF embeddings from text — md5 bucket+sign, so DuckDB replays the
+    # identical vectors (operators/embedder.py)
+    q["text_embeddings"] = lambda s, d: embedder.text_embeddings(
+        _docs(s, d)
+    ).orderBy("docid")
+    q["semantic_topk_text"] = lambda s, d: embedder.semantic_topk(
+        _docs(s, d), FLAGSHIP_QUERY, k=10
+    )
+    # hybrid retrieval end-to-end from text: BM25 lexical top-50 + hashed
+    # TF-IDF semantic top-50, reciprocal-rank-fused (reference channel
+    # composition: routers/search.py lexical+semantic -> fusion.py)
+    q["hybrid_rrf_text"] = lambda s, d: relational.rrf_fusion(
+        [
+            search.bm25_inflight(_docs(s, d), FLAGSHIP_QUERY, 50).select("docid", "rnk"),
+            embedder.semantic_topk(_docs(s, d), FLAGSHIP_QUERY, k=50).select("docid", "rnk"),
+        ],
+        "docid",
+    )
 
     # --- dedup -------------------------------------------------------------
     q["exact_dupes"] = lambda s, d: dedup.exact_duplicates(_docs(s, d), "doc_id", "text")
@@ -202,7 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # banded variant: b bands of r planes — the recall lever (a pair is a
     # candidate iff ANY band matches fully); same exact-cosine verify
     q["cosine_dupes_lsh_banded"] = lambda s, d: similarity.pairwise_cosine_dupes_lsh_banded(
-        _embeddings(s, d), threshold=0.35, n_planes=12, bands=3
+        _embeddings(s, d), threshold=0.35, n_planes=24, bands=8
     )
     q["knn_lsh"] = lambda s, d: similarity.cosine_ann_lsh(
         _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
@@ -523,7 +552,7 @@ cells AS (
 probe AS (
   SELECT c AS cell
   FROM (SELECT c, row_number() OVER (ORDER BY dot DESC, c) AS rn FROM dots WHERE vec_id = 0)
-  WHERE rn <= 2),
+  WHERE rn <= 4),
 cand AS (
   SELECT vec_id FROM cells
   WHERE vec_id != 0 AND cell IN (SELECT cell FROM probe)),
@@ -813,7 +842,7 @@ sigs AS (
 qsig AS (SELECT sig AS qs FROM sigs WHERE vec_id = 0),
 cand AS (
   SELECT s.vec_id FROM sigs s CROSS JOIN qsig
-  WHERE s.vec_id != 0 AND bit_count(xor(s.sig, qs)) <= 1),
+  WHERE s.vec_id != 0 AND bit_count(xor(s.sig, qs)) <= 2),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
   SELECT e.vec_id,
@@ -881,7 +910,7 @@ WITH planes AS (
   SELECT p, i,
          CAST(('0x' || substr(md5(concat('rp', CAST(p AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT)
            / 1152921504606846976.0 - 0.5 AS v
-  FROM (SELECT unnest(range(12)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS i)),
+  FROM (SELECT unnest(range(24)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS i)),
 ei AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
@@ -893,8 +922,8 @@ sigs AS (
   SELECT vec_id, sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS sig
   FROM dots GROUP BY vec_id),
 bnd AS (
-  SELECT vec_id, b, (sig >> (b * 4)) & 15 AS bv
-  FROM sigs CROSS JOIN (SELECT unnest(range(3)) AS b)),
+  SELECT vec_id, b, (sig >> (b * 3)) & 7 AS bv
+  FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS b)),
 cand AS (
   SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
   FROM bnd l JOIN bnd r ON l.b = r.b AND l.bv = r.bv AND l.vec_id < r.vec_id),
@@ -1202,8 +1231,160 @@ SELECT user_id,
 FROM f ORDER BY rrf_score DESC, user_id"""
 
     o["chunk_stats"] = _chunk_stats_oracle(sf_dir)
+    o["bm25_stemmed"] = _bm25_stemmed_oracle(sf_dir)
+
+    o["text_embeddings"] = _TEXT_EMB_SQL
+    o["semantic_topk_text"] = _semantic_sql(10)
+    # RRF over the two text channels' top-50: 1/(60+rnk) summed, absent
+    # channel contributes 0 (operators/relational.rrf_fusion)
+    o["hybrid_rrf_text"] = f"""
+WITH lex AS (SELECT docid, rnk FROM ({_bm25_sql(FLAGSHIP_QUERY, 50)})),
+sem AS (SELECT docid, rnk FROM ({_semantic_sql(50)})),
+f AS (
+  SELECT coalesce(l.docid, s.docid) AS docid, l.rnk AS r0, s.rnk AS r1
+  FROM lex l FULL OUTER JOIN sem s ON l.docid = s.docid)
+SELECT docid,
+       round(
+         (CASE WHEN r0 IS NOT NULL THEN 1.0 / (60.0 + r0) ELSE 0.0 END)
+         + (CASE WHEN r1 IS NOT NULL THEN 1.0 / (60.0 + r1) ELSE 0.0 END), 6)
+         AS rrf_score
+FROM f ORDER BY rrf_score DESC, docid"""
 
     return o
+
+
+# hashed-TF-IDF embedder (operators/embedder.py): md5 bucket + sign +
+# shared BM25 idf; cell sums in lexicographic term order. n_docs counts
+# docs with >=1 token (mirrors _term_table's tf-distinct count).
+_EMB_CTE = f"""{_TOK_CTE},
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+ti AS (
+  SELECT term,
+         CAST(CAST(('0x' || substr(md5('emb:' || term), 1, 15)) AS BIGINT) % 64 AS INT) AS j,
+         CASE WHEN CAST(('0x' || substr(md5('emb:' || term), 17, 1)) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sign,
+         ln(1 + (CAST((SELECT n FROM nd) AS DOUBLE) - count(*) + 0.5)
+                / (count(*) + 0.5)) AS idf
+  FROM tf GROUP BY term),
+cells AS (
+  SELECT t.doc_id, ti.j,
+         list_sum(list(ti.sign * ln(1 + CAST(t.tf AS DOUBLE)) * ti.idf ORDER BY t.term)) AS v
+  FROM tf t JOIN ti USING (term) GROUP BY t.doc_id, ti.j)"""
+
+_TEXT_EMB_SQL = f"""
+WITH {_EMB_CTE},
+dense AS (
+  SELECT d.doc_id, g.j, round(coalesce(c.v, 0.0), 6) AS v
+  FROM (SELECT DISTINCT doc_id FROM cells) d
+  CROSS JOIN (SELECT unnest(range(64)) AS j) g
+  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.j = g.j)
+SELECT doc_id AS docid, list(v ORDER BY j) AS embedding
+FROM dense GROUP BY doc_id ORDER BY docid"""
+
+
+def _semantic_sql(k: int = 10) -> str:
+    from collections import Counter as _Counter
+
+    from honeywell_search_engine_spark.functions.analyzer import (
+        tokenize as _tokenize,
+    )
+
+    _qv = ", ".join(
+        f"('{t}', {c})" for t, c in sorted(_Counter(_tokenize(FLAGSHIP_QUERY)).items())
+    )
+    return f"""
+WITH {_EMB_CTE},
+qv AS (SELECT * FROM (VALUES {_qv}) AS t(term, qtf)),
+qcells AS (
+  SELECT ti.j,
+         list_sum(list(ti.sign * ln(1 + CAST(q.qtf AS DOUBLE)) * ti.idf ORDER BY q.term)) AS qv
+  FROM qv q JOIN ti USING (term) GROUP BY ti.j),
+qn AS (SELECT sqrt(list_sum(list(qv * qv ORDER BY j))) AS qn FROM qcells),
+scored AS (
+  SELECT c.doc_id,
+         list_sum(list(c.v * coalesce(qc.qv, 0.0) ORDER BY c.j)) AS dot,
+         sqrt(list_sum(list(c.v * c.v ORDER BY c.j))) AS dn
+  FROM cells c LEFT JOIN qcells qc ON qc.j = c.j
+  GROUP BY c.doc_id),
+cosd AS (
+  SELECT s.doc_id, s.dot / (s.dn * q.qn) AS cos
+  FROM scored s CROSS JOIN qn q
+  WHERE s.dn > 0 AND q.qn > 0)
+SELECT CAST(row_number() OVER (ORDER BY round(cos, 6) DESC, doc_id) AS INT) AS rnk,
+       doc_id AS docid, round(cos, 6) AS cos_r
+FROM cosd ORDER BY round(cos, 6) DESC, doc_id LIMIT {k}"""
+
+
+def _bm25_stemmed_oracle(
+    sf_dir: str = "/root/testdata/sf0.01", query: str = STEMMED_QUERY, k: int = 10
+) -> str:
+    """Porter stemming is not expressible in DuckDB SQL, so — like
+    chunk_stats — the expected top-k is computed driver-side by the SAME
+    pure-Python kernels the pytest oracle pins (functions/stemmer.py +
+    analyzer.tokenize) with bm25_inflight's exact float64 operation order,
+    and emitted as a VALUES literal. Unrounded scores ride the literal via
+    repr() (shortest round-trip — DuckDB parses back the identical double)
+    and DuckDB applies the same round(score, 6) the Spark plan does."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from honeywell_search_engine_spark import B, K1
+    from honeywell_search_engine_spark.functions.analyzer import (
+        analyze_query_stemmed,
+        tokenize,
+    )
+    from honeywell_search_engine_spark.functions.stemmer import stem_tokens
+
+    terms = analyze_query_stemmed(query)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    n_docs = len(ids)
+    tfs: dict[int, dict[str, int]] = {}
+    doclen: dict[int, int] = {}
+    total = 0
+    for did, txt in zip(ids, texts):
+        toks = stem_tokens(tokenize(txt or ""))
+        doclen[did] = len(toks)
+        total += len(toks)
+        c = Counter(toks)
+        hit = {t: c[t] for t in terms if t in c}
+        if hit:
+            tfs[did] = hit
+    avgdl = total / n_docs
+    df: Counter = Counter()
+    for m in tfs.values():
+        for t in m:
+            df[t] += 1
+    scored = []
+    for did, m in tfs.items():
+        if len(m) != len(terms):
+            continue  # conjunctive
+        acc = 0.0
+        for t in sorted(m):  # lexicographic sum order (shared contract)
+            idf = math.log1p((float(n_docs) - df[t] + 0.5) / (df[t] + 0.5))
+            tfv, dl = float(m[t]), float(doclen[did])
+            acc = acc + idf * (
+                tfv * (K1 + 1.0) / (tfv + K1 * ((1.0 - B) + B * dl / avgdl))
+            )
+        scored.append((did, acc))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    top = scored[:k]
+    if not top:
+        return (
+            "SELECT CAST(NULL AS INT) AS rnk, CAST(NULL AS BIGINT) AS docid, "
+            "CAST(NULL AS DOUBLE) AS score_r WHERE 1 = 0"
+        )
+    rows = ", ".join(
+        f"({r}, {did}, {score!r})" for r, (did, score) in enumerate(top, 1)
+    )
+    return (
+        "SELECT CAST(rnk AS INT) AS rnk, CAST(docid AS BIGINT) AS docid, "
+        "round(CAST(score AS DOUBLE), 6) AS score_r "
+        f"FROM (VALUES {rows}) AS t(rnk, docid, score) ORDER BY rnk"
+    )
 
 
 def _chunk_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:

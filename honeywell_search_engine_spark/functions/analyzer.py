@@ -239,6 +239,58 @@ def parse_websearch_query(
     return out
 
 
+# --- stemmed variants (opt-in; reference T8/T9 stems via Postgres
+# to_tsvector('english', ...) — functions/stemmer.py implements the public
+# Porter 1980 ancestor of that Snowball stemmer) --------------------------
+
+
+def tokenize_stemmed(text: str) -> list[str]:
+    from honeywell_search_engine_spark.functions.stemmer import stem_tokens
+
+    return stem_tokens(tokenize(text))
+
+
+def analyze_stemmed(text: str) -> list[str]:
+    """Document analyzer with stemming: clean -> tokenize -> Porter-stem.
+    Stemming runs AFTER the stopword/length filter (Postgres drops
+    stopwords before stemming too)."""
+    from honeywell_search_engine_spark.functions.stemmer import stem_tokens
+
+    return stem_tokens(tokenize(clean_text(text)))
+
+
+def analyze_query_stemmed(query: str) -> list[str]:
+    """Query analyzer for a stemmed index: stem BEFORE dedup/sort/cap
+    (distinct surface forms can merge into one stem — 'running runs'
+    queries ONE term, like websearch_to_tsquery('english', ...))."""
+    from honeywell_search_engine_spark.functions.stemmer import stem_tokens
+
+    return sorted(set(stem_tokens(tokenize(query))))[:MAX_QUERY_TERMS]
+
+
+def stem_groups(groups: list) -> list:
+    """Stem every term of parse_websearch_query's groups (Postgres stems
+    inside quotes and negations alike). Re-validates contradictions AFTER
+    stemming — 'running -runs' becomes run & !run only post-stem, exactly
+    when Postgres would produce the contradiction."""
+    from honeywell_search_engine_spark.functions.stemmer import stem_word
+
+    out = []
+    for all_pos, neg, phrases, neg_phrases in groups:
+        s_ph = [[stem_word(t) for t in ph] for ph in phrases]
+        s_nph = [[stem_word(t) for t in ph] for ph in neg_phrases]
+        s_pos = sorted(
+            {stem_word(t) for t in all_pos} | {t for ph in s_ph for t in ph}
+        )[:MAX_QUERY_TERMS]
+        s_neg = sorted({stem_word(t) for t in neg})[:MAX_QUERY_TERMS]
+        if not s_pos or set(s_pos) & set(s_neg):
+            continue
+        if any(ph in s_nph for ph in s_ph):
+            continue
+        out.append((s_pos, s_neg, s_ph, s_nph))
+    return out
+
+
 # --- vectorized (Arrow-batch) versions --------------------------------------
 # pandas .str ops run the same `re` engine over whole columns; identical
 # output to the pure kernels is asserted by tests/test_analyzer.py.

@@ -47,6 +47,18 @@ def clean_text_udf(text: pd.Series) -> pd.Series:
     return clean_series(text)
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
+    """Porter-stem a token-array column (Arrow-batched; the per-word work
+    amortizes to a memo-dict lookup since a corpus has far fewer distinct
+    words than occurrences — functions/stemmer.py)."""
+    from honeywell_search_engine_spark.functions.stemmer import stem_tokens
+
+    return tokens.map(
+        lambda ts: stem_tokens(list(ts)) if ts is not None else None
+    )
+
+
 def docs_from_pages(pages: DataFrame, lang: str = "en") -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> docs(docid, url, text).
 
@@ -76,16 +88,22 @@ def extracted_docs_from_pages(pages: DataFrame, lang: str = "en") -> DataFrame:
 
 
 def tokenized_docs(docs: DataFrame, text_col: str = "text",
-                   pre_cleaned: bool = False) -> DataFrame:
+                   pre_cleaned: bool = False, stem: bool = False) -> DataFrame:
     """docs(docid, <text>) -> (docid, tokens array<string>, doclen int).
 
     `pre_cleaned=True` skips the clean_text pandas UDF (e.g. the synthetic
     pages table's `text` column is already the cleaned ground truth, and
     the testdata `documents.text` is treated as clean input).
+    `stem=True` Porter-stems the token stream (reference T8/T9 stems via
+    to_tsvector('english', ...)); pass the same flag to build_segments so
+    the index records it and query analysis matches automatically.
     """
     txt = F.col(text_col) if pre_cleaned else clean_text_udf(F.col(text_col))
+    toks = tokens_col(txt)
+    if stem:
+        toks = stem_tokens_udf(toks)
     return (
-        docs.withColumn("tokens", tokens_col(txt))
+        docs.withColumn("tokens", toks)
         .withColumn("doclen", F.size("tokens"))
         .drop(text_col)
     )

@@ -436,10 +436,16 @@ def build_segments(
     n_shards: int = N_SHARDS,
     buckets_per_job: int = 16,
     progress: bool = False,
+    stemmed: bool = False,
 ) -> None:
     """Full (resumable) index build. Safe to re-invoke after a crash: every
     completed unit is skipped via its manifest; a fingerprint mismatch
-    (input changed) fails loudly rather than mixing lineages."""
+    (input changed) fails loudly rather than mixing lineages.
+
+    `stemmed` records (in stats.json) that tok_docs carried Porter-stemmed
+    tokens (corpus.tokenized_docs(stem=True)); SegmentIndex/ServingIndex
+    read the flag and switch their query analyzers to the stemmed variants
+    automatically — callers never have to know how an index was built."""
     spark = tok_docs.sparkSession
     os.makedirs(index_dir, exist_ok=True)
     fp = input_fingerprint(spark, input_path)
@@ -451,6 +457,12 @@ def build_segments(
             raise ValueError(
                 f"index at {index_dir} was built from a different input "
                 f"({p1['input_fingerprint']} != {fp}); refusing to resume"
+            )
+        if bool(p1.get("stemmed", False)) != stemmed:
+            raise ValueError(
+                f"index at {index_dir} was built with stemmed="
+                f"{p1.get('stemmed', False)}; refusing to resume with "
+                f"stemmed={stemmed} (mixed analyzers in one index)"
             )
     else:
         t0 = time.time()
@@ -519,6 +531,7 @@ def build_segments(
                     "avgdl": cs.avgdl,
                     "n_buckets": n_buckets,
                     "n_shards": n_shards,
+                    "stemmed": stemmed,
                 },
                 f,
             )
@@ -533,6 +546,7 @@ def build_segments(
                 "avgdl": cs.avgdl,
                 "n_buckets": n_buckets,
                 "n_shards": n_shards,
+                "stemmed": stemmed,
                 "elapsed_sec": round(time.time() - t0, 2),
             },
         )
@@ -681,6 +695,7 @@ class SegmentIndex:
         self.stats = CorpusStats(meta["n_docs"], meta["avgdl"])
         self.n_buckets = meta["n_buckets"]
         self.n_shards = meta["n_shards"]
+        self.stemmed = bool(meta.get("stemmed", False))
         missing = [
             b
             for b in range(self.n_buckets)

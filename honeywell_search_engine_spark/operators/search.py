@@ -22,17 +22,28 @@ from honeywell_search_engine_spark.functions.analyzer import analyze_query
 from honeywell_search_engine_spark.functions.analyzer import tokens_col
 
 
-def doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, tokens, doclen) — JVM-side tokenization, whole-stage codegen."""
+def doc_tokens(
+    docs: DataFrame, id_col: str, text_col: str, stem: bool = False
+) -> DataFrame:
+    """(id, tokens, doclen) — JVM-side tokenization, whole-stage codegen.
+    `stem=True` adds the Arrow-batched Porter stage (functions/stemmer.py,
+    reference T8/T9: to_tsvector('english', ...) stems via Snowball)."""
+    toks = tokens_col(text_col)
+    if stem:
+        from honeywell_search_engine_spark.index.corpus import stem_tokens_udf
+
+        toks = stem_tokens_udf(toks)
     return docs.select(
         F.col(id_col).alias("docid"),
-        tokens_col(text_col).alias("tokens"),
+        toks.alias("tokens"),
     ).withColumn("doclen", F.size("tokens"))
 
 
-def doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def doc_term_freqs(
+    docs: DataFrame, id_col: str, text_col: str, stem: bool = False
+) -> DataFrame:
     """(docid, term, tf, doclen) rows — map-side combined hash aggregate."""
-    t = doc_tokens(docs, id_col, text_col)
+    t = doc_tokens(docs, id_col, text_col, stem=stem)
     return (
         t.select("docid", "doclen", F.explode("tokens").alias("term"))
         .groupBy("docid", "term")
@@ -46,6 +57,7 @@ def bm25_inflight(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stem: bool = False,
 ) -> DataFrame:
     """Conjunctive BM25 top-k as one lazy plan: returns
     (rnk int, docid long, score_r double[rounded 1e-6]).
@@ -53,15 +65,26 @@ def bm25_inflight(
     Plan shape: tokenize -> tf hash-agg -> term filter (only the ≤12 query
     terms survive into the join) -> broadcast df/idf -> conjunctive
     group-filter -> deterministic ordered sum -> TakeOrderedAndProject(k).
+
+    `stem=True` Porter-stems both the corpus token stream and the query
+    (reference T8/T9: Postgres stems tsvector AND tsquery with the same
+    stemmer, so 'running' matches documents containing 'run').
     """
     spark = docs.sparkSession
-    terms = analyze_query(query)
+    if stem:
+        from honeywell_search_engine_spark.functions.analyzer import (
+            analyze_query_stemmed,
+        )
+
+        terms = analyze_query_stemmed(query)
+    else:
+        terms = analyze_query(query)
     empty = spark.createDataFrame([], "rnk int, docid long, score_r double")
     if not terms:
         return empty
     n_terms = len(terms)
 
-    tf = doc_term_freqs(docs, id_col, text_col)
+    tf = doc_term_freqs(docs, id_col, text_col, stem=stem)
     # corpus stats WITHOUT a second tokenize pass: total tokens == sum(tf)
     # over the tf table (zero-token docs contribute 0 either way), and the
     # doc count is a tokenizer-free scan of the input — so the full

@@ -115,18 +115,25 @@ def cosine_ann_lsh(
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 12,
-    probe_hamming: int = 1,
+    probe_hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane sign buckets; only rows
     whose signature is within `probe_hamming` of the query's signature are
-    exactly scored. Same output shape as the brute-force op.
+    exactly scored (multi-probe: sum_{i<=h} C(p,i) buckets). Same output
+    shape as the brute-force op.
 
     Scale: signatures are one numpy matmul per Arrow batch; the probe filter
     prunes ~(1 - sum_{i<=h} C(p,i)/2^p) of the corpus before any dot
-    product. Planes are md5-derived (rp_planes_md5) so the DuckDB oracle
-    replays the identical buckets."""
+    product (defaults: 79/4096 buckets = 1.9% scanned). The default
+    probe_hamming=2 holds recall >= 0.8 on the clustered bench corpus
+    (BENCH extra.knn_lsh_recall_clustered); raise it for harder corpora —
+    every added hamming level multiplies candidates by ~C(p,i)/2^p, never
+    approaching a full scan until h -> p. Planes are md5-derived
+    (rp_planes_md5) so the DuckDB oracle replays the identical buckets."""
+    from itertools import combinations
+
     dim = len(query_vec)
     planes = rp_planes_md5(dim, n_planes)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -134,14 +141,14 @@ def cosine_ann_lsh(
     qsig = int(sum(int(b) << p for p, b in enumerate(qsig_bits)))
 
     with_sig = rp_signatures_col(embeddings, planes, vec_col)
-    # accept signatures within hamming distance h of qsig
+    # accept signatures within hamming distance h of qsig (multi-probe)
     accept = [qsig]
-    if probe_hamming >= 1:
-        accept += [qsig ^ (1 << p) for p in range(n_planes)]
-    if probe_hamming >= 2:
-        for p1 in range(n_planes):
-            for p2 in range(p1 + 1, n_planes):
-                accept.append(qsig ^ (1 << p1) ^ (1 << p2))
+    for h in range(1, probe_hamming + 1):
+        for flips in combinations(range(n_planes), h):
+            m = qsig
+            for p in flips:
+                m ^= 1 << p
+            accept.append(m)
     cand = with_sig.filter(F.col("sig").isin(accept))
     return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
 
@@ -187,7 +194,7 @@ def cosine_ann_ivf(
     query_vec: list[float],
     k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 2,
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -244,7 +251,7 @@ def cosine_topk_ivf_indexed(
     query_vec: list[float],
     k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 2,
+    n_probe: int = 4,
 ) -> DataFrame:
     """ANN top-k over a build_ann_cells table: the cell filter prunes
     partition directories before any vector is read; exact cosine rescoring
@@ -324,8 +331,8 @@ def pairwise_cosine_dupes_lsh_banded(
     embeddings: DataFrame,
     threshold: float = 0.95,
     dim: int = 64,
-    n_planes: int = 12,
-    bands: int = 3,
+    n_planes: int = 24,
+    bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

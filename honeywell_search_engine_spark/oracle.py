@@ -43,13 +43,24 @@ class OracleIndex:
     # backend/migrations/003:32)
     positions: dict[str, dict[int, list[int]]] = field(default_factory=dict)
 
+    # built with stemming? query analysis must match (same contract as
+    # SegmentIndex/ServingIndex's stats.json flag)
+    stemmed: bool = False
+
     @classmethod
-    def build(cls, docs: list[tuple[int, str]]) -> "OracleIndex":
-        """docs: list of (docid, raw_text). Analyzer = shared kernel."""
+    def build(cls, docs: list[tuple[int, str]], stem: bool = False) -> "OracleIndex":
+        """docs: list of (docid, raw_text). Analyzer = shared kernel;
+        `stem=True` Porter-stems the term stream (functions/stemmer.py)."""
+        from honeywell_search_engine_spark.functions.analyzer import (
+            analyze_stemmed,
+        )
+
         idx = cls()
+        idx.stemmed = stem
         total = 0
+        an = analyze_stemmed if stem else analyze
         for docid, text in docs:
-            toks = analyze(text)
+            toks = an(text)
             idx.doclen[docid] = len(toks)
             total += len(toks)
             for term, tf in Counter(toks).items():
@@ -59,6 +70,13 @@ class OracleIndex:
         idx.n_docs = len(docs)
         idx.avgdl = (total / idx.n_docs) if idx.n_docs else 0.0
         return idx
+
+    def _aq(self, query: str) -> list[str]:
+        from honeywell_search_engine_spark.functions.analyzer import (
+            analyze_query_stemmed,
+        )
+
+        return (analyze_query_stemmed if self.stemmed else analyze_query)(query)
 
     def idf(self, term: str) -> float:
         df = len(self.postings.get(term, {}))
@@ -73,7 +91,7 @@ class OracleIndex:
         restricts candidates to a docid scope (global stats unchanged);
         `exclude` drops every doc containing ANY of those (analyzed)
         terms — websearch '-term' negation."""
-        terms = analyze_query(query)
+        terms = self._aq(query)
         if not terms:
             return []
         plists = []
@@ -112,7 +130,7 @@ class OracleIndex:
         """Exhaustive DISJUNCTIVE BM25 top-k: every doc containing ANY query
         term, scored over the terms it contains (lexicographic sum order).
         [(docid, score)] by (-score, docid)."""
-        terms = analyze_query(query)
+        terms = self._aq(query)
         if not terms:
             return []
         union: set[int] = set()
@@ -194,6 +212,12 @@ class OracleIndex:
         )
 
         groups = parse_websearch_query(query)
+        if self.stemmed:
+            from honeywell_search_engine_spark.functions.analyzer import (
+                stem_groups,
+            )
+
+            groups = stem_groups(groups)
         if not groups:
             return []
         union: set[int] = set()
@@ -228,9 +252,12 @@ class OracleIndex:
         check is exact). Matching docs are scored with the same BM25 as
         `search` over the phrase's distinct terms (sorted, fixed sum
         order). Returns [(docid, score)] by (-score, docid)."""
-        from honeywell_search_engine_spark.functions.analyzer import tokenize
+        from honeywell_search_engine_spark.functions.analyzer import (
+            tokenize,
+            tokenize_stemmed,
+        )
 
-        terms = tokenize(phrase)
+        terms = (tokenize_stemmed if self.stemmed else tokenize)(phrase)
         if not terms:
             return []
         m = len(terms)

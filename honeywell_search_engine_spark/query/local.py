@@ -61,6 +61,9 @@ class ServingIndex:
         self.avgdl = float(meta["avgdl"])
         self.n_shards = int(meta["n_shards"])
         self.n_buckets = int(meta["n_buckets"])
+        # a Porter-stemmed index stems its queries too (same contract as
+        # the Spark path — wand._analyzers_for reads this flag)
+        self.stemmed = bool(meta.get("stemmed", False))
         # forward index: per-shard lid->docid (lids may have holes after
         # compaction — fill with -1) + sorted docid->lid translation pair
         dm = pq.read_table(
@@ -155,7 +158,8 @@ class ServingIndex:
         """[(docid, score)] by (-score, docid) — rank/score bit-identical
         to query/wand.bm25_topk_wand (tested on the reference query set).
         `exclude_terms` is websearch '-term' negation (AND mode only)."""
-        terms = analyze_query(query)
+        _aq, _tok, _sg = W._analyzers_for(self)
+        terms = _aq(query)
         if not terms:
             return []
         neg_terms: list[str] = []
@@ -215,7 +219,8 @@ class ServingIndex:
             parse_websearch_query,
         )
 
-        groups = parse_websearch_query(query)
+        _aq, _tok, _sg = W._analyzers_for(self)
+        groups = _sg(parse_websearch_query(query))
         if not groups:
             return []
         single = len(groups) == 1 and not groups[0][3]
@@ -261,7 +266,8 @@ class ServingIndex:
         self, phrase: str, k: int = 10, slop: int = 0
     ) -> list[tuple[int, float]]:
         """Exact phrase / ordered-NEAR — mirrors wand.bm25_topk_phrase."""
-        terms = tokenize(phrase)
+        _aq, _tok, _sg = W._analyzers_for(self)
+        terms = _tok(phrase)
         if not terms:
             return []
         rows_by_term = self._rows_for(terms)

@@ -46,6 +46,25 @@ from honeywell_search_engine_spark.index.segments import SegmentIndex
 
 RESULT_SCHEMA = "docid long, score double"
 
+
+def _analyzers_for(index):
+    """Query analyzers matching how the index was built: a Porter-stemmed
+    index (build_segments(stemmed=True), flag persisted in stats.json)
+    stems queries too — like Postgres, where websearch_to_tsquery('english',
+    ...) applies the same stemmer the tsvector build did. Returns
+    (analyze_query_fn, tokenize_fn, groups_transform_fn)."""
+    if getattr(index, "stemmed", False):
+        from honeywell_search_engine_spark.functions.analyzer import (
+            analyze_query_stemmed,
+            stem_groups,
+            tokenize_stemmed,
+        )
+
+        return analyze_query_stemmed, tokenize_stemmed, stem_groups
+    from honeywell_search_engine_spark.functions.analyzer import tokenize
+
+    return analyze_query, tokenize, (lambda g: g)
+
 # a docid scope above this size never rides a driver collect/broadcast —
 # it joins the docmap and cogroups with the segment rows instead
 SCOPE_INLINE_MAX = 100_000
@@ -813,10 +832,9 @@ def bm25_topk_phrase(
     backend/migrations/003:32). Returns DataFrame(docid, score) by
     (-score, docid) — rank/score-identical to OracleIndex.search_phrase
     (tested)."""
-    from honeywell_search_engine_spark.functions.analyzer import tokenize
-
     spark = index.spark
-    terms = tokenize(phrase)
+    _aq, _tok, _sg = _analyzers_for(index)
+    terms = _tok(phrase)
     if not terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
     distinct = sorted(set(terms))
@@ -881,7 +899,8 @@ def bm25_topk_wand(
     job. AND semantics stay exact when a query term is unknown globally:
     no shard can then hold all terms, so every kernel returns empty."""
     spark = index.spark
-    terms = analyze_query(query)
+    _aq, _tok, _sg = _analyzers_for(index)
+    terms = _aq(query)
     if not terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
     neg_terms: list[str] = []
@@ -1001,7 +1020,8 @@ def bm25_topk_websearch(
     from honeywell_search_engine_spark.functions.analyzer import parse_websearch_query
 
     spark = index.spark
-    groups = parse_websearch_query(query)
+    _aq, _tok, _sg = _analyzers_for(index)
+    groups = _sg(parse_websearch_query(query))
     if not groups:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
@@ -1087,9 +1107,10 @@ def bm25_topk_websearch_batch(
     from honeywell_search_engine_spark.functions.analyzer import parse_websearch_query
 
     spark = index.spark
+    _aq, _tok, _sg = _analyzers_for(index)
     parsed: dict[str, list] = {}
     for qid, q in queries.items():
-        groups = parse_websearch_query(q)
+        groups = _sg(parse_websearch_query(q))
         if groups:  # no matchable group: no rows for this qid
             parsed[qid] = groups
     scan_terms = sorted(

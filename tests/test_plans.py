@@ -10,13 +10,10 @@ must be visible in the plan, not assumed.
 
 from pyspark.sql import functions as F
 
+from honeywell_search_engine_spark.plans import optimized_plan, physical_plan
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _optimized(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
+_plan = physical_plan
+_optimized = optimized_plan
 
 
 def test_segment_scan_partition_pruned(seg_index):

@@ -1,0 +1,234 @@
+"""Porter stemmer: algorithm pins, vectorized parity, stemmed-index
+engine==oracle identity (reference T8/T9: Postgres to_tsvector('english')
+stems via Snowball — backend/migrations/003_add_lexical_and_triples.sql:32;
+this engine implements the published Porter 1980 ancestor, opt-in)."""
+
+import pytest
+
+from honeywell_search_engine_spark.functions.stemmer import stem, stem_tokens
+from honeywell_search_engine_spark.index.corpus import (
+    docid_py,
+    docs_from_pages,
+    tokenized_docs,
+)
+from honeywell_search_engine_spark.index.segments import SegmentIndex, build_segments
+from honeywell_search_engine_spark.oracle import OracleIndex
+from honeywell_search_engine_spark.query.wand import bm25_topk_wand
+from honeywell_search_engine_spark.sources.pages import read_pages, reference_queries
+
+QUERIES = reference_queries()
+
+
+# --- algorithm pins: the worked examples from Porter 1980 -------------------
+
+# (word, after-full-stem) — step examples from the paper that survive the
+# later steps unchanged, plus the paper's own multi-step showcase words.
+PAPER_PAIRS = [
+    # step 1a
+    ("caresses", "caress"),
+    ("ponies", "poni"),
+    ("ties", "ti"),
+    ("caress", "caress"),
+    ("cats", "cat"),
+    # step 1b (+ cleanup rules)
+    ("feed", "feed"),
+    ("plastered", "plaster"),
+    ("bled", "bled"),
+    ("motoring", "motor"),
+    ("sing", "sing"),
+    ("conflated", "conflat"),  # 1b -> conflate, step5a drops e (m=2)
+    ("troubled", "troubl"),
+    ("sized", "size"),
+    ("hopping", "hop"),
+    ("tanned", "tan"),
+    ("falling", "fall"),
+    ("hissing", "hiss"),
+    ("fizzed", "fizz"),
+    ("failing", "fail"),
+    ("filing", "file"),
+    # step 1c
+    ("happy", "happi"),
+    ("sky", "sky"),
+    # the paper's full-pipeline showcases
+    ("generalizations", "gener"),
+    ("oscillators", "oscil"),
+    # everyday surface forms collapsing onto one stem
+    ("running", "run"),
+    ("runs", "run"),
+    ("connected", "connect"),
+    ("connecting", "connect"),
+    ("connection", "connect"),
+    ("connections", "connect"),
+    ("relational", "relat"),
+    ("searching", "search"),
+    ("searches", "search"),
+    ("indexed", "index"),
+    ("indexing", "index"),
+]
+
+
+@pytest.mark.parametrize("word,expected", PAPER_PAIRS)
+def test_porter_paper_pairs(word, expected):
+    assert stem(word) == expected
+
+
+def test_short_words_unchanged():
+    for w in ("a", "is", "as", "by"):
+        assert stem(w) == w
+
+
+def test_memoized_batch_equals_scalar():
+    words = [w for w, _ in PAPER_PAIRS] * 3
+    assert stem_tokens(words) == [stem(w) for w in words]
+
+
+# --- vectorized (Arrow) parity ---------------------------------------------
+
+
+def test_stem_udf_matches_pure_kernel(spark, pages_path):
+    """stem_tokens_udf over the corpus == pure-Python stem_tokens per row."""
+    from honeywell_search_engine_spark.index.corpus import stem_tokens_udf
+
+    docs = docs_from_pages(read_pages(spark, pages_path)).limit(200)
+    tok = tokenized_docs(docs)
+    got = {
+        r["docid"]: r["stemmed"]
+        for r in tok.select(
+            "docid", stem_tokens_udf("tokens").alias("stemmed")
+        ).collect()
+    }
+    ref = {
+        r["docid"]: stem_tokens(list(r["tokens"]))
+        for r in tok.select("docid", "tokens").collect()
+    }
+    assert got == ref
+
+
+# --- stemmed index: engine == oracle ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def stemmed_pair(spark, pages_path, pages_pdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stemidx") / "idx")
+    pages = read_pages(spark, pages_path)
+    tok = tokenized_docs(docs_from_pages(pages), stem=True)
+    build_segments(
+        tok, out, pages_path, n_buckets=16, n_shards=4, buckets_per_job=8,
+        stemmed=True,
+    )
+    en = pages_pdf[pages_pdf.lang == "en"]
+    oracle = OracleIndex.build(
+        [(docid_py(u), t) for u, t in zip(en.url, en.text)], stem=True
+    )
+    return SegmentIndex(spark, out), oracle
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES)[:8])
+def test_stemmed_wand_bit_identical_to_stemmed_oracle(stemmed_pair, name):
+    idx, oracle = stemmed_pair
+    q = QUERIES[name]
+    exp = oracle.search(q, k=10)
+    got = [(r["docid"], r["score"]) for r in bm25_topk_wand(idx, q, k=10).collect()]
+    assert got == exp, name
+
+
+def test_stemmed_index_flag_persisted(stemmed_pair):
+    idx, _ = stemmed_pair
+    assert idx.stemmed is True
+
+
+def test_surface_forms_collapse(stemmed_pair, seg_index):
+    """'indexing' on a stemmed index matches every doc whose surface form
+    is 'index'/'indexed'/'indexes' — strictly more hits than unstemmed."""
+    idx, oracle = stemmed_pair
+    stemmed_hits = oracle.search("indexing", k=10**9)
+    plain_terms = {"indexing"}
+    # every docid the UNSTEMMED engine finds for any surface form is found
+    # by the stemmed engine for the single query 'indexing'
+    got = {d for d, _ in stemmed_hits}
+    for surface in ("indexing", "indexed", "indexes"):
+        rows = bm25_topk_wand(seg_index, surface, k=10**9).collect()
+        for r in rows:
+            assert r["docid"] in got, (surface, r["docid"])
+    assert plain_terms  # silence lint
+
+
+def test_stemmed_websearch_matches_oracle(stemmed_pair):
+    from honeywell_search_engine_spark.query.wand import bm25_topk_websearch
+
+    idx, oracle = stemmed_pair
+    for q in ('"data processing" -legacy', "running or indexing", "systems -running"):
+        exp = oracle.search_websearch(q, k=10)
+        got = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_websearch(idx, q, k=10).collect()
+        ]
+        assert got == exp, q
+
+
+def test_stemmed_phrase_matches_oracle(stemmed_pair):
+    from honeywell_search_engine_spark.query.wand import bm25_topk_phrase
+
+    idx, oracle = stemmed_pair
+    exp = oracle.search_phrase("data processing", k=10)
+    got = [
+        (r["docid"], r["score"])
+        for r in bm25_topk_phrase(idx, "data processing", k=10).collect()
+    ]
+    assert got == exp
+
+
+def test_serving_stemmed_matches_spark(stemmed_pair):
+    from honeywell_search_engine_spark.query.local import ServingIndex
+
+    idx, oracle = stemmed_pair
+    srv = ServingIndex(idx.path)
+    assert srv.stemmed is True
+    for name in sorted(QUERIES)[:5]:
+        q = QUERIES[name]
+        assert srv.search(q, k=10) == oracle.search(q, k=10), name
+
+
+def test_resume_refuses_stemmed_flag_mismatch(spark, pages_path, stemmed_pair):
+    idx, _ = stemmed_pair
+    pages = read_pages(spark, pages_path)
+    tok = tokenized_docs(docs_from_pages(pages))
+    with pytest.raises(ValueError, match="stemmed"):
+        build_segments(
+            tok, idx.path, pages_path, n_buckets=16, n_shards=4,
+            stemmed=False,
+        )
+
+
+def test_inflight_stemmed_matches_pure_python(spark):
+    """bm25_inflight(stem=True) == pure-Python stemmed BM25 on a tiny DF."""
+    from honeywell_search_engine_spark.operators import search
+
+    rows = [
+        (1, "running the indexing jobs connects systems"),
+        (2, "run index job connect system"),
+        (3, "ran the marathon"),
+        (4, "connection connections connected running runs"),
+        (5, "completely unrelated words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    oracle = OracleIndex.build(rows, stem=True)
+    for q in ("running index", "connections", "run"):
+        exp = [(d, round(s, 6)) for d, s in oracle.search(q, k=10)]
+        got = [
+            (r["docid"], r["score_r"])
+            for r in search.bm25_inflight(docs, q, k=10, stem=True).collect()
+        ]
+        assert got == exp, q
+
+
+def test_stem_groups_contradiction_post_stem():
+    """'running -runs' only becomes contradictory AFTER stemming."""
+    from honeywell_search_engine_spark.functions.analyzer import (
+        parse_websearch_query,
+        stem_groups,
+    )
+
+    groups = parse_websearch_query("running -runs")
+    assert groups  # unstemmed: distinct terms, valid group
+    assert stem_groups(groups) == []  # stemmed: run & !run -> dropped
