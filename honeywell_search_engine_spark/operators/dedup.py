@@ -112,14 +112,19 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, id_col: str, text_col: str, bands: int = 4
+    docs: DataFrame, id_col: str, text_col: str, bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding over the 8-slot minhash
     signature (2 rows per band by default): (docid_a < docid_b, n_bands).
 
     The only shuffle is groupBy(band_id, band_hash); all-pairs never
-    materializes. At 100 TB add more bands/rows and a secondary salt on
-    giant buckets."""
+    materializes. `max_bucket` caps the residual quadratic risk: a band
+    bucket holding more than `max_bucket` docids (a boilerplate cluster —
+    thousands of near-identical pages hashing to one band value) is
+    DROPPED before the self-join instead of producing size² pairs; such
+    clusters belong to exact_duplicates / a canonical-template pass, not
+    pairwise dedup. None = keep every bucket (the oracle gate's setting)."""
     sig = minhash_signatures(docs, id_col, text_col)
     rows_per_band = len(MINHASH_SALTS) // bands
     band_exprs = []
@@ -131,6 +136,14 @@ def minhash_lsh_candidates(
     exploded = sig.select("docid", F.explode(F.array(*band_exprs)).alias("b")).select(
         "docid", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+    if max_bucket is not None:
+        big = (
+            exploded.groupBy("band", "bh")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("band", "bh")
+        )
+        exploded = exploded.join(F.broadcast(big), ["band", "bh"], "left_anti")
     pairs = (
         exploded.alias("l")
         .join(exploded.alias("r"), ["band", "bh"])
@@ -303,17 +316,35 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_docid: int | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold:
     (docid_a, docid_b, round(jaccard,6)). Inverted-index join on shingles
     (candidates = pairs sharing >=1 shingle), then |∩| / (|A|+|B|-|∩|).
 
     `max_docid` bounds the corpus slice for test/oracle parity; production
-    path feeds LSH candidates instead of a raw self-join."""
+    path feeds LSH candidates instead of a raw self-join.
+
+    `max_shingle_df` is the hot-shingle cap (CCNet-style): shingles whose
+    document frequency exceeds it — boilerplate lines, navigation chrome —
+    are dropped BEFORE the self-join, so one hot shingle can no longer
+    produce a quadratic bucket (df=1M boilerplate shingle -> 10^12
+    candidate pairs). Jaccard is then computed over the FILTERED shingle
+    sets (the CCNet semantics); None = exact, used by the oracle gate.
+    The hot list is tiny by construction (at most total_occurrences/cap
+    shingles can exceed the cap) and rides a broadcast anti-join."""
     d = docs
     if max_docid is not None:
         d = d.filter(F.col(id_col) <= max_docid)
     sh = shingles(d, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("docid").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("l")

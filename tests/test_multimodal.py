@@ -46,3 +46,31 @@ def test_strict_decode_raises(spark):
         assert raised, "strict mode must fail loudly instead of faking decode"
     finally:
         M.STRICT_DECODE = False
+
+
+def test_pluggable_decode_callable_is_used(spark):
+    """A user-supplied decode callable replaces the stub (the future
+    PIL/ffmpeg hook) — constant image -> constant pooled features."""
+
+    def flat_decode(payload, width, height):
+        return np.full((max(height, 1), max(width, 1)), 7.0, dtype=np.float32)
+
+    media = M.synthesize_media(spark, 6, 2)
+    feats = M.extract_features(media, decode=flat_decode).collect()
+    for r in feats:
+        if r["kind"] in ("image", "video"):
+            assert all(abs(v - 7.0) < 1e-6 for v in r["feat"])
+
+
+def test_strict_mode_ok_with_injected_decode(spark):
+    """STRICT_DECODE only bans the FAKE decode; a real callable passes."""
+    M.STRICT_DECODE = True
+    try:
+        media = M.synthesize_media(spark, 4, 1)
+        out = M.extract_features(
+            media,
+            decode=lambda p, w, h: np.zeros((max(h, 1), max(w, 1)), np.float32),
+        ).collect()
+        assert len(out) == 4
+    finally:
+        M.STRICT_DECODE = False

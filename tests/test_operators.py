@@ -128,3 +128,72 @@ def test_decontaminate_semantics(spark):
         for r in decontaminate(docs, [0, 1], "doc_id", "text", n=4).collect()
     }
     assert got == {10: 1, 11: 2, 13: 2}
+
+
+def test_hot_shingle_cap_bounds_candidates(spark):
+    """Planted boilerplate: every doc shares one hot line. Uncapped, the
+    hot shingles alone make ALL pairs candidates (quadratic bucket);
+    with max_shingle_df the hot shingles are dropped before the self-join
+    and only genuinely-overlapping pairs survive."""
+    from honeywell_search_engine_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    boiler = "all rights reserved contact us for details"
+    rows = [(i, f"unique{i}a word{i}b token{i}c " + boiler) for i in range(40)]
+    # two genuine near-dupes sharing real content
+    rows += [(100, "alpha beta gamma delta epsilon zeta " + boiler),
+             (101, "alpha beta gamma delta epsilon eta " + boiler)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = shingles(docs, "doc_id", "text", 3)
+    hot_df = (
+        sh.groupBy("shingle").count().filter(F.col("count") > 10).count()
+    )
+    assert hot_df > 0  # the boilerplate shingles really are hot
+
+    # uncapped: every pair shares a boilerplate shingle -> 42*41/2 = 861
+    # candidate pairs enter the join (jaccard filter hides most after the
+    # quadratic work is already done)
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, max_shingle_df=10
+    ).collect()
+    uncapped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3
+    ).collect()
+
+    got_capped = {(r["docid_a"], r["docid_b"]) for r in capped}
+    got_uncapped = {(r["docid_a"], r["docid_b"]) for r in uncapped}
+    # the genuine near-dup pair survives the cap (their real-content
+    # overlap alone clears the threshold on filtered shingle sets)
+    assert (100, 101) in got_capped
+    # uncapped, boilerplate-only overlap drags unrelated docs over the
+    # threshold; the cap removes exactly those
+    assert got_capped < got_uncapped
+
+
+def test_minhash_bucket_cap_drops_giant_buckets(spark):
+    """A template cluster (identical text) fills one band bucket; with
+    max_bucket the bucket is dropped, distinct near-dupes still pair."""
+    from honeywell_search_engine_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    rows = [(i, "identical template page body content here") for i in range(30)]
+    # a genuine (small) duplicate pair: identical text -> identical
+    # signature -> all bands match; its bucket of 2 survives the cap
+    rows += [(200, "completely different story about rivers and stones"),
+             (201, "completely different story about rivers and stones")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    capped = minhash_lsh_candidates(
+        docs, "doc_id", "text", max_bucket=8
+    ).collect()
+    up = {(r["docid_a"], r["docid_b"]) for r in uncapped}
+    cp = {(r["docid_a"], r["docid_b"]) for r in capped}
+    assert len(up) >= 30 * 29 // 2  # quadratic template bucket
+    assert (200, 201) in cp  # real near-dupes still found
+    assert all(a >= 200 for a, _ in cp)  # template pairs gone
+    assert len(cp) < len(up)
