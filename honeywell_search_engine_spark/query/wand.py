@@ -472,6 +472,61 @@ def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
         cand = cand[keep]
     if cand.size == 0:
         return []
+    return _phrase_verify_score(
+        [t for t, _ in term_rows], per_term, cand, idf, avgdl, k, slop
+    )
+
+
+def _shard_kernel_phrase_decoded(
+    term_pls: list, idf: dict[str, float], avgdl: float,
+    k: int, dead: np.ndarray = _NO_DEAD, slop: int = 0,
+):
+    """Phrase kernel over PRE-DECODED posting lists: term_pls = [(term,
+    PostingList with flat absolute positions)] in phrase order. The
+    serving-node hot path — ServingIndex keeps a decoded-postings LRU so
+    repeated phrase/NEAR queries skip varbyte decode entirely.
+    Rank/score-identical to _shard_kernel_phrase by construction: same
+    intersection math on the same arrays, shared _phrase_verify_score
+    (pinned by tests/test_local_serving.py)."""
+    m = len(term_pls)
+    drive = min(range(m), key=lambda i: term_pls[i][1].docids.size)
+    pl0 = term_pls[drive][1]
+    cand = pl0.docids
+    per_term: dict[int, tuple] = {drive: (pl0.tfs, pl0.doclens, pl0.positions)}
+
+    def _filter_cols(tfs, dls, flat, keep):
+        return tfs[keep], dls[keep], flat[np.repeat(keep, tfs.astype(np.int64))]
+
+    if dead.size:
+        alive = ~np.isin(cand.astype(np.int64), dead)
+        per_term[drive] = _filter_cols(*per_term[drive], alive)
+        cand = cand[alive]
+    for i in sorted(range(m), key=lambda i: term_pls[i][1].docids.size):
+        if i == drive:
+            continue
+        if cand.size == 0:
+            return []
+        pl = term_pls[i][1]
+        pos = np.searchsorted(pl.docids, cand)
+        ok = pos < pl.docids.size
+        keep = np.zeros(cand.size, dtype=bool)
+        keep[ok] = pl.docids[pos[ok]] == cand[ok]
+        sel = pos[keep]
+        for tt in list(per_term):
+            per_term[tt] = _filter_cols(*per_term[tt], keep)
+        per_term[i] = (pl.tfs[sel], pl.doclens[sel], _gather_flat(pl, sel))
+        cand = cand[keep]
+    if cand.size == 0:
+        return []
+    return _phrase_verify_score(
+        [t for t, _ in term_pls], per_term, cand, idf, avgdl, k, slop
+    )
+
+
+def _phrase_verify_score(
+    terms: list[str], per_term: dict[int, tuple], cand: np.ndarray,
+    idf: dict[str, float], avgdl: float, k: int, slop: int,
+):
     # positional verify, vectorized ACROSS candidates (no per-doc Python
     # loop — round-2 verdict item 6): every (candidate, position) pair is
     # one composite key (c << 32) | pos, ascending by construction, so one
@@ -481,6 +536,7 @@ def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
     # chaining (side='right' gives the smallest position > current WITHIN
     # the same candidate, checked via the key's candidate bits), so
     # `min span <= (m-1)+slop` stays an exact test.
+    m = len(terms)
     n_cand = cand.size
     span_max = (m - 1) + slop
 
@@ -524,7 +580,7 @@ def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
     # distinct-term BM25 in lexicographic order (repeated phrase terms
     # contribute once, like the oracle)
     by_term: dict[str, tuple] = {}
-    for i, (t, _) in enumerate(term_rows):
+    for i, t in enumerate(terms):
         tfs, dls, _ps = per_term[i]
         by_term.setdefault(t, (tfs[phrase_ok], dls[phrase_ok]))
     score = np.zeros(cand.size, dtype=np.float64)
