@@ -161,6 +161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d), "doc_id", "text").orderBy("docid")
     q["langid"] = lambda s, d: textstats.langid_en(_docs(s, d), "doc_id", "text").orderBy("docid")
     q["corpus_filter"] = lambda s, d: textstats.clean_corpus(_docs(s, d))
+    # CCNet-style LM quality signal: per-doc mean token logprob under the
+    # corpus unigram LM (add-alpha smoothing) — low = boilerplate/gibberish
+    q["unigram_logprob"] = lambda s, d: textstats.unigram_logprob(
+        _docs(s, d), "doc_id", "text"
+    )
     # deterministic model-free semantic channel (R3/N3 analog): hashed
     # TF-IDF embeddings from text — md5 bucket+sign, so DuckDB replays the
     # identical vectors (operators/embedder.py)
@@ -1232,6 +1237,24 @@ FROM f ORDER BY rrf_score DESC, user_id"""
 
     o["chunk_stats"] = _chunk_stats_oracle(sf_dir)
     o["bm25_stemmed"] = _bm25_stemmed_oracle(sf_dir)
+
+    # unigram-LM logprob: lp(t) = ln((ctf+a)/(T+a*V)), per-doc ordered sum
+    # over terms / doclen (textstats.unigram_logprob, alpha=0.5)
+    o["unigram_logprob"] = f"""
+WITH {_TOK_CTE},
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS T, CAST(count(DISTINCT term) AS DOUBLE) AS V FROM tf),
+lpt AS (
+  SELECT term,
+         ln((CAST(sum(tf) AS DOUBLE) + 0.5)
+            / ((SELECT T FROM tot) + 0.5 * (SELECT V FROM tot))) AS lp
+  FROM tf GROUP BY term),
+d AS (
+  SELECT t.doc_id,
+         CAST(sum(t.tf) AS INT) AS doclen,
+         list_sum(list(CAST(t.tf AS DOUBLE) * l.lp ORDER BY t.term)) AS s
+  FROM tf t JOIN lpt l USING (term) GROUP BY t.doc_id)
+SELECT doc_id AS docid, doclen, round(s / CAST(doclen AS DOUBLE), 6) AS lp_r
+FROM d ORDER BY docid"""
 
     o["text_embeddings"] = _TEXT_EMB_SQL
     o["semantic_topk_text"] = _semantic_sql(10)

@@ -191,3 +191,60 @@ def clean_corpus(
         reason.alias("reason"),
         (reason == "kept").alias("keep"),
     ).orderBy("docid")
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-doc mean token log-probability under the CORPUS unigram language
+    model with add-alpha smoothing — the model-free analog of CCNet's
+    LM-perplexity quality signal (low mean logprob = unusual token mix =
+    boilerplate / gibberish / wrong-language candidates for filtering):
+
+        lp(t)   = ln((ctf_t + alpha) / (T + alpha * V))
+        score_d = sum_t tf_{d,t} * lp(t) / doclen_d
+
+    where ctf = corpus term frequency, T = total tokens, V = vocabulary
+    size. Returns (docid, doclen, lp_r rounded 1e-6), docs with >=1 token.
+
+    Plan: ONE tokenize pass -> (doc, term, tf) hash-agg -> broadcast the
+    per-term lp table (vocab-sized) -> per-doc ordered sum (lexicographic
+    term order, the engine-wide float contract so DuckDB replays the exact
+    double). Same shape as the BM25 in-flight plan; scale-safe."""
+    from honeywell_search_engine_spark.operators.search import doc_term_freqs
+
+    tf = doc_term_freqs(docs, id_col, text_col)
+    tot = tf.agg(
+        F.sum("tf").alias("T"), F.count_distinct("term").alias("V")
+    )
+    lp_tbl = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("ctf"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.log(
+                (F.col("ctf").cast("double") + F.lit(alpha))
+                / (F.col("T").cast("double") + F.lit(alpha) * F.col("V"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(lp_tbl), "term")
+        .withColumn("c", F.col("tf").cast("double") * F.col("lp"))
+        .groupBy("docid")
+        .agg(
+            F.first("doclen").alias("doclen"),
+            F.sort_array(F.collect_list(F.struct("term", "c"))).alias("cs"),
+        )
+        .select(
+            F.col("docid").cast("long").alias("docid"),
+            "doclen",
+            F.round(
+                F.aggregate("cs", F.lit(0.0), lambda a, x: a + x["c"])
+                / F.col("doclen").cast("double"),
+                6,
+            ).alias("lp_r"),
+        )
+        .orderBy("docid")
+    )

@@ -197,3 +197,17 @@ def test_minhash_bucket_cap_drops_giant_buckets(spark):
     assert (200, 201) in cp  # real near-dupes still found
     assert all(a >= 200 for a, _ in cp)  # template pairs gone
     assert len(cp) < len(up)
+
+
+def test_unigram_logprob_flags_unusual_docs(spark):
+    """Docs made of corpus-rare tokens score lower mean logprob than docs
+    made of corpus-common tokens (the CCNet LM-quality signal direction)."""
+    from honeywell_search_engine_spark.operators.textstats import unigram_logprob
+
+    rows = [(i, "common words appear everywhere always") for i in range(20)]
+    rows += [(100, "common words appear everywhere always"),
+             (101, "zyx qqv jjw unique gibberish tokens")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lp = {r["docid"]: r["lp_r"] for r in unigram_logprob(docs, "doc_id", "text").collect()}
+    assert lp[101] < lp[100]  # rare-token doc is the filter candidate
+    assert lp[100] == lp[0]  # identical docs, identical score
