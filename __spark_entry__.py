@@ -166,6 +166,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["unigram_logprob"] = lambda s, d: textstats.unigram_logprob(
         _docs(s, d), "doc_id", "text"
     )
+    # Gopher repetition rules (in-row HOFs, zero shuffles)
+    q["repetition_scores"] = lambda s, d: textstats.repetition_scores(
+        _docs(s, d), "doc_id", "text"
+    )
+    # domain-level curation stats (drop dup-heavy sources before row ops)
+    q["source_stats"] = lambda s, d: textstats.source_stats(_docs(s, d))
     # deterministic model-free semantic channel (R3/N3 analog): hashed
     # TF-IDF embeddings from text — md5 bucket+sign, so DuckDB replays the
     # identical vectors (operators/embedder.py)
@@ -243,6 +249,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["knn_ivf"] = lambda s, d: similarity.cosine_ann_ivf(
         _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
+    )
+    # attribute-FILTERED vector search (the metadata-filter + ANN compose
+    # every vector store needs): exact top-k among label=1 rows only. At
+    # scale the filter composes with the IVF cell scan (cell AND label
+    # partition/pushed filters) — same plan shape, pruned twice.
+    q["knn_filtered"] = lambda s, d: similarity.cosine_topk_bruteforce(
+        _embeddings(s, d).filter((F.col("vec_id") != 0) & (F.col("label") == 1)),
+        _query_vec(s, d),
+        k=10,
     )
 
     # --- relational operators over events (SURVEY §2.3-2.5) ----------------
@@ -584,6 +599,22 @@ WITH n AS (
 SELECT doc_id AS docid, md5(nt) AS norm_md5,
        CAST(('0x' || substr(md5(nt), 1, 15)) AS BIGINT) AS fp60
 FROM n ORDER BY docid"""
+
+    # per-source curation stats (same normalization as exact_duplicates)
+    o["source_stats"] = f"""
+WITH n AS (
+  SELECT source,
+         md5(trim(regexp_replace(translate(lower(text), '{punct_sql}', ''), '\\s+', ' ', 'g'))) AS h,
+         length(text) AS nc
+  FROM documents),
+a AS (
+  SELECT source, count(*) AS n_docs, count(DISTINCT h) AS n_distinct,
+         round(avg(CAST(nc AS DOUBLE)), 6) AS avg_chars_r
+  FROM n GROUP BY source)
+SELECT source, n_docs, n_distinct,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_frac_r,
+       avg_chars_r
+FROM a ORDER BY source"""
 
     o["token_counts"] = """
 SELECT doc_id AS docid,
@@ -1255,6 +1286,47 @@ d AS (
   FROM tf t JOIN lpt l USING (term) GROUP BY t.doc_id)
 SELECT doc_id AS docid, doclen, round(s / CAST(doclen AS DOUBLE), 6) AS lp_r
 FROM d ORDER BY docid"""
+
+    # Gopher repetition rules — in-row list lambdas mirror the Spark HOFs
+    o["repetition_scores"] = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS (
+  SELECT doc_id, ws,
+    CASE WHEN len(ws) >= 2
+         THEN list_transform(range(0, len(ws) - 1), i -> concat(ws[i+1], ' ', ws[i+2]))
+         ELSE CAST([] AS VARCHAR[]) END AS bi,
+    CASE WHEN len(ws) >= 3
+         THEN list_transform(range(0, len(ws) - 2), i -> concat(ws[i+1], ' ', ws[i+2], ' ', ws[i+3]))
+         ELSE CAST([] AS VARCHAR[]) END AS tri
+  FROM w)
+SELECT doc_id AS docid, CAST(len(ws) AS INT) AS n_words,
+  round(CASE WHEN len(ws) > 0
+        THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+        ELSE 0.0 END, 6) AS distinct_word_frac,
+  round(CASE WHEN len(bi) > 0
+        THEN CAST(list_max(list_transform(list_distinct(bi),
+                 gg -> len(list_filter(bi, x -> x = gg)))) AS DOUBLE)
+             / CAST(len(bi) AS DOUBLE)
+        ELSE 0.0 END, 6) AS top_bigram_frac,
+  round(CASE WHEN len(tri) > 0
+        THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE)
+        ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM g ORDER BY docid"""
+
+    # attribute-filtered exact ANN: knn_bruteforce + label predicate
+    o["knn_filtered"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0 AND e.label = 1)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rnk,
+       vec_id, round(cos, 6) AS cos_r
+FROM s ORDER BY cos DESC, vec_id LIMIT 10"""
 
     o["text_embeddings"] = _TEXT_EMB_SQL
     o["semantic_topk_text"] = _semantic_sql(10)

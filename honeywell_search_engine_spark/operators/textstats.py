@@ -248,3 +248,112 @@ def unigram_logprob(
         )
         .orderBy("docid")
     )
+
+
+def repetition_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models" quality rules — the de-facto web-corpus
+    repetition filter set), all computed IN-ROW with higher-order
+    functions — zero shuffles, whole-stage codegen end to end:
+
+    - n_words: word-token count ([a-z0-9]+ on lowercase, no stopword filter)
+    - distinct_word_frac: |distinct words| / n_words (low = word spam)
+    - top_bigram_frac: occurrences of the MOST FREQUENT word bigram /
+      total bigrams (high = repeated phrase loops)
+    - dup_trigram_frac: 1 - |distinct trigrams| / total trigrams
+      (high = copy-paste repetition)
+
+    Fractions rounded 1e-6; docs with 0 words emit 0 for every fraction.
+    Gopher cuts: distinct_word_frac < ~0.2, top_bigram_frac > ~0.18,
+    dup_trigram_frac > ~0.30 mark removal candidates."""
+    words = _tokens_word(text_col)
+
+    def grams_all(toks, n):
+        # ALL n-grams (repetition needs duplicates; dedup's helper distincts)
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+    w = F.col("_w")
+    bi = F.col("_bi")
+    tri = F.col("_tri")
+    nw = F.size(w)
+    top_bi = F.array_max(
+        F.transform(
+            F.array_distinct(bi),
+            lambda g: F.size(F.filter(bi, lambda x: x == g)),
+        )
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("docid"),
+            words.alias("_w"),
+            grams_all(words, 2).alias("_bi"),
+            grams_all(words, 3).alias("_tri"),
+        )
+        .select(
+            F.col("docid").cast("long").alias("docid"),
+            nw.alias("n_words"),
+            F.round(
+                F.when(
+                    nw > 0,
+                    F.size(F.array_distinct(w)).cast("double") / nw.cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("distinct_word_frac"),
+            F.round(
+                F.when(
+                    F.size(bi) > 0,
+                    top_bi.cast("double") / F.size(bi).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.when(
+                    F.size(tri) > 0,
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(tri)).cast("double")
+                    / F.size(tri).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_trigram_frac"),
+        )
+        .orderBy("docid")
+    )
+
+
+def source_stats(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", source_col: str = "source") -> DataFrame:
+    """Per-source curation stats — the domain-level aggregation a crawl
+    pipeline runs before per-doc filtering (drop/duplicate-heavy domains
+    first, then row-level ops): (source, n_docs, n_distinct, dup_frac_r,
+    avg_chars_r). Exact-dup detection = md5 of normalized text (same
+    normalization as dedup.exact_duplicates). One shuffle (the groupBy)."""
+    from honeywell_search_engine_spark.operators.dedup import _norm_text
+
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.md5(_norm_text(text_col)).alias("h"),
+            F.length(text_col).alias("nc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("h").alias("n_distinct"),
+            F.round(F.avg(F.col("nc").cast("double")), 6).alias("avg_chars_r"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_frac_r"),
+            "avg_chars_r",
+        )
+        .orderBy("source")
+    )
