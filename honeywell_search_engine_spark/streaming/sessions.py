@@ -215,3 +215,152 @@ def latest_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# --- Spark 4 native stateful API backend (transformWithStateInPandas) -------
+# Same contract as sessionize_stream_update, expressed in the newer
+# StatefulProcessor API (typed per-key ValueState managed by the engine's
+# state store, timer surface available for TTL/eviction policies the
+# applyInPandasWithState path can't express). Both backends are tested
+# stream == batch on the same multi-batch file feed.
+
+
+def _make_session_processor(gap_seconds: int):
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "sess",
+                "last_us long, sid int, n_ev long, start_us long, total_v double",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                last_us, sid, n_ev, start_us, total_v = self._state.get()
+            else:
+                last_us, sid, n_ev, start_us, total_v = None, 0, 0, 0, 0.0
+            touched: dict[int, tuple] = {}
+            for pdf in rows:
+                pdf = pdf.sort_values(["us", "event_id"])
+                for usv, val in zip(
+                    pdf["us"].to_numpy(), pdf["value"].to_numpy()
+                ):
+                    usv = int(usv)
+                    if last_us is None or usv - last_us > gap_us:
+                        sid += 1
+                        n_ev, start_us, total_v = 0, usv, 0.0
+                    n_ev += 1
+                    total_v += float(val)
+                    last_us = usv
+                    touched[sid] = (n_ev, start_us, last_us, total_v)
+            self._state.update((last_us, sid, n_ev, start_us, total_v))
+            rows_out = [
+                {
+                    "user_id": int(user_id),
+                    "session_id": int(s),
+                    "n_events": int(n),
+                    "start_us": int(st),
+                    "end_us": int(en),
+                    "total_value": round(tv, 6),
+                }
+                for s, (n, st, en, tv) in sorted(touched.items())
+            ]
+            yield pd.DataFrame(
+                rows_out
+                or {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_id": pd.Series([], dtype="int32"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "start_us": pd.Series([], dtype="int64"),
+                    "end_us": pd.Series([], dtype="int64"),
+                    "total_value": pd.Series([], dtype="float64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor()
+
+
+def sessionize_stream_tws(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Streaming sessionization on the Spark 4 native stateful API
+    (`transformWithStateInPandas`): update-mode emissions identical to
+    sessionize_stream_update's (tested against it AND against the batch
+    gap-and-island result)."""
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{EPOCH} 00:00:00', ts)"
+    )
+    prepared = events.select("user_id", "event_id", "value", us.alias("us"))
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_session_processor(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_sessionize_stream_tws(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    gap_seconds: int = 1800,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """run_sessionize_stream with the transformWithStateInPandas backend.
+
+    transformWithState requires the RocksDB state store provider (the
+    HDFS-backed default does not implement the TWS column families);
+    set per-query here, restored after the drain. Runtime dependency:
+    the TWS state protocol needs the `protobuf` python package (shipped
+    on real clusters with pyspark[connect]; absent in this sandbox, so
+    the stream==batch test for this backend is importorskip-gated —
+    tests/test_sessions.py::test_tws_sessionize_equals_batch)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    checkpoint_dir = checkpoint_dir or f"{out_dir}/_checkpoint"
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(events_dir)
+    )
+    sess = sessionize_stream_tws(stream, gap_seconds)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_seq", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{out_dir}/updates")
+        )
+
+    try:
+        q = (
+            sess.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -111,3 +111,52 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
         .count()
     )
     assert multi > 0
+
+
+def test_tws_sessionize_equals_batch(spark, tmp_path):
+    """Same contract on the Spark 4 native stateful API
+    (transformWithStateInPandas): latest emission per (user, session) ==
+    batch gap-and-island, sessions spanning micro-batch boundaries
+    included.
+
+    ENV-GATED like the Iceberg live test: transformWithState's state
+    protocol needs the protobuf python package, which this container does
+    not ship (and installs are off-limits). The backend code path is
+    import-clean either way; on a protobuf-equipped cluster this test runs.
+    """
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf (not shipped here)",
+    )
+    from honeywell_search_engine_spark.streaming.sessions import (
+        run_sessionize_stream_tws,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts", "event_id")
+    pdf = ev.toPandas()
+    n = len(pdf)
+    events_dir = str(tmp_path / "ev_tws")
+    os.makedirs(events_dir, exist_ok=True)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        sl = spark.createDataFrame(pdf.iloc[cuts[i]:cuts[i + 1]], schema=ev.schema)
+        path = f"{events_dir}/slice_{i}.parquet"
+        sl.coalesce(1).write.mode("overwrite").parquet(path)
+        t = time.time() + i
+        for root, _, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+    out_dir = str(tmp_path / "sess_tws_out")
+    run_sessionize_stream_tws(
+        spark, f"{events_dir}/slice_*.parquet", out_dir, gap_seconds=1800
+    )
+    got = [tuple(r) for r in latest_sessions(spark, out_dir).collect()]
+    exp = [
+        tuple(r)
+        for r in sessionize(
+            spark.read.parquet(f"{SF}/events.parquet"), gap_seconds=1800
+        ).collect()
+    ]
+    assert len(got) == len(exp)
+    assert got == exp
