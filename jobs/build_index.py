@@ -43,6 +43,10 @@ def main(argv=None) -> None:
                     help="local-mode cores; omit under spark-submit on a cluster")
     ap.add_argument("--from-html", action="store_true",
                     help="re-extract text from the html column (Arrow UDF)")
+    ap.add_argument("--stemmed", action="store_true",
+                    help="Porter-stem the token stream (reference T8/T9: "
+                         "to_tsvector('english', ...)); queries against "
+                         "this index stem automatically (stats.json flag)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -69,7 +73,7 @@ def main(argv=None) -> None:
         if args.from_html
         else docs_from_pages(pages, args.lang)
     )
-    tok = tokenized_docs(docs)
+    tok = tokenized_docs(docs, stem=args.stemmed)
     build_segments(
         tok,
         args.index,
@@ -78,6 +82,7 @@ def main(argv=None) -> None:
         n_shards=args.n_shards,
         buckets_per_job=args.buckets_per_job,
         progress=True,
+        stemmed=args.stemmed,
     )
     elapsed = time.time() - t0
     with open(f"{args.index}/stats.json") as f:
