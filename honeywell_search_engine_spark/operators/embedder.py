@@ -58,17 +58,21 @@ def _hash_sign(term_col):
 
 def _term_table(tf: DataFrame, dim: int) -> DataFrame:
     """(term, j, sign, idf) — vocab-sized, meant to ride a broadcast.
-    idf = log1p((N - df + 0.5)/(df + 0.5)), the engine's shared BM25 idf."""
-    n_docs = tf.select("docid").distinct().count()
+    idf = log1p((N - df + 0.5)/(df + 0.5)), the engine's shared BM25 idf.
+    N rides the plan as a broadcast 1-row aggregate — NOT a driver-side
+    count() action, which would run a second full tokenize pass over the
+    corpus before the real job even starts (plan-audit find, round 4)."""
+    nd = tf.agg(F.count_distinct("docid").alias("nd"))
     return (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nd))
         .select(
             "term",
             _hash_j(F.col("term"), dim).alias("j"),
             _hash_sign(F.col("term")).alias("sign"),
             F.log1p(
-                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                (F.col("nd").cast("double") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5))
             ).alias("idf"),
         )
