@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from honeywell_search_engine_spark.functions.analyzer import STOPWORDS
 from honeywell_search_engine_spark.operators import (
+    curation,
     dedup,
     embedder,
     relational,
@@ -172,6 +173,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # domain-level curation stats (drop dup-heavy sources before row ops)
     q["source_stats"] = lambda s, d: textstats.source_stats(_docs(s, d))
+    # the WHOLE curation cascade in one audited pass (operators/curation.py):
+    # dedup -> lang -> length -> quality -> Gopher repetition -> unigram-LM
+    # outlier -> decontamination, one verdict per doc. Thresholds here are
+    # corpus-demonstrative (this synthetic corpus sits inside the published
+    # Gopher/CCNet cuts, which would no-op) so every stage is exercised.
+    q["curation_audit"] = lambda s, d: curation.curation_audit(
+        _docs(s, d),
+        eval_docids=(0, 1, 2, 3, 4),
+        min_distinct_word_frac=0.4,
+        max_top_bigram_frac=0.1,
+        min_lm_logprob=-3.36,
+    )
     # deterministic model-free semantic channel (R3/N3 analog): hashed
     # TF-IDF embeddings from text — md5 bucket+sign, so DuckDB replays the
     # identical vectors (operators/embedder.py)
@@ -591,6 +604,7 @@ FROM s ORDER BY cos DESC, vec_id LIMIT 10"""
 
     _punct = "".join(chr(c) for c in range(33, 127) if not chr(c).isalnum())
     punct_sql = _punct.replace("'", "''")
+    stopw = ", ".join(f"'{w}'" for w in textstats.EN_FUNCTION_WORDS)
     o["fingerprints"] = f"""
 WITH n AS (
   SELECT doc_id,
@@ -616,6 +630,89 @@ SELECT source, n_docs, n_distinct,
        avg_chars_r
 FROM a ORDER BY source"""
 
+    # the whole curation cascade (operators/curation.py): every stage's SQL
+    # fragment composed into one ordered CASE; thresholds match the gate's
+    # corpus-demonstrative values
+    o["curation_audit"] = f"""
+WITH cw AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS words,
+         md5(trim(regexp_replace(translate(lower(text), '{punct_sql}', ''), '\\s+', ' ', 'g'))) AS h
+  FROM documents),
+cm AS (
+  SELECT doc_id, h, words, len(words) AS nw,
+         len(list_filter(words, x -> list_contains([{stopw}], x))) AS n_stop,
+         length(text) - length(translate(text, '{punct_sql}', '')) AS n_punct,
+         length(text) AS n_chars
+  FROM cw),
+cr AS (
+  SELECT doc_id, h, words, nw,
+         CASE WHEN nw > 0 THEN CAST(n_stop AS DOUBLE) / CAST(nw AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM cm),
+base AS (
+  SELECT doc_id, words,
+         CASE WHEN rn > 1 THEN 'duplicate'
+              WHEN stop_ratio < 0.05 THEN 'non_english'
+              WHEN nw < 20 THEN 'too_short'
+              WHEN 0.4 * least(CAST(nw AS DOUBLE) / 100.0, 1.0)
+                   + 0.4 * (1.0 - least(abs(stop_ratio - 0.3) / 0.3, 1.0))
+                   + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) < 0.5 THEN 'low_quality'
+              ELSE 'kept' END AS b
+  FROM cr),
+rg AS (
+  SELECT doc_id, words AS ws,
+    CASE WHEN len(words) >= 2
+         THEN list_transform(range(0, len(words) - 1), i -> concat(words[i+1], ' ', words[i+2]))
+         ELSE CAST([] AS VARCHAR[]) END AS bi,
+    CASE WHEN len(words) >= 3
+         THEN list_transform(range(0, len(words) - 2), i -> concat(words[i+1], ' ', words[i+2], ' ', words[i+3]))
+         ELSE CAST([] AS VARCHAR[]) END AS tri
+  FROM cw),
+rr AS (
+  SELECT doc_id,
+    round(CASE WHEN len(ws) > 0 THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) ELSE 0.0 END, 6) AS dwf,
+    round(CASE WHEN len(bi) > 0 THEN CAST(list_max(list_transform(list_distinct(bi), gg -> len(list_filter(bi, x -> x = gg)))) AS DOUBLE) / CAST(len(bi) AS DOUBLE) ELSE 0.0 END, 6) AS tbf,
+    round(CASE WHEN len(tri) > 0 THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE) ELSE 0.0 END, 6) AS dtf
+  FROM rg),
+{_TOK_CTE},
+lpt AS (
+  SELECT term,
+         ln((CAST(sum(tf) AS DOUBLE) + 0.5)
+            / ((SELECT CAST(sum(tf) AS DOUBLE) FROM tf) + 0.5 * (SELECT CAST(count(DISTINCT term) AS DOUBLE) FROM tf))) AS lp
+  FROM tf GROUP BY term),
+ld AS (
+  SELECT t.doc_id,
+         round(list_sum(list(CAST(t.tf AS DOUBLE) * l.lp ORDER BY t.term))
+               / CAST(sum(t.tf) AS DOUBLE), 6) AS lp_r
+  FROM tf t JOIN lpt l USING (term) GROUP BY t.doc_id),
+kg AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 4 THEN
+           list_transform(range(1, len(words) - 2),
+                          i -> concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3]))
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM cw),
+ksh AS (SELECT doc_id, unnest(grams) AS shingle FROM kg),
+kev AS (SELECT DISTINCT shingle FROM ksh WHERE doc_id IN (0, 1, 2, 3, 4)),
+cont AS (
+  SELECT DISTINCT doc_id FROM ksh JOIN kev USING (shingle)
+  WHERE doc_id NOT IN (0, 1, 2, 3, 4)),
+verdict AS (
+  SELECT b.doc_id,
+    CASE WHEN b.doc_id IN (0, 1, 2, 3, 4) THEN 'eval_heldout'
+         WHEN b.b != 'kept' THEN b.b
+         WHEN COALESCE(rr.dwf < 0.4 OR rr.tbf > 0.1 OR rr.dtf > 0.3, FALSE) THEN 'repetitive'
+         WHEN COALESCE(ld.lp_r < -3.36, FALSE) THEN 'lm_outlier'
+         WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+         ELSE 'kept' END AS reason
+  FROM base b
+  LEFT JOIN rr ON rr.doc_id = b.doc_id
+  LEFT JOIN ld ON ld.doc_id = b.doc_id
+  LEFT JOIN cont ON cont.doc_id = b.doc_id)
+SELECT reason, count(*) AS n_docs FROM verdict GROUP BY reason ORDER BY reason"""
+
     o["token_counts"] = """
 SELECT doc_id AS docid,
        len(regexp_extract_all(trim(text), '\\S+')) AS ws_tokens,
@@ -623,7 +720,6 @@ SELECT doc_id AS docid,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
 FROM documents ORDER BY docid"""
 
-    stopw = ", ".join(f"'{w}'" for w in textstats.EN_FUNCTION_WORDS)
     o["quality_scores"] = f"""
 WITH w AS (
   SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
