@@ -800,3 +800,52 @@ class SegmentIndex:
         with no separate idf-lookup action."""
         ts = self.term_stats.filter(F.col("term").isin(terms)).select("term", "idf")
         return self.segments_for(terms).join(F.broadcast(ts), "term")
+
+
+def index_report(spark: SparkSession, index_dir: str) -> "DataFrame":
+    """Ops surface: one row per bucket joining the LIVE segment stats
+    (terms, postings, payload bytes) with the persisted lineage manifest
+    (checksum, fingerprint, build status) — the table an operator scans
+    for skew (a hot bucket), staleness (fingerprint drift), or corruption
+    (manifest checksum vs recomputed). One Spark job over the segment
+    metadata columns; payload columns are length()-ed, never decoded."""
+    live = (
+        spark.read.parquet(f"{index_dir}/segments")
+        .groupBy("bucket")
+        .agg(
+            F.count_distinct("term").alias("n_terms"),
+            F.count("*").alias("n_rows"),
+            F.sum("n").alias("n_postings"),
+            F.sum(
+                F.length("deltas") + F.length("tfs") + F.length("doclens")
+                + F.coalesce(F.length("positions"), F.lit(0))
+            ).alias("payload_bytes"),
+            F.bit_xor(
+                F.xxhash64(
+                    "term", "shard", "n", "deltas", "tfs", "doclens", "positions"
+                )
+            ).alias("live_checksum"),
+        )
+    )
+    man = []
+    for name in os.listdir(f"{index_dir}/manifests"):
+        if name.startswith("bucket_") and name.endswith(".json"):
+            m = _read_manifest(index_dir, name) or {}
+            man.append(
+                (
+                    int(name[len("bucket_"):-len(".json")]),
+                    m.get("status", "missing"),
+                    int(m.get("checksum", 0)),
+                    m.get("input_fingerprint", ""),
+                )
+            )
+    mdf = spark.createDataFrame(
+        man, "bucket int, status string, manifest_checksum long, input_fingerprint string"
+    )
+    return (
+        live.join(F.broadcast(mdf), "bucket", "full_outer")
+        .withColumn(
+            "checksum_ok", F.col("live_checksum") == F.col("manifest_checksum")
+        )
+        .orderBy("bucket")
+    )

@@ -232,3 +232,44 @@ def test_stem_groups_contradiction_post_stem():
     groups = parse_websearch_query("running -runs")
     assert groups  # unstemmed: distinct terms, valid group
     assert stem_groups(groups) == []  # stemmed: run & !run -> dropped
+
+
+# --- property tests (hypothesis) -------------------------------------------
+
+
+def test_stem_properties():
+    """stem() never errors, never lengthens a word by more than the one
+    'e' restoration, never empties a non-empty word, and is a pure
+    function of its input (memo-consistent)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from honeywell_search_engine_spark.functions.stemmer import stem, stem_word
+
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", max_size=40))
+    @settings(max_examples=500, deadline=None)
+    def check(w):
+        s = stem(w)
+        assert isinstance(s, str)
+        assert len(s) <= len(w) + 1  # 1b's 'e' restore is the only growth
+        if w:
+            assert s
+        assert stem_word(w) == s  # memoized path identical
+
+    check()
+
+
+def test_index_report_surface(spark, seg_index):
+    """index_report: every bucket present, checksums verify, counts sum to
+    the segment totals."""
+    from pyspark.sql import functions as F
+
+    from honeywell_search_engine_spark.index.segments import index_report
+
+    rep = index_report(spark, seg_index.path)
+    rows = rep.collect()
+    assert len(rows) == seg_index.n_buckets
+    assert all(r["status"] == "complete" for r in rows)
+    assert all(r["checksum_ok"] for r in rows)
+    total = seg_index.segments.agg(F.sum("n")).collect()[0][0]
+    assert sum(r["n_postings"] for r in rows) == total
