@@ -155,6 +155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["match_phrase"] = lambda s, d: search.match_phrase(_docs(s, d), "data table")
     q["match_near"] = lambda s, d: search.match_near(_docs(s, d), "data query", slop=2)
+    # UNORDERED two-term proximity (classic `A NEAR/k B`, either order)
+    q["match_near_unordered"] = lambda s, d: search.match_near_unordered(
+        _docs(s, d), "data query", dist=3
+    )
 
     # --- text analysis (training-data ops) --------------------------------
     q["fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d), "doc_id", "text").orderBy("docid")
@@ -560,6 +564,18 @@ FROM tok
 WHERE len(list_filter({p0},
             p0 -> len(list_filter({p1},
                  q -> q > p0 AND q - p0 <= {near_span})) > 0)) > 0
+ORDER BY docid"""
+
+    o["match_near_unordered"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id AS docid,
+       CAST(len(list_filter({p0},
+            p -> len(list_filter({p1},
+                 q -> abs(q - p) <= 3)) > 0)) AS INT) AS n_hits
+FROM tok
+WHERE len(list_filter({p0},
+            p -> len(list_filter({p1},
+                 q -> abs(q - p) <= 3)) > 0)) > 0
 ORDER BY docid"""
 
     # IVF mirror: md5-derived centroid directions (similarity.

@@ -364,6 +364,59 @@ def match_near(
     )
 
 
+def match_near_unordered(
+    docs: DataFrame,
+    query: str,
+    dist: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """UNORDERED two-term proximity (the classic `A NEAR/k B`, Lucene/FTS
+    default semantics): docids where the two query tokens occur within
+    `dist` filtered-token positions of each other IN EITHER ORDER.
+    n_hits counts positions of the FIRST term with a partner of the second
+    within range (deterministic, mirrors the ordered operator's start
+    counting). Exactly two distinct analyzed tokens required — multi-term
+    unordered coverage is a window-cover problem with different semantics;
+    the ordered chain (match_near) handles m terms.
+    Pure codegen: per-term position arrays + one exists per position.
+    Returns (docid long, n_hits int), docid asc."""
+    from honeywell_search_engine_spark.functions.analyzer import tokenize
+
+    spark = docs.sparkSession
+    terms = tokenize(query)
+    if len(terms) != 2 or terms[0] == terms[1]:
+        raise ValueError(
+            "match_near_unordered is the two-distinct-term NEAR operator; "
+            f"got {terms!r} (use match_near for ordered multi-term slop)"
+        )
+    ta, tb = terms
+    toks = tokens_col(text_col)
+    idxs = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(0), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def positions_of(t):
+        return F.filter(idxs, lambda i: F.element_at(toks, i + 1) == F.lit(t))
+
+    pa, pb = positions_of(ta), positions_of(tb)
+    n_hits = F.size(
+        F.filter(
+            pa,
+            lambda p: F.exists(
+                pb, lambda q: F.abs(q - p) <= F.lit(dist)
+            ),
+        )
+    )
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("docid"), n_hits.alias("n_hits")
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy("docid")
+    )
+
+
 def term_stats_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", top: int = 100
 ) -> DataFrame:

@@ -211,3 +211,31 @@ def test_unigram_logprob_flags_unusual_docs(spark):
     lp = {r["docid"]: r["lp_r"] for r in unigram_logprob(docs, "doc_id", "text").collect()}
     assert lp[101] < lp[100]  # rare-token doc is the filter candidate
     assert lp[100] == lp[0]  # identical docs, identical score
+
+
+def test_match_near_unordered_semantics(spark):
+    from honeywell_search_engine_spark.operators.search import (
+        match_near,
+        match_near_unordered,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),            # adjacent, in order
+            (2, "beta alpha"),            # adjacent, reversed
+            (3, "alpha xxx1 yyy1 zzz1 www1 beta"),   # filtered distance 5 > 3
+            (4, "beta filler alpha"),     # filtered distance 2, reversed
+            (5, "alpha only here"),
+        ],
+        "doc_id long, text string",
+    )
+    un = {r["docid"]: r["n_hits"] for r in
+          match_near_unordered(docs, "alpha beta", dist=3).collect()}
+    assert un == {1: 1, 2: 1, 4: 1}
+    # ordered-NEAR with the same window only accepts alpha-before-beta
+    od = {r["docid"] for r in match_near(docs, "alpha beta", slop=2).collect()}
+    assert od == {1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        match_near_unordered(docs, "alpha beta gamma")
