@@ -279,9 +279,14 @@ def stem_groups(groups: list) -> list:
     for all_pos, neg, phrases, neg_phrases in groups:
         s_ph = [[stem_word(t) for t in ph] for ph in phrases]
         s_nph = [[stem_word(t) for t in ph] for ph in neg_phrases]
-        s_pos = sorted(
-            {stem_word(t) for t in all_pos} | {t for ph in s_ph for t in ph}
-        )[:MAX_QUERY_TERMS]
+        # cap the loose stems only, THEN union the (uncapped) phrase-term
+        # stems — mirrors _parse_group, where the cap hits `loose` before
+        # phrase terms join all_pos. Capping after the union could drop a
+        # phrase term from all_pos and break adjacency verification
+        # (round-4 advice, analyzer.py:282).
+        ph_terms = {t for ph in s_ph for t in ph}
+        s_loose = sorted({stem_word(t) for t in all_pos})[:MAX_QUERY_TERMS]
+        s_pos = sorted(set(s_loose) | ph_terms)
         s_neg = sorted({stem_word(t) for t in neg})[:MAX_QUERY_TERMS]
         if not s_pos or set(s_pos) & set(s_neg):
             continue

@@ -159,12 +159,19 @@ class ServingIndex:
         mode: str = "and",
         allowed_docids=None,
         exclude_terms: list[str] | None = None,
+        pre_analyzed: list[str] | None = None,
     ) -> list[tuple[int, float]]:
         """[(docid, score)] by (-score, docid) — rank/score bit-identical
         to query/wand.bm25_topk_wand (tested on the reference query set).
-        `exclude_terms` is websearch '-term' negation (AND mode only)."""
-        _aq, _tok, _sg = W._analyzers_for(self)
-        terms = _aq(query)
+        `exclude_terms` is websearch '-term' negation (AND mode only).
+        `pre_analyzed` supplies already-analyzed (stemmed) index terms and
+        skips query analysis — Porter is not idempotent, so delegating
+        callers must not round-trip stems through the analyzer."""
+        if pre_analyzed is not None:
+            terms = list(dict.fromkeys(pre_analyzed))
+        else:
+            _aq, _tok, _sg = W._analyzers_for(self)
+            terms = _aq(query)
         if not terms:
             return []
         neg_terms: list[str] = []
@@ -231,7 +238,9 @@ class ServingIndex:
         single = len(groups) == 1 and not groups[0][3]
         if single and not groups[0][2]:
             all_pos, neg, _, _ = groups[0]
-            return self.search(" ".join(all_pos), k, exclude_terms=neg)
+            # all_pos/neg are already index-analyzed — skip re-analysis
+            # (Porter is not idempotent; round-4 advice, local.py:234)
+            return self.search(query, k, exclude_terms=neg, pre_analyzed=all_pos)
         scan_terms = sorted(
             {t for g in groups for t in g[0]}
             | {t for g in groups for t in g[1]}

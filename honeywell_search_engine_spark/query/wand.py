@@ -934,10 +934,16 @@ def bm25_topk_wand(
     mode: str = "and",
     allowed_docids=None,
     exclude_terms: list[str] | None = None,
+    pre_analyzed: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the segment index. mode='and' (conjunctive, default)
     or 'or' (disjunctive). Returns DataFrame(docid, score) ordered by
     (-score, docid).
+
+    `pre_analyzed` supplies already-analyzed index terms (e.g. the stemmed
+    positive group from the websearch parser) and skips query analysis —
+    Porter is not idempotent ('university'→'univers'→'univ'), so a caller
+    holding stemmed terms must NOT round-trip them through the analyzer.
 
     `allowed_docids` restricts the result to a caller-supplied global-docid
     scope (the reference limits every search to the caller's own documents,
@@ -955,8 +961,11 @@ def bm25_topk_wand(
     job. AND semantics stay exact when a query term is unknown globally:
     no shard can then hold all terms, so every kernel returns empty."""
     spark = index.spark
-    _aq, _tok, _sg = _analyzers_for(index)
-    terms = _aq(query)
+    if pre_analyzed is not None:
+        terms = list(dict.fromkeys(pre_analyzed))
+    else:
+        _aq, _tok, _sg = _analyzers_for(index)
+        terms = _aq(query)
     if not terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
     neg_terms: list[str] = []
@@ -1087,7 +1096,12 @@ def bm25_topk_websearch(
     if len(groups) == 1 and not groups[0][3]:
         all_pos, neg, phrases, _ = groups[0]
         if not phrases:
-            return bm25_topk_wand(index, " ".join(all_pos), k, exclude_terms=neg)
+            # all_pos/neg are already index-analyzed (stemmed if the index
+            # is) — pass them through pre_analyzed so they're not re-stemmed
+            # (Porter is not idempotent; round-4 advice, wand.py:1090)
+            return bm25_topk_wand(
+                index, query, k, exclude_terms=neg, pre_analyzed=all_pos
+            )
         neg_set = set(neg)
         n_pos = len(all_pos)
 

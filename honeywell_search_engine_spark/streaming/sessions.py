@@ -102,8 +102,15 @@ def _session_state_fn(gap_seconds: int):
         else:
             last_us, sid, n_ev, start_us, total_v = None, 0, 0, 0, 0.0
         touched: dict[int, tuple] = {}
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["us", "event_id"])
+        # concat ALL chunks before sorting — a key's rows may arrive split
+        # across Arrow batches; per-chunk sorting would break time order
+        chunks = [c for c in pdf_iter if len(c)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(["us", "event_id"])
             for usv, val in zip(pdf["us"].to_numpy(), pdf["value"].to_numpy()):
                 usv = int(usv)
                 if last_us is None or usv - last_us > gap_us:
@@ -248,8 +255,18 @@ def _make_session_processor(gap_seconds: int):
             else:
                 last_us, sid, n_ev, start_us, total_v = None, 0, 0, 0, 0.0
             touched: dict[int, tuple] = {}
-            for pdf in rows:
-                pdf = pdf.sort_values(["us", "event_id"])
+            # Concatenate ALL Arrow chunks for the key before sorting —
+            # one micro-batch can deliver a key's rows split across several
+            # Arrow batches (~10k rows each); sorting per chunk would
+            # process events out of time order (round-4 advice,
+            # sessions.py:252).
+            chunks = [c for c in rows if len(c)]
+            if chunks:
+                pdf = (
+                    pd.concat(chunks, ignore_index=True)
+                    if len(chunks) > 1
+                    else chunks[0]
+                ).sort_values(["us", "event_id"])
                 for usv, val in zip(
                     pdf["us"].to_numpy(), pdf["value"].to_numpy()
                 ):

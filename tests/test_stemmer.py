@@ -273,3 +273,81 @@ def test_index_report_surface(spark, seg_index):
     assert all(r["checksum_ok"] for r in rows)
     total = seg_index.segments.agg(F.sum("n")).collect()[0][0]
     assert sum(r["n_postings"] for r in rows) == total
+
+
+# --- non-fixed-point stems: websearch delegation must NOT re-stem -----------
+# Porter is not idempotent: stem('university')='univers' but
+# stem('univers')='univ'; stem('doing')='do' which the MIN_TOKEN_LEN
+# filter then drops on re-analysis. The plain-AND websearch path delegates
+# already-stemmed group terms into bm25_topk_wand / ServingIndex.search —
+# those must take them pre-analyzed (round-4 advice, wand.py:1090 /
+# local.py:234).
+
+
+@pytest.fixture(scope="module")
+def nonfp_stemmed_pair(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("nonfpidx") / "idx")
+    rows = [
+        (1, "the university was doing research on distributed systems"),
+        (2, "universities keep doing fundamental research programs"),
+        (3, "a university library holds many studies and archives"),
+        (4, "the research group published new distributed algorithms"),
+        (5, "completely unrelated cooking recipes and garden notes"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, text string")
+    tok = tokenized_docs(docs, pre_cleaned=True, stem=True)
+    build_segments(tok, out, "inline", n_buckets=4, n_shards=2, stemmed=True)
+    oracle = OracleIndex.build(rows, stem=True)
+    return SegmentIndex(spark, out), oracle
+
+
+def test_websearch_no_double_stem_spark(nonfp_stemmed_pair):
+    from honeywell_search_engine_spark.query.wand import bm25_topk_websearch
+
+    idx, oracle = nonfp_stemmed_pair
+    for q in ("university doing", "university research", "doing -cooking"):
+        exp = oracle.search_websearch(q, k=10)
+        got = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_websearch(idx, q, k=10).collect()
+        ]
+        assert exp, q  # the query must actually match on this corpus
+        assert got == exp, q
+
+
+def test_websearch_no_double_stem_serving(nonfp_stemmed_pair):
+    from honeywell_search_engine_spark.query.local import ServingIndex
+
+    idx, oracle = nonfp_stemmed_pair
+    srv = ServingIndex(idx.path)
+    for q in ("university doing", "university research", "doing -cooking"):
+        exp = oracle.search_websearch(q, k=10)
+        assert exp, q
+        assert srv.search_websearch(q, k=10) == exp, q
+
+
+def test_stem_groups_phrase_terms_survive_cap():
+    """>MAX_QUERY_TERMS loose stems + a quoted phrase: the phrase terms
+    must stay in all_pos (the cap hits only the loose stems), or
+    adjacency verification KeyErrors (round-4 advice, analyzer.py:282)."""
+    from honeywell_search_engine_spark.functions.analyzer import (
+        MAX_QUERY_TERMS,
+        parse_websearch_query,
+        stem_groups,
+    )
+
+    # 14 distinct loose words whose stems stay distinct, plus a phrase
+    # whose stems sort AFTER every loose stem ('zebra zoom')
+    loose = (
+        "apple banana cherry dragon elder falcon grape hazel iris "
+        "jackal kiwi lemon mango nectar"
+    )
+    q = f'{loose} "zebra zoom"'
+    groups = stem_groups(parse_websearch_query(q))
+    assert len(groups) == 1
+    all_pos, _neg, phrases, _nph = groups[0]
+    assert phrases and len(phrases[0]) == 2
+    for t in phrases[0]:
+        assert t in all_pos, (t, all_pos)
+    # loose portion still capped
+    assert len(all_pos) <= MAX_QUERY_TERMS + len(phrases[0])
