@@ -108,6 +108,28 @@ def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> Da
     return search.bm25_inflight(_docs(spark, sf_dir), query, k)
 
 
+def _tag_union(pairs) -> DataFrame:
+    """Union same-schema gate branches with a leading 'op' tag column.
+
+    The driver samples at most 50 queries() entries per round (r4 checked
+    exactly the first 50 of 57, in insertion order) — variant families ride
+    ONE gate each so the whole board fits the sample; the tag keeps every
+    branch's values independently hash-verified."""
+    out = None
+    for tag, df in pairs:
+        t = df.select(F.lit(tag).alias("op"), "*")
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+def _sql_tag_union(pairs) -> str:
+    """DuckDB mirror of _tag_union: UNION ALL of tagged branch subqueries
+    (DuckDB accepts WITH inside a derived table)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS op, * FROM ({sql.strip()})" for tag, sql in pairs
+    )
+
+
 FLAGSHIP_QUERY = "data table query"
 STEMMED_QUERY = "querying tables"
 
@@ -140,25 +162,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), STEMMED_QUERY, 10, stem=True
     )
     q["match_and"] = lambda s, d: search.match_all_terms(_docs(s, d), "spark merge vector")
-    # websearch_to_tsquery '-term' negation (reference fusion.py:42)
-    q["match_websearch"] = lambda s, d: search.match_websearch(
-        _docs(s, d), "spark merge -vector"
-    )
     q["match_or"] = lambda s, d: search.match_any_terms(_docs(s, d), "spark vector")
-    # FULL websearch surface: 'or' keyword (disjunction of conjunctive
-    # groups, AND binds tighter) + negated quoted phrases (round-3 advice)
-    q["match_websearch_or"] = lambda s, d: search.match_websearch_or(
-        _docs(s, d), 'spark merge or "data table" -vector'
-    )
-    q["match_websearch_negphrase"] = lambda s, d: search.match_websearch_or(
-        _docs(s, d), 'spark -"data table"'
-    )
-    q["match_phrase"] = lambda s, d: search.match_phrase(_docs(s, d), "data table")
-    q["match_near"] = lambda s, d: search.match_near(_docs(s, d), "data query", slop=2)
-    # UNORDERED two-term proximity (classic `A NEAR/k B`, either order)
-    q["match_near_unordered"] = lambda s, d: search.match_near_unordered(
-        _docs(s, d), "data query", dist=3
-    )
+    # FULL websearch_to_tsquery surface in ONE tagged gate (reference
+    # fusion.py:42): '-term' negation, the 'or' keyword (disjunction of
+    # conjunctive groups, AND binds tighter), negated quoted phrases
+    q["match_websearch"] = lambda s, d: _tag_union(
+        [
+            ("neg", search.match_websearch(_docs(s, d), "spark merge -vector")),
+            (
+                "or",
+                search.match_websearch_or(
+                    _docs(s, d), 'spark merge or "data table" -vector'
+                ),
+            ),
+            (
+                "negphrase",
+                search.match_websearch_or(_docs(s, d), 'spark -"data table"'),
+            ),
+        ]
+    ).orderBy("op", "docid")
+    # positional matching in ONE tagged gate: exact phrase, ordered NEAR
+    # (slop), unordered NEAR/k — per-doc occurrence counts as `n`
+    q["match_positional"] = lambda s, d: _tag_union(
+        [
+            (
+                "phrase",
+                search.match_phrase(_docs(s, d), "data table").withColumnRenamed(
+                    "n_occ", "n"
+                ),
+            ),
+            (
+                "near",
+                search.match_near(
+                    _docs(s, d), "data query", slop=2
+                ).withColumnRenamed("n_starts", "n"),
+            ),
+            (
+                "near_unordered",
+                search.match_near_unordered(
+                    _docs(s, d), "data query", dist=3
+                ).withColumnRenamed("n_hits", "n"),
+            ),
+        ]
+    ).orderBy("op", "docid")
 
     # --- text analysis (training-data ops) --------------------------------
     q["fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d), "doc_id", "text").orderBy("docid")
@@ -192,9 +238,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministic model-free semantic channel (R3/N3 analog): hashed
     # TF-IDF embeddings from text — md5 bucket+sign, so DuckDB replays the
     # identical vectors (operators/embedder.py)
-    q["text_embeddings"] = lambda s, d: embedder.text_embeddings(
-        _docs(s, d)
-    ).orderBy("docid")
+    # gate shape: exploded (docid, j, v) scalars — the driver canonicalizer
+    # can't sort/hash an array<double> column (round-4 red row); the full
+    # dense vector is still verified cell-by-cell, j = 0..63 per doc
+    q["text_embeddings"] = lambda s, d: (
+        embedder.text_embeddings(_docs(s, d))
+        .select("docid", F.posexplode("embedding").alias("j", "v"))
+        .orderBy("docid", "j")
+    )
     q["semantic_topk_text"] = lambda s, d: embedder.semantic_topk(
         _docs(s, d), FLAGSHIP_QUERY, k=10
     )
@@ -210,7 +261,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- dedup -------------------------------------------------------------
-    q["exact_dupes"] = lambda s, d: dedup.exact_duplicates(_docs(s, d), "doc_id", "text")
+    # gate shape: comma-joined dupe list — array columns break the driver
+    # canonicalizer whenever rows exist (only the operator keeps the array)
+    q["exact_dupes"] = lambda s, d: dedup.exact_duplicates(
+        _docs(s, d), "doc_id", "text"
+    ).withColumn("dupe_docids", F.array_join("dupe_docids", ","))
     q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_docs(s, d), "doc_id", "text").orderBy("docid")
     q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), "doc_id", "text", n=3, threshold=0.04, max_docid=150
@@ -226,9 +281,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         row = _embeddings(s, d).filter(F.col("vec_id") == 0).select("embedding").collect()[0]
         return [float(x) for x in row["embedding"]]
 
-    q["knn_bruteforce"] = lambda s, d: similarity.cosine_topk_bruteforce(
-        _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
-    )
+    # ANN surface in ONE tagged gate: exact brute-force baseline, sign-LSH
+    # (multi-probe hamming<=2), IVF (nprobe=4, exact cosines inside probed
+    # cells), and attribute-FILTERED exact top-k (label=1 only — the
+    # metadata-filter + ANN compose every vector store needs; at scale the
+    # filter composes with the IVF cell scan, pruned twice)
+    q["knn_all"] = lambda s, d: _tag_union(
+        [
+            (
+                "bruteforce",
+                similarity.cosine_topk_bruteforce(
+                    _embeddings(s, d).filter(F.col("vec_id") != 0),
+                    _query_vec(s, d),
+                    k=10,
+                ),
+            ),
+            (
+                "lsh",
+                similarity.cosine_ann_lsh(
+                    _embeddings(s, d).filter(F.col("vec_id") != 0),
+                    _query_vec(s, d),
+                    k=10,
+                ),
+            ),
+            (
+                "ivf",
+                similarity.cosine_ann_ivf(
+                    _embeddings(s, d).filter(F.col("vec_id") != 0),
+                    _query_vec(s, d),
+                    k=10,
+                ),
+            ),
+            (
+                "filtered",
+                similarity.cosine_topk_bruteforce(
+                    _embeddings(s, d).filter(
+                        (F.col("vec_id") != 0) & (F.col("label") == 1)
+                    ),
+                    _query_vec(s, d),
+                    k=10,
+                ),
+            ),
+        ]
+    ).orderBy("op", "rnk")
     q["embedding_norms"] = lambda s, d: _embeddings(s, d).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.round(
@@ -242,39 +337,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             6,
         ).alias("norm_r"),
     ).orderBy("vec_id")
-    q["cosine_dupes"] = lambda s, d: similarity.pairwise_cosine_dupes(
-        _embeddings(s, d), threshold=0.35, max_id=150
-    )
-    # production near-dup path: LSH-bucketed, all-pairs never materializes
-    # (6 planes = 64 buckets at this threshold keeps the gate load-bearing)
-    q["cosine_dupes_lsh"] = lambda s, d: similarity.pairwise_cosine_dupes_lsh(
-        _embeddings(s, d), threshold=0.35, n_planes=6
-    )
+    # embedding near-dup surface in ONE tagged gate: bounded exact
+    # all-pairs slice (max_id oracle window), LSH-bucketed production path
+    # (6 planes = 64 buckets keeps the gate load-bearing), and the banded
+    # recall lever (8 bands x 3 planes; candidate iff ANY band matches)
+    q["cosine_dupes"] = lambda s, d: _tag_union(
+        [
+            (
+                "exact",
+                similarity.pairwise_cosine_dupes(
+                    _embeddings(s, d), threshold=0.35, max_id=150
+                ),
+            ),
+            (
+                "lsh",
+                similarity.pairwise_cosine_dupes_lsh(
+                    _embeddings(s, d), threshold=0.35, n_planes=6
+                ),
+            ),
+            (
+                "banded",
+                similarity.pairwise_cosine_dupes_lsh_banded(
+                    _embeddings(s, d), threshold=0.35, n_planes=24, bands=8
+                ),
+            ),
+        ]
+    ).orderBy("op", "id_a", "id_b")
     # benchmark decontamination: corpus docs sharing >=1 word 5-gram with
     # the eval slice (docs 0-4) — the pre-training n-gram overlap pass
     # (n=4 on this synthetic corpus: short zipf docs, real pipelines use ~13)
     q["contamination"] = lambda s, d: dedup.decontaminate(
         _docs(s, d), [0, 1, 2, 3, 4], "doc_id", "text", n=4
-    )
-    # banded variant: b bands of r planes — the recall lever (a pair is a
-    # candidate iff ANY band matches fully); same exact-cosine verify
-    q["cosine_dupes_lsh_banded"] = lambda s, d: similarity.pairwise_cosine_dupes_lsh_banded(
-        _embeddings(s, d), threshold=0.35, n_planes=24, bands=8
-    )
-    q["knn_lsh"] = lambda s, d: similarity.cosine_ann_lsh(
-        _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
-    )
-    q["knn_ivf"] = lambda s, d: similarity.cosine_ann_ivf(
-        _embeddings(s, d).filter(F.col("vec_id") != 0), _query_vec(s, d), k=10
-    )
-    # attribute-FILTERED vector search (the metadata-filter + ANN compose
-    # every vector store needs): exact top-k among label=1 rows only. At
-    # scale the filter composes with the IVF cell scan (cell AND label
-    # partition/pushed filters) — same plan shape, pruned twice.
-    q["knn_filtered"] = lambda s, d: similarity.cosine_topk_bruteforce(
-        _embeddings(s, d).filter((F.col("vec_id") != 0) & (F.col("label") == 1)),
-        _query_vec(s, d),
-        k=10,
     )
 
     # --- relational operators over events (SURVEY §2.3-2.5) ----------------
@@ -819,7 +912,7 @@ WITH n AS (
          md5(trim(regexp_replace(translate(lower(text), '{punct_sql}', ''), '\\s+', ' ', 'g'))) AS norm_md5
   FROM documents)
 SELECT norm_md5, count(*) AS n_dupes, min(doc_id) AS keep_docid,
-       list_sort(list(doc_id)) AS dupe_docids
+       array_to_string(list_sort(list(doc_id)), ',') AS dupe_docids
 FROM n GROUP BY norm_md5 HAVING count(*) > 1 ORDER BY norm_md5"""
 
     mh_cols = ", ".join(
@@ -1457,6 +1550,46 @@ SELECT docid,
          AS rrf_score
 FROM f ORDER BY rrf_score DESC, docid"""
 
+    # --- tagged-union composites: one gate per variant family, so the
+    # whole board fits the driver's 50-entry sample (round-4 left 7 gates
+    # unsampled). Branch SQLs above stay intact; the union keys replace
+    # the per-branch keys, matching queries() exactly.
+    o["match_websearch"] = _sql_tag_union(
+        [
+            ("neg", o.pop("match_websearch")),
+            ("or", o.pop("match_websearch_or")),
+            ("negphrase", o.pop("match_websearch_negphrase")),
+        ]
+    )
+    o["match_positional"] = "\nUNION ALL\n".join(
+        [
+            "SELECT 'phrase' AS op, docid, n_occ AS n FROM ({})".format(
+                o.pop("match_phrase").strip()
+            ),
+            "SELECT 'near' AS op, docid, n_starts AS n FROM ({})".format(
+                o.pop("match_near").strip()
+            ),
+            "SELECT 'near_unordered' AS op, docid, n_hits AS n FROM ({})".format(
+                o.pop("match_near_unordered").strip()
+            ),
+        ]
+    )
+    o["knn_all"] = _sql_tag_union(
+        [
+            ("bruteforce", o.pop("knn_bruteforce")),
+            ("lsh", o.pop("knn_lsh")),
+            ("ivf", o.pop("knn_ivf")),
+            ("filtered", o.pop("knn_filtered")),
+        ]
+    )
+    o["cosine_dupes"] = _sql_tag_union(
+        [
+            ("exact", o.pop("cosine_dupes")),
+            ("lsh", o.pop("cosine_dupes_lsh")),
+            ("banded", o.pop("cosine_dupes_lsh_banded")),
+        ]
+    )
+
     return o
 
 
@@ -1485,8 +1618,8 @@ dense AS (
   FROM (SELECT DISTINCT doc_id FROM cells) d
   CROSS JOIN (SELECT unnest(range(64)) AS j) g
   LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.j = g.j)
-SELECT doc_id AS docid, list(v ORDER BY j) AS embedding
-FROM dense GROUP BY doc_id ORDER BY docid"""
+SELECT doc_id AS docid, CAST(j AS INT) AS j, v
+FROM dense ORDER BY docid, j"""
 
 
 def _semantic_sql(k: int = 10) -> str:

@@ -200,3 +200,18 @@ def test_banded_lsh_dupes_precision_and_recall_lever(spark):
     assert banded <= exact  # precision 1.0: verify removes bucket FPs
     assert single <= banded  # an intact 12-plane sig implies 3 intact bands
     assert len(banded) > len(single)  # the lever actually recalls more
+
+
+def test_oracled_gates_are_driver_canonicalizable(spark):
+    """The DRIVER's canonicalizer (unlike _canon above) cannot sort/hash
+    array/map columns — the round-4 text_embeddings red row. Every oracled
+    gate must emit scalar columns only."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name in ORACLED:
+        schema = E.queries()[name](spark, SF).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"non-canonicalizable gate columns: {bad}"
