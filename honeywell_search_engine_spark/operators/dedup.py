@@ -113,7 +113,7 @@ def minhash_signatures(
 
 def minhash_lsh_candidates(
     docs: DataFrame, id_col: str, text_col: str, bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding over the 8-slot minhash
     signature (2 rows per band by default): (docid_a < docid_b, n_bands).
@@ -124,7 +124,10 @@ def minhash_lsh_candidates(
     thousands of near-identical pages hashing to one band value) is
     DROPPED before the self-join instead of producing size² pairs; such
     clusters belong to exact_duplicates / a canonical-template pass, not
-    pairwise dedup. None = keep every bucket (the oracle gate's setting)."""
+    pairwise dedup. Default ON (1024): one boilerplate bucket of 1M docs
+    at 100 TB is 5·10¹¹ pairs — the cap bounds any bucket's contribution
+    to max_bucket²/2. Pass None for exact uncapped semantics (oracle
+    comparisons on clean corpora)."""
     sig = minhash_signatures(docs, id_col, text_col)
     rows_per_band = len(MINHASH_SALTS) // bands
     band_exprs = []
@@ -316,7 +319,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_docid: int | None = None,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 512,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold:
     (docid_a, docid_b, round(jaccard,6)). Inverted-index join on shingles
@@ -330,9 +333,12 @@ def ngram_jaccard_pairs(
     are dropped BEFORE the self-join, so one hot shingle can no longer
     produce a quadratic bucket (df=1M boilerplate shingle -> 10^12
     candidate pairs). Jaccard is then computed over the FILTERED shingle
-    sets (the CCNet semantics); None = exact, used by the oracle gate.
-    The hot list is tiny by construction (at most total_occurrences/cap
-    shingles can exceed the cap) and rides a broadcast anti-join."""
+    sets (the CCNet semantics). Default ON (512): each shingle's join
+    contribution is bounded by df²/2 ≤ 2¹⁷ pairs. Pass None for exact
+    full-set semantics (oracle comparisons — at gate scale, df can't
+    reach the cap, so capped ≡ exact there anyway). The hot list is tiny
+    by construction (at most total_occurrences/cap shingles can exceed
+    the cap) and rides a broadcast anti-join."""
     d = docs
     if max_docid is not None:
         d = d.filter(F.col(id_col) <= max_docid)

@@ -395,13 +395,27 @@ def pairwise_cosine_dupes(
     max_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cos >= threshold):
-    (id_a, id_b, cos_r). Bounded slice for exactness tests; the production
-    path routes through cosine_ann_lsh buckets first."""
+    (id_a, id_b, cos_r). This is an EXACT ALL-PAIRS theta join — an
+    oracle/exactness slice, never the production path (that's
+    pairwise_cosine_dupes_lsh[_banded]). Guarded: without `max_id` the
+    input must hold <= `max_rows` rows or the call raises — an unbounded
+    cartesian on a 10⁹-row corpus is the one scale-killer this API could
+    otherwise express (round-4 verdict)."""
     e = embeddings
     if max_id is not None:
         e = e.filter(F.col(id_col) <= max_id)
+    else:
+        n = e.count()
+        if n > max_rows:
+            raise ValueError(
+                f"pairwise_cosine_dupes is an exact all-pairs slice: input "
+                f"has {n} rows > max_rows={max_rows}. Pass max_id=/max_rows= "
+                f"to bound it, or use pairwise_cosine_dupes_lsh[_banded] "
+                f"for the bucketed production path."
+            )
     l = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     r = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = l.join(r, F.col("id_a") < F.col("id_b"))

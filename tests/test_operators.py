@@ -239,3 +239,59 @@ def test_match_near_unordered_semantics(spark):
 
     with _pytest.raises(ValueError):
         match_near_unordered(docs, "alpha beta gamma")
+
+
+def test_quadratic_guards_on_by_default(spark):
+    """Round-4 verdict item 3: the hot-shingle / hot-bucket caps must bind
+    with DEFAULT arguments — a planted boilerplate cluster larger than the
+    cap produces bounded candidates without any caller opt-in."""
+    from honeywell_search_engine_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    # 1100 identical template docs -> identical minhash signature -> every
+    # band bucket holds 1100 > max_bucket default (1024) -> dropped; the
+    # two genuine near-dupes (bucket of 2) still pair.
+    rows = [(i, "identical template page body content here") for i in range(1100)]
+    rows += [
+        (2000, "completely different story about rivers and stones"),
+        (2001, "completely different story about rivers and stones"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cp = {
+        (r["docid_a"], r["docid_b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    assert cp == {(2000, 2001)}
+
+    # 600 docs sharing ONE boilerplate shingle (df=600 > max_shingle_df
+    # default 512) plus unique filler: with defaults the hot shingle is
+    # dropped pre-join, so no boilerplate-only pair can form.
+    jrows = [
+        (i, f"standard footer boilerplate line unique{i} filler{i} words{i}")
+        for i in range(600)
+    ]
+    jdocs = spark.createDataFrame(jrows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(jdocs, "doc_id", "text", n=3, threshold=0.1).collect()
+    assert pairs == []
+
+
+def test_pairwise_cosine_dupes_unbounded_raises(spark):
+    """Round-4 verdict item 4: the exact all-pairs function must refuse an
+    unbounded large input instead of silently cartesianing it."""
+    import pytest as _pytest
+
+    from honeywell_search_engine_spark.operators.similarity import (
+        pairwise_cosine_dupes,
+    )
+
+    emb = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="all-pairs"):
+        pairwise_cosine_dupes(emb, threshold=0.9, max_rows=10)
+    # bounded calls still work: via max_rows headroom or max_id slice
+    assert pairwise_cosine_dupes(emb, threshold=0.9).count() > 0
+    assert pairwise_cosine_dupes(emb, threshold=0.9, max_id=5).count() > 0
