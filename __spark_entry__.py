@@ -75,12 +75,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
-def _bm25_sql(query: str, k: int = 10) -> str:
+def _bm25_sql(query: str, k: int = 10, mode: str = "and") -> str:
     from honeywell_search_engine_spark.functions.analyzer import analyze_query
 
     terms = analyze_query(query)
     tlist = ", ".join(f"'{t}'" for t in terms)
-    n = len(terms)
+    n = len(terms) if mode == "and" else 1  # or-mode: any term qualifies
     return f"""
 WITH {_TOK_CTE},
 qtf AS (SELECT * FROM tf WHERE term IN ({tlist})),
@@ -99,13 +99,71 @@ scored AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rnk,
        doc_id AS docid, round(score, 6) AS score_r
-FROM scored WHERE nt = {n}
+FROM scored WHERE nt {'=' if mode == 'and' else '>='} {n}
 ORDER BY round(score, 6) DESC, doc_id LIMIT {k}
 """
 
 
 def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
     return search.bm25_inflight(_docs(spark, sf_dir), query, k)
+
+
+def _rerank_sql(query: str, k_in: int = 50, k_out: int = 10) -> str:
+    """DuckDB mirror of serving.rerank_topk: disjunctive-BM25 top-k_in
+    candidates re-scored by the fixed-weight LTR feature combination
+    (identical float operation order to the Spark plan)."""
+    from honeywell_search_engine_spark.functions.analyzer import analyze_query
+    from honeywell_search_engine_spark.operators.serving import RERANK_WEIGHTS as W
+
+    terms = analyze_query(query)
+    n = len(terms)
+    pos_defs = ",\n         ".join(
+        f"list_filter(range(0, len(toks)), i -> toks[i+1] = '{t}') AS p{j}"
+        for j, t in enumerate(terms)
+    )
+    present = " + ".join(
+        f"(CASE WHEN len(p{j}) > 0 THEN 1 ELSE 0 END)" for j in range(n)
+    )
+    tfsum = " + ".join(f"len(p{j})" for j in range(n))
+    firsts = ", ".join(
+        f"CASE WHEN len(p{j}) > 0 THEN p{j}[1] END" for j in range(n)
+    )
+    gaps = ", ".join(
+        "list_min(flatten(list_transform(p{a}, x -> "
+        "list_transform(p{b}, y -> abs(x - y)))))".format(a=a, b=b)
+        for a in range(n)
+        for b in range(a + 1, n)
+    )
+    return f"""
+WITH {_TOK_CTE},
+cand AS (SELECT docid, score_r FROM ({_bm25_sql(query, k_in, mode="or").strip()})),
+p AS (
+  SELECT c.docid, c.score_r, len(t.toks) AS dl,
+         {pos_defs}
+  FROM cand c JOIN tok t ON t.doc_id = c.docid),
+f AS (
+  SELECT docid, score_r,
+         CAST({present} AS DOUBLE) / {float(n)} AS cov,
+         CASE WHEN dl > 0 THEN CAST({tfsum} AS DOUBLE) / CAST(dl AS DOUBLE)
+              ELSE 0.0 END AS density,
+         1.0 / (1.0 + CAST(list_min(list_filter([{firsts}],
+                v -> v IS NOT NULL)) AS DOUBLE)) AS early,
+         list_min(list_filter([{gaps}], v -> v IS NOT NULL)) AS mingap
+  FROM p),
+mm AS (SELECT min(score_r) AS mn, max(score_r) AS mx FROM cand),
+r AS (
+  SELECT f.docid, f.score_r,
+         round({W['bm25_n']!r} * (CASE WHEN mm.mx > mm.mn
+                  THEN (f.score_r - mm.mn) / (mm.mx - mm.mn) ELSE 1.0 END)
+               + {W['cov']!r} * f.cov
+               + {W['prox']!r} * (CASE WHEN f.mingap IS NOT NULL
+                  THEN 1.0 / (1.0 + CAST(f.mingap AS DOUBLE)) ELSE 0.0 END)
+               + {W['density']!r} * f.density
+               + {W['early']!r} * f.early, 6) AS rerank
+  FROM f CROSS JOIN mm)
+SELECT CAST(row_number() OVER (ORDER BY rerank DESC, docid) AS INT) AS rnk,
+       docid, rerank AS rerank_r, score_r
+FROM r ORDER BY rerank DESC, docid LIMIT {k_out}"""
 
 
 def _tag_union(pairs) -> DataFrame:
@@ -252,6 +310,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hybrid retrieval end-to-end from text: BM25 lexical top-50 + hashed
     # TF-IDF semantic top-50, reciprocal-rank-fused (reference channel
     # composition: routers/search.py lexical+semantic -> fusion.py)
+    # R7 analog: deterministic fixed-weight LTR rerank of the disjunctive
+    # top-50 (the reference reranks its fused top-50 with a cross-encoder,
+    # PIPELINE.md:220,228-231 — model-free stand-in, serving.rerank_topk)
+    q["rerank_top50"] = lambda s, d: serving.rerank_topk(
+        _docs(s, d), FLAGSHIP_QUERY, k_in=50, k_out=10
+    )
     q["hybrid_rrf_text"] = lambda s, d: relational.rrf_fusion(
         [
             search.bm25_inflight(_docs(s, d), FLAGSHIP_QUERY, 50).select("docid", "rnk"),
@@ -582,6 +646,7 @@ GROUP BY term ORDER BY df DESC, term LIMIT 100"""
 
     o["bm25_single"] = _bm25_sql("spark")
     o["bm25_conj"] = _bm25_sql(FLAGSHIP_QUERY)
+    o["rerank_top50"] = _rerank_sql(FLAGSHIP_QUERY, 50, 10)
 
     terms_and = analyze_query("spark merge vector")
     o["match_and"] = f"""

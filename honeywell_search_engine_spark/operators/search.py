@@ -58,9 +58,13 @@ def bm25_inflight(
     id_col: str = "doc_id",
     text_col: str = "text",
     stem: bool = False,
+    mode: str = "and",
 ) -> DataFrame:
     """Conjunctive BM25 top-k as one lazy plan: returns
     (rnk int, docid long, score_r double[rounded 1e-6]).
+    `mode='or'` switches to disjunctive union-presence scoring (a doc
+    scores over the query terms it contains, no all-present filter) —
+    the candidate generator for the rerank stage.
 
     Plan shape: tokenize -> tf hash-agg -> term filter (only the ≤12 query
     terms survive into the join) -> broadcast df/idf -> conjunctive
@@ -133,7 +137,7 @@ def bm25_inflight(
             F.count("*").alias("nt"),
             F.sort_array(F.collect_list(F.struct("term", "part"))).alias("parts"),
         )
-        .filter(F.col("nt") == n_terms)
+        .filter(F.col("nt") == n_terms if mode == "and" else F.col("nt") >= 1)
         .select(
             "docid",
             F.aggregate("parts", F.lit(0.0), lambda a, x: a + x["part"]).alias(

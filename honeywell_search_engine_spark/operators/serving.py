@@ -189,6 +189,7 @@ def search_response(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    rerank_from: int | None = None,
 ) -> DataFrame:
     """The reference's full search-response row, model-free (reference
     search.py:160-171): per top-k BM25 hit — rank, rounded score, best
@@ -202,10 +203,22 @@ def search_response(
     triple channels computed ONLY over the k matching docs (the broadcast
     join prunes the doc scan before the per-sentence work) -> one row per
     hit. Returns (rnk, docid, score_r, snippet, highlights, lex_score,
-    has_oie, confidence) ordered by rnk."""
+    has_oie, confidence) ordered by rnk.
+
+    `rerank_from=N` routes the hits through the deterministic rerank
+    stage (R7 analog, rerank_topk): candidates = disjunctive top-N,
+    re-scored by the fixed-weight feature combination, top-k of THAT
+    order composed into the response (rnk = rerank order, score_r = the
+    rerank score)."""
     from honeywell_search_engine_spark.operators import search as S
 
-    hits = S.bm25_inflight(docs, query, k, id_col, text_col)
+    if rerank_from is not None:
+        hits = rerank_topk(
+            docs, query, k_in=rerank_from, k_out=k, id_col=id_col,
+            text_col=text_col,
+        ).select("rnk", "docid", F.col("rerank_r").alias("score_r"))
+    else:
+        hits = S.bm25_inflight(docs, query, k, id_col, text_col)
     return _compose_response(docs, hits, query, id_col, text_col)
 
 
@@ -295,6 +308,149 @@ def _compose_response(
         "rnk", "docid", "score_r", "snippet", "highlights", "lex_score",
         "has_oie", "confidence",
     ).orderBy("rnk")
+
+
+# R7 analog: the reference reranks its fused top-50 with a cross-encoder
+# (cross-encoder/ms-marco-MiniLM-L-12-v2, PIPELINE.md:220,228-231 —
+# design-only there too; model weights are out of scope for this engine).
+# This is the DETERMINISTIC stand-in: a fixed-weight linear combination of
+# the classic hand-crafted LTR features (Microsoft LETOR feature families:
+# normalized base score, query coverage, term proximity, term density,
+# earliest-hit position) over the same top-50 candidate window.
+RERANK_WEIGHTS = {
+    "bm25_n": 0.50,  # min-max-normalized base BM25 within the candidate set
+    "cov": 0.20,     # fraction of query terms present
+    "prox": 0.15,    # 1/(1+g): g = min gap between occurrences of two
+                     # DIFFERENT query terms (0 when <2 terms present)
+    "density": 0.10, # query-term tf mass / doclen
+    "early": 0.05,   # 1/(1+first query-term position)
+}
+
+
+def rerank_topk(
+    docs: DataFrame,
+    query: str,
+    k_in: int = 50,
+    k_out: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic feature rerank of the disjunctive-BM25 top-`k_in`:
+    returns (rnk, docid, rerank_r, score_r) ordered by (rerank desc,
+    docid), LIMIT k_out.
+
+    Plan shape: OR-mode BM25 top-k_in (one tf shuffle +
+    TakeOrderedAndProject) -> broadcast the candidate ids -> per-candidate
+    features as in-row HOFs over the token array (positions via
+    list-filter, pairwise gaps via a flattened transform — all
+    whole-stage-codegen'd, no Python) -> one window for min-max + final
+    rank. Only k_in documents are ever re-tokenized; at 100 TB the rerank
+    stage touches 50 rows regardless of corpus size."""
+    from honeywell_search_engine_spark.operators import search as S
+
+    spark = docs.sparkSession
+    qts = analyze_query(query)
+    empty = spark.createDataFrame(
+        [], "rnk int, docid long, rerank_r double, score_r double"
+    )
+    if not qts:
+        return empty
+    hits = S.bm25_inflight(docs, query, k_in, id_col, text_col, mode="or")
+    cand = docs.join(
+        F.broadcast(hits.select(F.col("docid").alias("_hid"))),
+        F.col(id_col).cast("long") == F.col("_hid"),
+        "left_semi",
+    )
+    base = cand.select(
+        F.col(id_col).cast("long").alias("docid"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    # per-term position arrays (0-based), then features — all in-row
+    # greatest(...,0) guards sequence's descend-on-negative for an empty
+    # token array (can't occur for a candidate, which holds >=1 query term,
+    # but keeps the expression total); element_at(-,i+1) is 1-based.
+    # NB: the lambdas must stay single-parameter — a default-arg capture
+    # (lambda i, t=t) makes PySpark read a 2-arg (element, index) HOF and
+    # bind the capture to the index column (the engine-wide HOF pitfall).
+    def _positions(t: str):
+        return F.filter(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0))),
+            lambda i: F.element_at("toks", i + 1) == F.lit(t),
+        )
+
+    pos = [_positions(t).alias(f"_p{j}") for j, t in enumerate(qts)]
+    base = base.select("docid", F.size("toks").alias("dl"), *pos)
+    pcols = [F.col(f"_p{j}") for j in range(len(qts))]
+    present = [F.size(p) > 0 for p in pcols]
+    cov = (
+        sum(F.when(p, 1).otherwise(0) for p in present).cast("double")
+        / F.lit(float(len(qts)))
+    )
+    tfsum = sum(F.size(p) for p in pcols).cast("double")
+    density = F.when(F.col("dl") > 0, tfsum / F.col("dl")).otherwise(F.lit(0.0))
+    first = F.array_min(
+        F.array(*[F.when(pr, F.element_at(p, 1)) for p, pr in zip(pcols, present)])
+    )
+    early = F.lit(1.0) / (F.lit(1.0) + first.cast("double"))
+    # min |a-b| over occurrence pairs of two different query terms
+    def _pairgap(pa, pb):
+        return F.array_min(
+            F.flatten(
+                F.transform(pa, lambda x: F.transform(pb, lambda y: F.abs(x - y)))
+            )
+        )
+
+    gaps = [
+        _pairgap(pcols[a], pcols[b])
+        for a in range(len(qts))
+        for b in range(a + 1, len(qts))
+    ]
+    mingap = F.array_min(F.array(*gaps)) if gaps else F.lit(None).cast("int")
+    prox = F.when(
+        mingap.isNotNull(), F.lit(1.0) / (F.lit(1.0) + mingap.cast("double"))
+    ).otherwise(F.lit(0.0))
+    feats = base.select(
+        "docid",
+        cov.alias("cov"),
+        density.alias("density"),
+        early.alias("early"),
+        prox.alias("prox"),
+    )
+    wmm = Window.partitionBy()  # 50 rows: a single-partition window is fine
+    scored = (
+        hits.join(feats, "docid")
+        .withColumn("_mn", F.min("score_r").over(wmm))
+        .withColumn("_mx", F.max("score_r").over(wmm))
+        .withColumn(
+            "bm25_n",
+            F.when(
+                F.col("_mx") > F.col("_mn"),
+                (F.col("score_r") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+            ).otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "rerank",
+            F.round(
+                F.lit(RERANK_WEIGHTS["bm25_n"]) * F.col("bm25_n")
+                + F.lit(RERANK_WEIGHTS["cov"]) * F.col("cov")
+                + F.lit(RERANK_WEIGHTS["prox"]) * F.col("prox")
+                + F.lit(RERANK_WEIGHTS["density"]) * F.col("density")
+                + F.lit(RERANK_WEIGHTS["early"]) * F.col("early"),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("rerank"), F.asc("docid"))
+    return (
+        scored.select(
+            F.row_number().over(w).alias("rnk"),
+            "docid",
+            F.col("rerank").alias("rerank_r"),
+            "score_r",
+        )
+        .orderBy("rnk")
+        .limit(k_out)
+    )
 
 
 def search_history_upsert(

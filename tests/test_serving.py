@@ -124,3 +124,98 @@ def test_search_response_indexed_equals_inflight(spark, seg_index, pages_path):
         assert got == exp, (qid, q)
         checked += bool(exp)
     assert checked >= 4  # the sampled queries actually returned rows
+
+
+# --- deterministic rerank stage (R7 analog, round-4 verdict item 6) ---------
+
+
+def test_rerank_features_pinned(spark):
+    """Hand-computable corpus: every feature value checked against the
+    closed-form score."""
+    from honeywell_search_engine_spark.operators.serving import (
+        RERANK_WEIGHTS as W,
+        rerank_topk,
+    )
+
+    rows = [
+        # doc 1: both terms adjacent at the very start -> prox/early max
+        (1, "alpha beta filler filler filler filler"),
+        # doc 2: both terms far apart, late start
+        (2, "filler filler filler alpha filler filler filler filler beta"),
+        # doc 3: only one term, many times
+        (3, "alpha alpha alpha alpha"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["docid"]: r for r in rerank_topk(docs, "alpha beta", 50, 10).collect()}
+    assert set(got) == {1, 2, 3}
+
+    # doc 1: cov=1, density=2/6, prox=1/(1+1), early=1/(1+0)
+    # doc 3: cov=.5, density=1, prox=0, early=1
+    # bm25_n via min-max of the three scores — check relative order only
+    # for bm25_n, exact for the rest through the final linear form:
+    import math
+
+    def expected(bm25_n, cov, prox, density, early):
+        return round(
+            W["bm25_n"] * bm25_n + W["cov"] * cov + W["prox"] * prox
+            + W["density"] * density + W["early"] * early, 6,
+        )
+
+    scores = {d: got[d]["score_r"] for d in got}
+    mn, mx = min(scores.values()), max(scores.values())
+
+    def bn(d):
+        return (scores[d] - mn) / (mx - mn) if mx > mn else 1.0
+
+    assert math.isclose(
+        got[1]["rerank_r"], expected(bn(1), 1.0, 0.5, 2.0 / 6.0, 1.0), abs_tol=1e-6
+    )
+    assert math.isclose(
+        got[2]["rerank_r"],
+        expected(bn(2), 1.0, 1.0 / 6.0, 2.0 / 9.0, 1.0 / 4.0),
+        abs_tol=1e-6,
+    )
+    assert math.isclose(
+        got[3]["rerank_r"], expected(bn(3), 0.5, 0.0, 1.0, 1.0), abs_tol=1e-6
+    )
+    # rank column consistent with (rerank desc, docid)
+    order = [r["docid"] for r in sorted(got.values(), key=lambda r: r["rnk"])]
+    assert order == [
+        d for d, _ in sorted(
+            ((d, got[d]["rerank_r"]) for d in got), key=lambda x: (-x[1], x[0])
+        )
+    ]
+
+
+def test_rerank_candidates_are_disjunctive(spark):
+    """A doc holding only ONE query term must still be a candidate (the
+    rerank window is OR-mode; conjunctive BM25 would drop it)."""
+    from honeywell_search_engine_spark.operators.search import bm25_inflight
+    from honeywell_search_engine_spark.operators.serving import rerank_topk
+
+    rows = [(1, "alpha beta words here"), (2, "alpha only words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    conj = {r["docid"] for r in bm25_inflight(docs, "alpha beta", 10).collect()}
+    rer = {r["docid"] for r in rerank_topk(docs, "alpha beta", 50, 10).collect()}
+    assert conj == {1}
+    assert rer == {1, 2}
+
+
+def test_search_response_reranked_composes(spark):
+    """search_response(rerank_from=50): response rows ride the RERANK
+    order/scores; the composition channels stay intact."""
+    from honeywell_search_engine_spark.operators.serving import (
+        rerank_topk,
+        search_response,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = "data table query"
+    rer = rerank_topk(docs, q, 50, 5).collect()
+    resp = search_response(docs, q, k=5, rerank_from=50).collect()
+    assert [(r["rnk"], r["docid"]) for r in resp] == [
+        (r["rnk"], r["docid"]) for r in rer
+    ]
+    assert [r["score_r"] for r in resp] == [r["rerank_r"] for r in rer]
+    for r in resp:
+        assert r["snippet"] and r["confidence"] >= 0
