@@ -381,3 +381,84 @@ def run_sessionize_stream_tws(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def run_sessionize_tws_shim(
+    spark: SparkSession,
+    file_paths: list,
+    out_dir: str,
+    gap_seconds: int = 1800,
+    chunk_rows: int = 0,
+    shuffle: bool = False,
+) -> None:
+    """In-process harness for the TWS SessionProcessor: emulates the
+    transformWithStateInPandas driver contract — init(handle), engine-scoped
+    per-key ValueState, handleInputRows over an ITERATOR of Arrow-sized
+    pandas chunks — without the protobuf state protocol the real backend
+    speaks (the python `protobuf` package is absent in this sandbox; the
+    real path stays env-gated in tests/test_sessions.py). Each input file is
+    one micro-batch (AvailableNow analog); emissions append to
+    `{out_dir}/updates` with batch_seq, so `latest_sessions()` reads both
+    backends identically.
+
+    `chunk_rows>0` splits each key's batch rows into chunks of that size
+    and `shuffle=True` deterministically permutes them first — together
+    they stress the multi-chunk concat-and-sort path (a key's rows arriving
+    split across Arrow batches, out of time order per chunk)."""
+    import pandas as pd
+
+    class _ShimValueState:
+        def __init__(self, store, handle):
+            self._store, self._handle = store, handle
+
+        def exists(self):
+            return self._handle.current_key in self._store
+
+        def get(self):
+            return self._store[self._handle.current_key]
+
+        def update(self, v):
+            self._store[self._handle.current_key] = tuple(v)
+
+    class _ShimHandle:
+        def __init__(self):
+            self._stores: dict = {}
+            self.current_key = None
+
+        def getValueState(self, name, schema):
+            return _ShimValueState(self._stores.setdefault(name, {}), self)
+
+    proc = _make_session_processor(gap_seconds)
+    handle = _ShimHandle()
+    proc.init(handle)
+    us_expr = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{EPOCH} 00:00:00', ts)"
+    )
+    out_frames = []
+    for seq, path in enumerate(file_paths):
+        pdf = (
+            spark.read.parquet(path)
+            .select("user_id", "event_id", "value", us_expr.alias("us"))
+            .toPandas()
+        )
+        for key, grp in pdf.groupby("user_id", sort=True):
+            if shuffle:
+                grp = grp.sample(frac=1.0, random_state=seq + 1)
+            if chunk_rows and len(grp) > chunk_rows:
+                chunks = [
+                    grp.iloc[i : i + chunk_rows]
+                    for i in range(0, len(grp), chunk_rows)
+                ]
+            else:
+                chunks = [grp]
+            handle.current_key = int(key)
+            for out in proc.handleInputRows((int(key),), iter(chunks), None):
+                if len(out):
+                    out = out.copy()
+                    out["batch_seq"] = seq
+                    out_frames.append(out)
+    proc.close()
+    upd = pd.concat(out_frames, ignore_index=True)
+    spark.createDataFrame(
+        upd, schema=SESSION_SCHEMA + ", batch_seq long"
+    ).write.mode("append").parquet(f"{out_dir}/updates")

@@ -46,8 +46,11 @@ def test_query_matches_oracle(spark, ddb, name):
     assert got.equals(exp), f"{name}: values"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", ROWS_ONLY or ["__fully_oracled__"])
 def test_rows_only_queries_run(spark, name):
+    if name == "__fully_oracled__":
+        assert not ROWS_ONLY  # every gate has a DuckDB mirror — nothing here
+        return
     df = E.queries()[name](spark, SF)
     assert df.count() >= 0  # runs without error, stable schema
     assert df.columns

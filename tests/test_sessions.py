@@ -119,17 +119,22 @@ def test_tws_sessionize_equals_batch(spark, tmp_path):
     batch gap-and-island, sessions spanning micro-batch boundaries
     included.
 
-    ENV-GATED like the Iceberg live test: transformWithState's state
-    protocol needs the protobuf python package, which this container does
-    not ship (and installs are off-limits). The backend code path is
-    import-clean either way; on a protobuf-equipped cluster this test runs.
-    """
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState needs protobuf (not shipped here)",
-    )
+    transformWithState's state protocol needs the protobuf python package,
+    which this container does not ship (and installs are off-limits). On a
+    protobuf-equipped cluster this test drives the REAL backend; here it
+    degrades to run_sessionize_tws_shim — the in-process harness that
+    drives the SAME SessionProcessor through an emulated
+    StatefulProcessorHandle/ValueState contract, so the processor logic is
+    stream==batch-asserted either way (round-4 verdict item 7)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
     from honeywell_search_engine_spark.streaming.sessions import (
         run_sessionize_stream_tws,
+        run_sessionize_tws_shim,
     )
 
     ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts", "event_id")
@@ -148,9 +153,17 @@ def test_tws_sessionize_equals_batch(spark, tmp_path):
                 os.utime(os.path.join(root, fn), (t, t))
 
     out_dir = str(tmp_path / "sess_tws_out")
-    run_sessionize_stream_tws(
-        spark, f"{events_dir}/slice_*.parquet", out_dir, gap_seconds=1800
-    )
+    if have_protobuf:
+        run_sessionize_stream_tws(
+            spark, f"{events_dir}/slice_*.parquet", out_dir, gap_seconds=1800
+        )
+    else:
+        run_sessionize_tws_shim(
+            spark,
+            [f"{events_dir}/slice_{i}.parquet" for i in range(3)],
+            out_dir,
+            gap_seconds=1800,
+        )
     got = [tuple(r) for r in latest_sessions(spark, out_dir).collect()]
     exp = [
         tuple(r)
@@ -159,4 +172,40 @@ def test_tws_sessionize_equals_batch(spark, tmp_path):
         ).collect()
     ]
     assert len(got) == len(exp)
+    assert got == exp
+
+
+def test_tws_processor_multi_chunk_out_of_order(spark, tmp_path):
+    """The round-4 advice regression: a key's rows split across several
+    Arrow chunks, each chunk NOT time-sorted — the processor must concat
+    all chunks and sort once, or sessions break. Driven through the shim
+    harness with 3-row shuffled chunks; result == batch gap-and-island."""
+    from honeywell_search_engine_spark.streaming.sessions import (
+        run_sessionize_tws_shim,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts", "event_id")
+    pdf = ev.toPandas()
+    n = len(pdf)
+    events_dir = str(tmp_path / "ev_chunks")
+    os.makedirs(events_dir, exist_ok=True)
+    cuts = [0, n // 2, n]
+    paths = []
+    for i in range(2):
+        sl = spark.createDataFrame(pdf.iloc[cuts[i]:cuts[i + 1]], schema=ev.schema)
+        p = f"{events_dir}/slice_{i}.parquet"
+        sl.coalesce(1).write.mode("overwrite").parquet(p)
+        paths.append(p)
+
+    out_dir = str(tmp_path / "sess_chunked_out")
+    run_sessionize_tws_shim(
+        spark, paths, out_dir, gap_seconds=1800, chunk_rows=3, shuffle=True
+    )
+    got = [tuple(r) for r in latest_sessions(spark, out_dir).collect()]
+    exp = [
+        tuple(r)
+        for r in sessionize(
+            spark.read.parquet(f"{SF}/events.parquet"), gap_seconds=1800
+        ).collect()
+    ]
     assert got == exp
