@@ -45,28 +45,31 @@ def _rng_col(docid):
 def assign_local_ids(docids: DataFrame, n_shards: int) -> DataFrame:
     """(docid) -> (shard, local_id, docid); local_id is the 0-based rank of
     docid within its shard. Deterministic for any partitioning of the
-    input. Two jobs: a tiny (shard, rng) count aggregate, then one
-    window-ranked shuffle on (shard, rng)."""
-    spark = docids.sparkSession
+    input.
+
+    ONE lazy plan, no driver round-trip (round-4 serial-floor item): the
+    per-cell offsets are a running sum over the tiny (shard, rng) count
+    table — computed by a WINDOW over ≤ n_shards·2^RANGE_BITS rows and
+    broadcast-joined back — instead of a collect + driver prefix-sum +
+    createDataFrame. The eager count job, its scheduling gap, and the
+    driver materialization all disappear; the count aggregate now runs as
+    the broadcast-exchange subtree of the single write/consume job."""
     d = docids.select(
         F.col("docid"),
         F.pmod(F.col("docid"), F.lit(n_shards)).cast("int").alias("shard"),
         _rng_col(F.col("docid")).alias("rng"),
     )
-    counts = (
-        d.groupBy("shard", "rng").agg(F.count("*").alias("c")).collect()
-    )  # <= n_shards * 2^RANGE_BITS rows
-    offsets: dict[tuple[int, int], int] = {}
-    by_shard: dict[int, list] = {}
-    for r in counts:
-        by_shard.setdefault(int(r["shard"]), []).append((int(r["rng"]), int(r["c"])))
-    for s, cells in by_shard.items():
-        acc = 0
-        for rng, c in sorted(cells):
-            offsets[(s, rng)] = acc
-            acc += c
-    off_rows = [(s, rng, off) for (s, rng), off in offsets.items()]
-    off_df = spark.createDataFrame(off_rows or [], "shard int, rng int, off long")
+    woff = (
+        Window.partitionBy("shard")
+        .orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_df = (
+        d.groupBy("shard", "rng")
+        .agg(F.count("*").alias("c"))
+        .withColumn("off", F.coalesce(F.sum("c").over(woff), F.lit(0)))
+        .select("shard", "rng", "off")
+    )
     w = Window.partitionBy("shard", "rng").orderBy("docid")
     return (
         d.join(F.broadcast(off_df), ["shard", "rng"])

@@ -502,6 +502,13 @@ def build_segments(
         # docs get doclen 0 and simply own an unused lid).
         pr = spark.read.parquet(f"{index_dir}/postings")
         dl = pr.groupBy("shard", "lid").agg(F.first("doclen").alias("doclen"))
+        # corpus stats ride the docmap WRITE as an Observation — no
+        # separate re-read/aggregate job afterwards (round-4 serial-floor
+        # item: every extra job is fixed scheduling cost that hits the
+        # high-core scaling leg proportionally harder)
+        from pyspark.sql import Observation
+
+        obs = Observation("docmap_stats")
         (
             dm.join(
                 dl.withColumnRenamed("lid", "local_id"),
@@ -509,20 +516,22 @@ def build_segments(
                 "left",
             )
             .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doclen").alias("sum_dl"),
+            )
             .write.mode("overwrite")
             .parquet(f"{index_dir}/docmap")
         )
         import shutil as _shutil
 
         _shutil.rmtree(f"{index_dir}/docmap_ids", ignore_errors=True)
-        docmap = spark.read.parquet(f"{index_dir}/docmap")
-        drow = docmap.agg(
-            F.count("*").alias("n"), F.sum("doclen").alias("sum_dl")
-        ).collect()[0]
-        n_input = drow["n"]
+        stats_row = obs.get
+        n_input = int(stats_row["n"])
         cs = CorpusStats(
             n_docs=n_input,
-            avgdl=float(drow["sum_dl"] or 0) / n_input if n_input else 0.0,
+            avgdl=float(stats_row["sum_dl"] or 0) / n_input if n_input else 0.0,
         )
         with open(f"{index_dir}/stats.json", "w") as f:
             json.dump(
@@ -653,8 +662,19 @@ def encode_pending_buckets(
             ),
         )
     )
-    ts.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/term_stats")
-    n_postings = seg.agg(F.sum("n")).collect()[0][0]
+    # n_postings == sum(df) over term_stats (df = sum of per-segment n), so
+    # it rides the term_stats WRITE as an Observation — the separate
+    # full-segments aggregate job is gone (round-4 serial-floor item)
+    from pyspark.sql import Observation
+
+    obs = Observation("term_stats_totals")
+    (
+        ts.coalesce(1)
+        .observe(obs, F.sum("df").alias("n_postings"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/term_stats")
+    )
+    n_postings = obs.get["n_postings"]
     _write_manifest(
         index_dir,
         "finalize.json",
