@@ -484,29 +484,60 @@ def main() -> None:
 
     # realistic repeated query stream with the serving layer's result cache
     # (the reference's p95 target assumes result caching, PIPELINE.md:349):
-    # 200 queries zipf-sampled from the 20-query set, sustained q/s + p95
+    # 200 queries zipf-sampled over the FULL grammar — plain AND, websearch
+    # (negation / OR keyword / negated phrase), exact phrase, ordered NEAR
+    # (slop) — so the cache/LRU numbers cover the positional decode paths
+    # too (round-4 verdict item 9), sustained q/s + p95 overall and per kind
     import random as _random
 
     from honeywell_search_engine_spark.query.cache import CachedSearcher
 
     rng = _random.Random(42)
-    weights = [1.0 / (i + 1) for i in range(len(qlist))]
-    stream = rng.choices(qlist, weights=weights, k=200)
+    pool = [("and", q) for q in qlist]
+    pool += [
+        ("websearch", "data search -legacy"),
+        ("websearch", 'search engine or "data search"'),
+        ("websearch", 'index -"data search"'),
+        ("phrase", ("data search", 0)),
+        ("phrase", ("search engine", 0)),
+        ("near", ("data engine", 2)),
+        ("near", ("search index", 3)),
+    ]
+    weights = [1.0 / (i + 1) for i in range(len(pool))]
+    stream = rng.choices(pool, weights=weights, k=200)
     cs = CachedSearcher(idx)
     lat = []
+    lat_by_kind: dict = {}
     t0 = time.time()
-    for q in stream:
+    for kind, q in stream:
         tq = time.time()
-        cs.search(q, k=10)
-        lat.append(time.time() - tq)
+        if kind == "and":
+            cs.search(q, k=10)
+        elif kind == "websearch":
+            cs.search_websearch(q, k=10)
+        else:  # phrase / near share the positional cached path
+            ph, slop = q
+            cs.search_phrase(ph, k=10, slop=slop)
+        dt = time.time() - tq
+        lat.append(dt)
+        lat_by_kind.setdefault(kind, []).append(dt)
     stream_sec = time.time() - t0
     lat.sort()
     extra["cached_stream_qps"] = round(len(stream) / stream_sec, 1)
     extra["cached_stream_p95_sec"] = round(lat[int(len(lat) * 0.95) - 1], 4)
     extra["cached_stream_hit_rate"] = round(cs.hits / (cs.hits + cs.misses), 3)
-    log(f"[bench] cached stream: {len(stream)} q in {stream_sec:.2f}s = "
+    extra["cached_stream_mix"] = {
+        k: {
+            "n": len(v),
+            "p95_sec": round(sorted(v)[max(int(len(v) * 0.95) - 1, 0)], 4),
+        }
+        for k, v in sorted(lat_by_kind.items())
+    }
+    log(f"[bench] cached stream (mixed grammar): {len(stream)} q in "
+        f"{stream_sec:.2f}s = "
         f"{extra['cached_stream_qps']} q/s, p95 {extra['cached_stream_p95_sec']}s, "
-        f"hit rate {extra['cached_stream_hit_rate']}")
+        f"hit rate {extra['cached_stream_hit_rate']}, mix "
+        f"{extra['cached_stream_mix']}")
 
     # round-2 capabilities on the same index: phrase + ordered-NEAR
     # (positional decode path) — timed per query, reported as extras
