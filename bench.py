@@ -70,7 +70,7 @@ HEADLINE = [
     "fingerprints",
     "quality_scores",
     "minhash_signatures",
-    "knn_bruteforce",
+    "knn_all",
     "latest_dedup",
     "fusion_confidence",
 ]
@@ -195,26 +195,23 @@ def main() -> None:
     # pairwise slice, at the driver's correctness SF
     rec_dir = os.environ.get("BENCH_RECALL_SF_DIR", "/root/testdata/sf0.01")
     try:
-        exact = {r["vec_id"] for r in qs["knn_bruteforce"](spark, rec_dir).collect()}
-        lsh = {r["vec_id"] for r in qs["knn_lsh"](spark, rec_dir).collect()}
-        ivf = {r["vec_id"] for r in qs["knn_ivf"](spark, rec_dir).collect()}
+        knn_by_op: dict = {}
+        for r in qs["knn_all"](spark, rec_dir).collect():
+            knn_by_op.setdefault(r["op"], set()).add(r["vec_id"])
+        exact, lsh, ivf = (
+            knn_by_op["bruteforce"], knn_by_op["lsh"], knn_by_op["ivf"]
+        )
         extra["knn_lsh_recall_at_10"] = round(len(lsh & exact) / len(exact), 3)
         extra["knn_ivf_recall_at_10"] = round(len(ivf & exact) / len(exact), 3)
-        pe = {
-            (r["id_a"], r["id_b"])
-            for r in qs["cosine_dupes"](spark, rec_dir).collect()
-        }
-        pl = {
-            (r["id_a"], r["id_b"])
-            for r in qs["cosine_dupes_lsh"](spark, rec_dir).collect()
-        }
+        cd_by_op: dict = {}
+        for r in qs["cosine_dupes"](spark, rec_dir).collect():
+            cd_by_op.setdefault(r["op"], set()).add((r["id_a"], r["id_b"]))
+        pe = cd_by_op.get("exact", set())
+        pl = cd_by_op.get("lsh", set())
+        pb = cd_by_op.get("banded", set())
         extra["cosine_dupes_lsh_pair_recall"] = (
             round(len(pl & pe) / len(pe), 3) if pe else None
         )
-        pb = {
-            (r["id_a"], r["id_b"])
-            for r in qs["cosine_dupes_lsh_banded"](spark, rec_dir).collect()
-        }
         extra["cosine_dupes_lsh_banded_pair_recall"] = (
             round(len(pb & pe) / len(pe), 3) if pe else None
         )
