@@ -499,6 +499,7 @@ def main() -> None:
         ("phrase", ("search engine", 0)),
         ("near", ("data engine", 2)),
         ("near", ("search index", 3)),
+        ("near_unordered", ("data engine", 3)),
     ]
     weights = [1.0 / (i + 1) for i in range(len(pool))]
     stream = rng.choices(pool, weights=weights, k=200)
@@ -512,7 +513,10 @@ def main() -> None:
             cs.search(q, k=10)
         elif kind == "websearch":
             cs.search_websearch(q, k=10)
-        else:  # phrase / near share the positional cached path
+        elif kind == "near_unordered":
+            ph, dist = q
+            cs.search_near_unordered(ph, k=10, dist=dist)
+        else:  # phrase / ordered near share the positional cached path
             ph, slop = q
             cs.search_phrase(ph, k=10, slop=slop)
         dt = time.time() - tq

@@ -307,3 +307,37 @@ class OracleIndex:
             scored.append((docid, s))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
+
+    def search_near_unordered(
+        self, query: str, k: int = 10, dist: int = 3
+    ) -> list[tuple[int, float]]:
+        """Ranked unordered two-term NEAR: docs where the two analyzed
+        tokens occur within `dist` filtered positions in either order,
+        scored with the same distinct-term BM25 as search_phrase."""
+        from honeywell_search_engine_spark.functions.analyzer import (
+            tokenize,
+            tokenize_stemmed,
+        )
+
+        terms = (tokenize_stemmed if self.stemmed else tokenize)(query)
+        if len(terms) != 2 or terms[0] == terms[1]:
+            raise ValueError(
+                f"search_near_unordered needs two distinct terms; got {terms!r}"
+            )
+        pa, pb = (self.positions.get(t) for t in terms)
+        if pa is None or pb is None:
+            return []
+        scored = []
+        for docid in pa.keys() & pb.keys():
+            A, Bp = pa[docid], pb[docid]
+            if not any(abs(a - b) <= dist for a in A for b in Bp):
+                continue
+            dl = self.doclen[docid]
+            norm = K1 * (1.0 - B + B * dl / self.avgdl)
+            s = 0.0
+            for t in sorted(set(terms)):
+                tf = float(self.postings[t][docid])
+                s += self.idf(t) * (tf * (K1 + 1.0) / (tf + norm))
+            scored.append((docid, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]

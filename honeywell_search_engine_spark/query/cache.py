@@ -97,3 +97,23 @@ class CachedSearcher:
                 for r in bm25_topk_phrase(self.index, phrase, k, slop).collect()
             ],
         )
+
+    def search_near_unordered(self, query: str, k: int = 10, dist: int = 3) -> list:
+        key = ("nu", query, k, dist)
+        if self._local is not None:
+            return self._get(
+                key, lambda: self._local.search_near_unordered(query, k, dist)
+            )
+        from honeywell_search_engine_spark.query.wand import (
+            bm25_topk_near_unordered,
+        )
+
+        return self._get(
+            key,
+            lambda: [
+                (r["docid"], r["score"])
+                for r in bm25_topk_near_unordered(
+                    self.index, query, k, dist
+                ).collect()
+            ],
+        )

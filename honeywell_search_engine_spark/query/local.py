@@ -311,6 +311,41 @@ class ServingIndex:
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
 
+    def search_near_unordered(
+        self, query: str, k: int = 10, dist: int = 3
+    ) -> list[tuple[int, float]]:
+        """Ranked unordered two-term NEAR — mirrors
+        wand.bm25_topk_near_unordered (same decoded-postings LRU hot path
+        as search_phrase; rank/score bit-identical, tested)."""
+        _aq, _tok, _sg = W._analyzers_for(self)
+        terms = _tok(query)
+        if len(terms) != 2 or terms[0] == terms[1]:
+            raise ValueError(
+                "search_near_unordered is the two-distinct-term NEAR "
+                f"operator; got {terms!r}"
+            )
+        rows_by_term = self._rows_for(terms)
+        if any(not rows_by_term[t] for t in terms):
+            return []
+        idf = {t: self._idf(r) for t, r in rows_by_term.items()}
+        by_shard: dict[int, dict[str, dict]] = {}
+        for t, rows in rows_by_term.items():
+            for row in rows:
+                by_shard.setdefault(int(row["shard"]), {})[t] = row
+        out: list[tuple[int, float]] = []
+        for s, tmap in by_shard.items():
+            if any(t not in tmap for t in terms):
+                continue
+            dead = self._dead.get(s, W._NO_DEAD)
+            pls = [(t, self._decoded(t, s, tmap[t])) for t in terms]
+            res = W._shard_kernel_phrase_decoded(
+                pls, idf, self.avgdl, k, dead, slop=dist, unordered=True
+            )
+            arr = self._docid_of[s]
+            out.extend((int(arr[int(l)]), float(v)) for l, v in res)
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
     def _decoded(self, term: str, shard: int, row: dict):
         """Fully-decoded posting list (flat absolute positions) for one
         (term, shard) row, LRU-memoized — the hot-term working set of a

@@ -98,3 +98,21 @@ def test_cached_searcher_local_misses_equal_spark_path(spark, seg_index):
     for q in list(reference_queries().values())[:6]:
         assert cs_local.search(q, k=10) == cs_spark.search(q, k=10), q
     assert cs_local.hits == 6
+
+
+def test_serving_matches_spark_near_unordered(spark, seg_index, serving, pages_pdf):
+    from honeywell_search_engine_spark.functions.analyzer import analyze
+    from honeywell_search_engine_spark.query.wand import bm25_topk_near_unordered
+
+    en = pages_pdf[pages_pdf.lang == "en"]
+    toks = analyze(en.text.iloc[11])
+    pair = f"{toks[0]} {toks[2]}"
+    for dist in (1, 3):
+        exp = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_near_unordered(
+                seg_index, pair, k=10, dist=dist
+            ).collect()
+        ]
+        assert serving.search_near_unordered(pair, k=10, dist=dist) == exp, dist
+        assert exp  # the derived pair actually matches

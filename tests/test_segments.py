@@ -605,3 +605,63 @@ def test_websearch_batch_equals_per_query(spark, seg_index, pages_pdf):
         assert got.get(qid, []) == exp, qid
         n_nonempty += bool(exp)
     assert n_nonempty >= 3
+
+
+def test_near_unordered_topk_matches_oracle(spark, seg_index, oracle, pages_pdf):
+    """Ranked unordered NEAR: segment path == oracle across distances;
+    symmetric in term order; superset-or-equal of the ordered NEAR hit set
+    at the same distance (ordered chain implies an unordered pair)."""
+    from honeywell_search_engine_spark.functions.analyzer import analyze
+    from honeywell_search_engine_spark.query.wand import (
+        bm25_topk_near_unordered,
+        bm25_topk_phrase,
+    )
+
+    en = pages_pdf[pages_pdf.lang == "en"]
+    toks = analyze(en.text.iloc[11])
+    pair = f"{toks[0]} {toks[2]}"
+    rev = f"{toks[2]} {toks[0]}"
+    sizes = {}
+    for dist in (1, 2, 3):
+        exp = oracle.search_near_unordered(pair, k=20, dist=dist)
+        got = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_near_unordered(
+                seg_index, pair, k=20, dist=dist
+            ).collect()
+        ]
+        assert got == exp, (pair, dist)
+        sizes[dist] = len(exp)
+        # symmetric in term order (scores identical: same distinct terms)
+        got_rev = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_near_unordered(
+                seg_index, rev, k=20, dist=dist
+            ).collect()
+        ]
+        assert got_rev == exp, (rev, dist)
+    assert sizes[1] >= 1
+    assert sizes[1] <= sizes[2] <= sizes[3] or sizes[3] == 20
+    # ordered NEAR at span slop=d-1 (two terms: span <= 1+(d-1)=d) is a
+    # subset of unordered at distance d
+    ordered = {
+        r["docid"]
+        for r in bm25_topk_phrase(seg_index, pair, k=10**6, slop=2).collect()
+    }
+    unordered = {
+        r["docid"]
+        for r in bm25_topk_near_unordered(
+            seg_index, pair, k=10**6, dist=3
+        ).collect()
+    }
+    assert ordered <= unordered
+
+
+def test_near_unordered_validates_input(seg_index):
+    import pytest as _pytest
+
+    from honeywell_search_engine_spark.query.wand import bm25_topk_near_unordered
+
+    for bad in ("data", "data data", "data search engine"):
+        with _pytest.raises(ValueError, match="two-distinct-term"):
+            bm25_topk_near_unordered(seg_index, bad)

@@ -219,3 +219,33 @@ def test_search_response_reranked_composes(spark):
     assert [r["score_r"] for r in resp] == [r["rerank_r"] for r in rer]
     for r in resp:
         assert r["snippet"] and r["confidence"] >= 0
+
+
+def test_rerank_matches_oracle_across_grammar_edges(spark):
+    """rerank vs its DuckDB mirror on the edge shapes the gate doesn't
+    cover: single term (no proximity pairs), two terms, term-absent."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from honeywell_search_engine_spark.operators.serving import rerank_topk
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for q in ("spark", "data table", "zzznotaword"):
+        got = [
+            (r["rnk"], r["docid"], r["rerank_r"], r["score_r"])
+            for r in rerank_topk(docs, q, 50, 10).collect()
+        ]
+        exp = [
+            (int(r[0]), int(r[1]), float(r[2]), float(r[3]))
+            for r in con.sql(E._rerank_sql(q, 50, 10)).fetchall()
+        ]
+        assert got == exp, q
+    # no analyzable terms at all -> empty frame, stable schema
+    empty = rerank_topk(docs, "the of and", 50, 10)
+    assert empty.count() == 0
+    assert empty.columns == ["rnk", "docid", "rerank_r", "score_r"]
