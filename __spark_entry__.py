@@ -108,6 +108,42 @@ def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> Da
     return search.bm25_inflight(_docs(spark, sf_dir), query, k)
 
 
+def _near_unordered_sql(query: str, dist: int = 3, k: int = 10) -> str:
+    """DuckDB mirror of search.bm25_near_unordered_inflight: unordered
+    two-term proximity filter semi-joined into the conjunctive two-term
+    BM25 ranking (same round/order conventions as _bm25_sql)."""
+    from honeywell_search_engine_spark.functions.analyzer import tokenize
+
+    ta, tb = tokenize(query)
+    pa = f"list_filter(range(0, len(toks)), i -> toks[i+1] = '{ta}')"
+    pb = f"list_filter(range(0, len(toks)), i -> toks[i+1] = '{tb}')"
+    return f"""
+WITH {_TOK_CTE},
+prox AS (
+  SELECT doc_id FROM tok
+  WHERE len(list_filter({pa},
+        p -> len(list_filter({pb}, q -> abs(q - p) <= {dist})) > 0)) > 0),
+qtf AS (SELECT * FROM tf WHERE term IN ('{ta}', '{tb}')),
+dft AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, count(*) AS nt,
+         list_sum(list(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (CAST(q.tf AS DOUBLE) * 2.2
+              / (CAST(q.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(l.doclen AS DOUBLE) / s.avgdl)))
+           ORDER BY q.term)) AS score
+  FROM qtf q JOIN dft d USING (term) JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rnk,
+       doc_id AS docid, round(score, 6) AS score_r
+FROM scored
+WHERE nt = 2 AND doc_id IN (SELECT doc_id FROM prox)
+ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"""
+
+
 def _rerank_sql(query: str, k_in: int = 50, k_out: int = 10) -> str:
     """DuckDB mirror of serving.rerank_topk: disjunctive-BM25 top-k_in
     candidates re-scored by the fixed-weight LTR feature combination
@@ -310,6 +346,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hybrid retrieval end-to-end from text: BM25 lexical top-50 + hashed
     # TF-IDF semantic top-50, reciprocal-rank-fused (reference channel
     # composition: routers/search.py lexical+semantic -> fusion.py)
+    # ranked unordered NEAR (A NEAR/k B): proximity set semi-joins the
+    # two-term conjunctive BM25 ranking (the gate-facing sibling of the
+    # segment path's bm25_topk_near_unordered, which is pytest-pinned
+    # engine==oracle==serving)
+    q["bm25_near_unordered"] = lambda s, d: search.bm25_near_unordered_inflight(
+        _docs(s, d), "data query", dist=3, k=10
+    )
     # R7 analog: deterministic fixed-weight LTR rerank of the disjunctive
     # top-50 (the reference reranks its fused top-50 with a cross-encoder,
     # PIPELINE.md:220,228-231 — model-free stand-in, serving.rerank_topk)
@@ -647,6 +690,7 @@ GROUP BY term ORDER BY df DESC, term LIMIT 100"""
     o["bm25_single"] = _bm25_sql("spark")
     o["bm25_conj"] = _bm25_sql(FLAGSHIP_QUERY)
     o["rerank_top50"] = _rerank_sql(FLAGSHIP_QUERY, 50, 10)
+    o["bm25_near_unordered"] = _near_unordered_sql("data query", dist=3, k=10)
 
     terms_and = analyze_query("spark merge vector")
     o["match_and"] = f"""

@@ -421,6 +421,45 @@ def match_near_unordered(
     )
 
 
+def bm25_near_unordered_inflight(
+    docs: DataFrame,
+    query: str,
+    dist: int = 3,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ranked unordered two-term NEAR, index-free (the gate-facing sibling
+    of query/wand.bm25_topk_near_unordered): docs where the two analyzed
+    terms occur within `dist` positions in either order, ranked by
+    two-term conjunctive BM25. Composition: the match_near_unordered
+    proximity set (broadcast — it is at most the smaller term's df)
+    semi-joins the conjunctive BM25 ranking; global corpus stats.
+    Returns (rnk int, docid long, score_r double). Two tokenize passes
+    (match + tf) — fine for a correctness gate; the production ranked
+    path is the single-pass segment kernel."""
+    from honeywell_search_engine_spark.functions.analyzer import tokenize
+
+    terms = tokenize(query)
+    if len(terms) != 2 or terms[0] == terms[1]:
+        raise ValueError(
+            f"bm25_near_unordered_inflight needs two distinct terms; got {terms!r}"
+        )
+    prox = match_near_unordered(docs, query, dist, id_col, text_col).select("docid")
+    ranked = bm25_inflight(docs, " ".join(terms), 2**31 - 1, id_col, text_col)
+    w = Window.orderBy(F.desc("score_r"), F.asc("docid"))
+    return (
+        ranked.join(F.broadcast(prox), "docid", "left_semi")
+        .select(
+            F.row_number().over(w).alias("rnk"),
+            "docid",
+            "score_r",
+        )
+        .orderBy("rnk")
+        .limit(k)
+    )
+
+
 def term_stats_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", top: int = 100
 ) -> DataFrame:
