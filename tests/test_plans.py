@@ -95,3 +95,41 @@ def test_phrase_scan_pruned_and_projected(seg_index):
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters")[1][:200]
     assert "positions" in plan  # positional stream projected to the kernel
+
+
+def test_rerank_plan_shape(spark):
+    """rerank_topk: candidate semi-join broadcasts, final top-k via a
+    single window over 50 rows (no Exchange storm), features stay as
+    column expressions (no Python eval in the plan)."""
+    from honeywell_search_engine_spark.operators.serving import rerank_topk
+    from honeywell_search_engine_spark.plans import (
+        has_broadcast_join,
+        physical_plan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = rerank_topk(docs, "data table query", k_in=50, k_out=10)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)  # candidate ids ride a broadcast
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert bad not in plan  # features are pure column expressions
+
+
+def test_docmap_assignment_single_job_no_collect(spark, pages_path):
+    """assign_local_ids is ONE lazy plan: building it triggers no Spark
+    job (the round-4 version ran an eager count+collect before returning);
+    the cell-offset table rides a broadcast join."""
+    from honeywell_search_engine_spark.index.corpus import docs_from_pages
+    from honeywell_search_engine_spark.index.docmap import assign_local_ids
+    from honeywell_search_engine_spark.plans import has_broadcast_join
+    from honeywell_search_engine_spark.sources.pages import read_pages
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    docs = docs_from_pages(read_pages(spark, pages_path)).select("docid")
+    dm = assign_local_ids(docs, 4)  # must not run anything yet
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "lid assignment must be lazy (no eager job)"
+    assert has_broadcast_join(dm)
+    assert dm.count() > 0  # and it still computes
