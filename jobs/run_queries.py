@@ -26,9 +26,16 @@ def main(argv=None) -> None:
     ap.add_argument("--query", action="append", default=[])
     ap.add_argument("--reference-set", action="store_true")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=["and", "or", "phrase", "websearch", "serve"],
+    ap.add_argument("--mode",
+                choices=["and", "or", "phrase", "near-unordered",
+                         "websearch", "serve"],
                 default="and",
-                help="websearch = full websearch_to_tsquery syntax (quotes, -neg); serve = Spark-free ServingIndex path")
+                help="websearch = full websearch_to_tsquery syntax (quotes, "
+                     "-neg, or); near-unordered = ranked A NEAR/k B "
+                     "(--dist); serve = Spark-free ServingIndex path "
+                     "(jobs/rerank_corpus.py runs the LTR rerank stage)")
+    ap.add_argument("--dist", type=int, default=3,
+                    help="near-unordered max distance")
     ap.add_argument("--batch", action="store_true",
                     help="evaluate all queries in one Spark job")
     ap.add_argument("--cores", type=int, default=None)
@@ -82,10 +89,18 @@ def main(argv=None) -> None:
             bm25_topk_websearch,
         )
 
+        from honeywell_search_engine_spark.query.wand import (
+            bm25_topk_near_unordered,
+        )
+
         for name, q in queries.items():
             t0 = time.time()
             if args.mode == "phrase":
                 rows = bm25_topk_phrase(idx, q, k=args.k).collect()
+            elif args.mode == "near-unordered":
+                rows = bm25_topk_near_unordered(
+                    idx, q, k=args.k, dist=args.dist
+                ).collect()
             elif args.mode == "websearch":
                 rows = bm25_topk_websearch(idx, q, k=args.k).collect()
             else:
