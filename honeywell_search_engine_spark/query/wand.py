@@ -1343,11 +1343,11 @@ def bm25_topk_phrase_batch(
     scan over the union of all phrases' terms, per-shard kernels answer
     every phrase they can serve, one rank window). Returns
     (qid, rnk, docid, score) — identical to per-query bm25_topk_phrase."""
-    from honeywell_search_engine_spark.functions.analyzer import tokenize
     from pyspark.sql import Window
 
     spark = index.spark
-    q_terms = {qid: tokenize(q) for qid, q in queries.items()}
+    _aq, _tok, _sg = _analyzers_for(index)  # stemmed index -> stemmed queries
+    q_terms = {qid: _tok(q) for qid, q in queries.items()}
     live = {qid: ts for qid, ts in q_terms.items() if ts}
     scan_terms = sorted({t for ts in live.values() for t in ts})
     if not scan_terms:
@@ -1410,7 +1410,8 @@ def bm25_topk_wand_batch(
     from pyspark.sql import Window
 
     spark = index.spark
-    q_terms = {qid: analyze_query(q) for qid, q in queries.items()}
+    _aq, _tok, _sg = _analyzers_for(index)  # stemmed index -> stemmed queries
+    q_terms = {qid: _aq(q) for qid, q in queries.items()}
     live_b = {qid: ts for qid, ts in q_terms.items() if ts}
     scan_terms = sorted({t for ts in live_b.values() for t in ts})
     if not scan_terms:

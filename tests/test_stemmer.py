@@ -351,3 +351,47 @@ def test_stem_groups_phrase_terms_survive_cap():
         assert t in all_pos, (t, all_pos)
     # loose portion still capped
     assert len(all_pos) <= MAX_QUERY_TERMS + len(phrases[0])
+
+
+def test_batch_paths_stem_like_per_query(nonfp_stemmed_pair):
+    """The BATCH query paths must switch analyzers with the index exactly
+    like the per-query paths (found in round 5: wand/phrase batch used the
+    unstemmed analyzers unconditionally, so stemmed-index batches diverged
+    from per-query results)."""
+    from honeywell_search_engine_spark.query.wand import (
+        bm25_topk_phrase,
+        bm25_topk_phrase_batch,
+        bm25_topk_wand,
+        bm25_topk_wand_batch,
+    )
+
+    idx, oracle = nonfp_stemmed_pair
+    queries = {
+        "u": "university research",      # stems: univers, research
+        "d": "universities doing",        # surface forms collapse
+        "s": "studies archives",
+    }
+    batch = bm25_topk_wand_batch(idx, queries, k=10).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+    any_hits = False
+    for qid, q in queries.items():
+        exp = [
+            (r["docid"], r["score"])
+            for r in bm25_topk_wand(idx, q, k=10).collect()
+        ]
+        assert got.get(qid, []) == exp, qid
+        assert exp == oracle.search(q, k=10), qid
+        any_hits |= bool(exp)
+    assert any_hits  # batch actually matched on the stemmed corpus
+
+    ph = {"p": "university library"}
+    pbatch = bm25_topk_phrase_batch(idx, ph, k=10).collect()
+    pgot = [(r["docid"], r["score"]) for r in pbatch]
+    pexp = [
+        (r["docid"], r["score"])
+        for r in bm25_topk_phrase(idx, "university library", k=10).collect()
+    ]
+    assert pgot == pexp and pexp == oracle.search_phrase("university library", k=10)
+    assert pexp  # the stemmed phrase really matches doc 3

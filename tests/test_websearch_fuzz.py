@@ -79,3 +79,30 @@ def test_and_or_fuzz(pair):
         assert srv.search(q, k=20, mode=mode) == exp, (q, mode)
 
     check()
+
+
+def test_positional_fuzz(pair):
+    """Phrase / ordered-NEAR / unordered-NEAR: serving == oracle across
+    randomized term pairs+slop/dist on both index variants."""
+    srv, oracle = pair
+    word = st.sampled_from(VOCAB + ["zzznope"])
+
+    @given(word, word, st.integers(min_value=0, max_value=4))
+    @settings(max_examples=150, deadline=None)
+    def check(a, b, slop):
+        ph = f"{a} {b}"
+        assert srv.search_phrase(ph, k=20, slop=slop) == oracle.search_phrase(
+            ph, k=20, slop=slop
+        ), (ph, slop)
+        # unordered needs two distinct analyzed terms
+        from honeywell_search_engine_spark.functions.analyzer import tokenize
+        toks = tokenize(ph)
+        if srv.stemmed:
+            from honeywell_search_engine_spark.functions.stemmer import stem_tokens
+            toks = stem_tokens(toks)
+        if len(toks) == 2 and toks[0] != toks[1] and slop >= 1:
+            assert srv.search_near_unordered(
+                ph, k=20, dist=slop
+            ) == oracle.search_near_unordered(ph, k=20, dist=slop), (ph, slop)
+
+    check()
