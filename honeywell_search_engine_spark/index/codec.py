@@ -99,6 +99,151 @@ def varbyte_decode(buf: bytes, n: int) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# PForDelta block codec (opt-in alternative to varbyte for the three
+# per-posting streams). Classic patched frame-of-reference in the NewPFD
+# family (Zukowski et al., ICDE 2006; Yan/Ding/Suel, WWW 2009 — public
+# algorithms): each 128-value block bit-packs the low `b` bits of every
+# value and patches the few values that do not fit ("exceptions") out of
+# line. The bit width is chosen PER BLOCK by exact byte-cost minimization
+# (deterministic: smallest width wins ties), so the codec never does worse
+# than ~the entropy of the block's common case while staying random-access
+# at block granularity — the same skip/decode contract varbyte has here
+# (d_off/t_off/l_off byte offsets per block; delta chains reset per block).
+#
+# Block layout (self-delimiting):
+#   [b: 1 byte] [n_exc: 1 byte] [exc_section_len: 2 bytes LE]
+#   [packed low bits: ceil(m*b/8) bytes, values little-endian bit order]
+#   [exception slots: n_exc bytes (uint8 in-block positions, ascending)]
+#   [exception high parts (value >> b): varbyte]
+#
+# The positions stream keeps varbyte in both formats: it is sliced by
+# per-VALUE offsets in the mega-batched segment encoder (block=1), which
+# requires a value-wise-independent code.
+# ---------------------------------------------------------------------------
+
+_PFOR_HDR = 4
+
+# W[l, b] = bytes an exception with bit length l costs at width b
+# (1 position byte + ceil((l-b)/7) varbyte digits for the high part).
+_PFOR_EXC_COST = np.zeros((65, 65), dtype=np.int64)
+for _l in range(65):
+    for _b in range(65):
+        if _l > _b:
+            _PFOR_EXC_COST[_l, _b] = 1 + (_l - _b + 6) // 7
+del _l, _b
+_PFOR_FULL_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _pfor_bitlen(v: np.ndarray) -> np.ndarray:
+    """Bit length per value with bitlen(0) = 0 (a zero fits ANY width,
+    including b=0 — unlike varbyte's 1-digit-minimum convention)."""
+    return np.where(v > 0, 64 - _clz64(v), 0).astype(np.int64)
+
+
+def _pfor_pack_block(v: np.ndarray, pl: np.ndarray) -> bytes:
+    """Encode ONE block (m <= 255 values, uint64) -> self-delimiting bytes."""
+    m = v.size
+    widths = (m * np.arange(65, dtype=np.int64) + 7) // 8
+    hist = np.bincount(pl, minlength=65)
+    costs = _PFOR_HDR + widths + hist @ _PFOR_EXC_COST
+    b = int(np.argmin(costs))  # ties -> smallest width
+    mask = _PFOR_FULL_MASK if b == 64 else np.uint64((1 << b) - 1)
+    low = v & mask
+    if b:
+        bits = ((low[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1))
+        packed = np.packbits(
+            bits.astype(np.uint8).reshape(-1), bitorder="little"
+        ).tobytes()
+    else:
+        packed = b""
+    exc = np.flatnonzero(pl > b)
+    if exc.size:
+        high = v[exc] >> np.uint64(b)
+        exc_sec = exc.astype(np.uint8).tobytes() + varbyte_encode(high)
+    else:
+        exc_sec = b""
+    return (
+        bytes((b, exc.size))
+        + len(exc_sec).to_bytes(2, "little")
+        + packed
+        + exc_sec
+    )
+
+
+def pfor_encode(values: np.ndarray, block: int = BLOCK):
+    """PForDelta-encode a stream in `block`-value blocks. Returns
+    (bytes, offsets) with the SAME contract as varbyte_encode(block=...):
+    offsets[i] is the byte offset of block i — the random-access handle."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    pl = _pfor_bitlen(v)
+    chunks = []
+    offsets = np.empty((v.size + block - 1) // block, dtype=np.int64)
+    off = 0
+    for i, s in enumerate(range(0, v.size, block)):
+        offsets[i] = off
+        chunk = _pfor_pack_block(v[s : s + block], pl[s : s + block])
+        chunks.append(chunk)
+        off += len(chunk)
+    return b"".join(chunks), offsets
+
+
+def pfor_decode(buf, n: int, block: int = BLOCK) -> np.ndarray:
+    """Decode n values from consecutive PFor blocks (every block holds
+    `block` values except a possibly-partial final one — exactly the shape
+    pfor_encode emits and decode_blocks' contiguous-run slices preserve)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty(n, dtype=np.uint64)
+    done = 0
+    off = 0
+    while done < n:
+        m = min(block, n - done)
+        b = int(raw[off])
+        n_exc = int(raw[off + 1])
+        exc_len = int(raw[off + 2]) | (int(raw[off + 3]) << 8)
+        off += _PFOR_HDR
+        nbytes = (m * b + 7) // 8
+        if b:
+            bits = np.unpackbits(
+                raw[off : off + nbytes], count=m * b, bitorder="little"
+            ).astype(np.uint64)
+            vals = (bits.reshape(m, b) << np.arange(b, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            )
+        else:
+            vals = np.zeros(m, dtype=np.uint64)
+        off += nbytes
+        if n_exc:
+            pos = raw[off : off + n_exc].astype(np.int64)
+            high = varbyte_decode(raw[off + n_exc : off + exc_len], n_exc)
+            vals[pos] |= high << np.uint64(b)
+        off += exc_len
+        out[done : done + m] = vals
+        done += m
+    return out
+
+
+# stream-level dispatch: EncodedList.fmt -> (encode(values, block) ->
+# (bytes, offsets), decode(buf, n) -> uint64 array). "vb" is the default
+# production codec (value-wise independence feeds the mega-batched segment
+# encoder); "pfor" is the size-optimized option, chosen per build.
+FMT_VB = "vb"
+FMT_PFOR = "pfor"
+# segment-parquet integer tags (schema column `fmt`)
+FMT_TAGS = {FMT_VB: 0, FMT_PFOR: 1}
+FMT_FROM_TAG = {v: k for k, v in FMT_TAGS.items()}
+
+
+def _stream_decode(fmt: str, buf, n: int) -> np.ndarray:
+    if fmt == FMT_PFOR:
+        return pfor_decode(buf, n)
+    return varbyte_decode(buf, n)
+
+
 def bm25_u(tf: np.ndarray, doclen: np.ndarray, avgdl: float) -> np.ndarray:
     """Idf-free BM25 factor, float64 (matches stats.bm25_part_col / oracle)."""
     tf = tf.astype(np.float64)
@@ -153,6 +298,9 @@ class EncodedList:
     # when a phrase query asks for them.
     positions: bytes = b""
     p_off: np.ndarray | None = None
+    # codec of the deltas/tfs/doclens streams: FMT_VB (default) or
+    # FMT_PFOR. positions are ALWAYS varbyte (see the PFor section note).
+    fmt: str = FMT_VB
 
 
 def encode_postings(
@@ -161,6 +309,7 @@ def encode_postings(
     doclens: np.ndarray,
     avgdl: float,
     positions: np.ndarray | None = None,
+    fmt: str = FMT_VB,
 ) -> EncodedList:
     """Encode one sorted posting list. docids MUST be ascending and unique.
     tf is stored as tf-1 (tf >= 1 always), doclen as-is. `positions`, if
@@ -183,10 +332,11 @@ def encode_postings(
 
     bmax_docid = blockify(docids, 0).max(axis=1).astype(np.int64)
     bmax_u = blockify(u, -np.inf).max(axis=1).astype(np.float64)
-    d_b, d_off = varbyte_encode(deltas, block=BLOCK)
+    enc_stream = pfor_encode if fmt == FMT_PFOR else varbyte_encode
+    d_b, d_off = enc_stream(deltas, block=BLOCK)
     tfs_u = np.asarray(tfs, dtype=np.uint64)
-    t_b, t_off = varbyte_encode(tfs_u - np.uint64(1), block=BLOCK)
-    l_b, l_off = varbyte_encode(np.asarray(doclens, dtype=np.uint64), block=BLOCK)
+    t_b, t_off = enc_stream(tfs_u - np.uint64(1), block=BLOCK)
+    l_b, l_off = enc_stream(np.asarray(doclens, dtype=np.uint64), block=BLOCK)
     p_b, p_off = b"", None
     if positions is not None:
         pos = np.asarray(positions, dtype=np.uint64)
@@ -206,7 +356,7 @@ def encode_postings(
         p_b = p_b_full
     return EncodedList(
         int(n), bmax_docid, bmax_u, d_off, t_off, l_off, d_b, t_b, l_b,
-        p_b, p_off,
+        p_b, p_off, fmt,
     )
 
 
@@ -244,10 +394,10 @@ def decode_postings(
     """`flat_positions=True` returns positions as ONE flat absolute-position
     array (per-posting boundaries are the tfs) — the kernel-friendly shape
     with no per-posting list materialization."""
-    deltas = varbyte_decode(enc.deltas, enc.n)
+    deltas = _stream_decode(enc.fmt, enc.deltas, enc.n)
     docids = np.cumsum(deltas, dtype=np.uint64)
-    tfs = varbyte_decode(enc.tfs, enc.n) + np.uint64(1)
-    doclens = varbyte_decode(enc.doclens, enc.n)
+    tfs = _stream_decode(enc.fmt, enc.tfs, enc.n) + np.uint64(1)
+    doclens = _stream_decode(enc.fmt, enc.doclens, enc.n)
     positions = None
     if with_positions and enc.p_off is not None:
         flat = varbyte_decode(enc.positions, int(tfs.sum()))
@@ -302,13 +452,13 @@ def decode_blocks(
         d_end = enc.d_off[b1 + 1] if b1 + 1 < nblocks else len(enc.deltas)
         t_end = enc.t_off[b1 + 1] if b1 + 1 < nblocks else len(enc.tfs)
         l_end = enc.l_off[b1 + 1] if b1 + 1 < nblocks else len(enc.doclens)
-        d = varbyte_decode(enc.deltas[enc.d_off[b0] : d_end], cnt)
+        d = _stream_decode(enc.fmt, enc.deltas[enc.d_off[b0] : d_end], cnt)
         base = np.uint64(enc.bmax_docid[b0 - 1]) if b0 > 0 else np.uint64(0)
         docids = np.cumsum(d, dtype=np.uint64) + base
         parts_d.append(docids)
-        tfs_b = varbyte_decode(enc.tfs[enc.t_off[b0] : t_end], cnt) + np.uint64(1)
+        tfs_b = _stream_decode(enc.fmt, enc.tfs[enc.t_off[b0] : t_end], cnt) + np.uint64(1)
         parts_t.append(tfs_b)
-        parts_l.append(varbyte_decode(enc.doclens[enc.l_off[b0] : l_end], cnt))
+        parts_l.append(_stream_decode(enc.fmt, enc.doclens[enc.l_off[b0] : l_end], cnt))
         if want_pos:
             p_end = enc.p_off[b1 + 1] if b1 + 1 < nblocks else len(enc.positions)
             flat = varbyte_decode(

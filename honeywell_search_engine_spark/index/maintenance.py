@@ -75,6 +75,9 @@ def _rewrite_kernel(dead_bc, avgdl: float):
                     doclens=bytes(row["doclens"]),
                     positions=bytes(row["positions"]) if row["positions"] is not None else b"",
                     p_off=np.asarray(row["p_off"], np.int64) if row["p_off"] is not None else None,
+                    fmt=codec.FMT_FROM_TAG[int(row["fmt"])]
+                    if "fmt" in row and row["fmt"] is not None
+                    else codec.FMT_VB,
                 )
                 pl = codec.decode_postings(enc, with_positions=True)
                 dead_arr = dead_map.get(int(row["shard"]), _EMPTY)
@@ -93,7 +96,7 @@ def _rewrite_kernel(dead_bc, avgdl: float):
                     _encode_group(
                         row["term"], int(row["shard"]), int(row["bucket"]),
                         pl.docids[keep], pl.tfs[keep], pl.doclens[keep], avgdl,
-                        positions=pos,
+                        positions=pos, fmt=enc.fmt,
                     )
                 )
             if out:

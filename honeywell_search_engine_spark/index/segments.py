@@ -76,7 +76,7 @@ SEGMENT_SCHEMA = (
     "bmax_docid array<long>, bmax_u array<double>, "
     "d_off array<long>, t_off array<long>, l_off array<long>, "
     "deltas binary, tfs binary, doclens binary, "
-    "positions binary, p_off array<long>, bucket int"
+    "positions binary, p_off array<long>, fmt int, bucket int"
 )
 
 
@@ -99,6 +99,7 @@ def _pa_segment_schema():
             ("doclens", pa.binary()),
             ("positions", pa.binary()),
             ("p_off", pa.list_(pa.int64())),
+            ("fmt", pa.int32()),
             ("bucket", pa.int32()),
         ]
     )
@@ -114,7 +115,7 @@ PA_SEGMENT_SCHEMA = _pa_segment_schema()
 
 def _encode_group(term: str, shard: int, bucket: int,
                   docids, tfs, doclens, avgdl: float,
-                  positions=None) -> dict:
+                  positions=None, fmt: str = codec.FMT_VB) -> dict:
     """Encode one (term, shard) posting list from docid-sorted, unique
     (docid, tf, doclen) arrays. `positions`, if given, is the flat
     (docid, position)-ordered position stream (length = sum(tfs)); callers
@@ -127,7 +128,7 @@ def _encode_group(term: str, shard: int, bucket: int,
     enc = codec.encode_postings(
         docids[order], np.asarray(tfs)[order],
         np.asarray(doclens)[order], avgdl,
-        positions=positions,
+        positions=positions, fmt=fmt,
     )
     return {
         "term": term,
@@ -144,11 +145,12 @@ def _encode_group(term: str, shard: int, bucket: int,
         "doclens": enc.doclens,
         "positions": enc.positions,
         "p_off": enc.p_off.tolist() if enc.p_off is not None else None,
+        "fmt": codec.FMT_TAGS[fmt],
         "bucket": int(bucket),
     }
 
 
-def make_segment_encoder(avgdl: float, n_buckets: int):
+def make_segment_encoder(avgdl: float, n_buckets: int, fmt: str = codec.FMT_VB):
     """mapInArrow kernel: consumes (term, shard, lid, doclen, pos)
     OCCURRENCE batches sorted by (term, shard, lid, pos) within the
     partition — duplicate lids are occurrences; tf = run length. Emits one
@@ -201,13 +203,14 @@ def make_segment_encoder(avgdl: float, n_buckets: int):
         posd[0] = pou[0]
         np.subtract(pou[1:], pou[:-1], out=posd[1:])
         posd[p_idx] = pou[p_idx]
-        d_b, d_voff = codec.varbyte_encode(deltas, block=1)
-        t_b, t_voff = codec.varbyte_encode(tf - np.uint64(1), block=1)
-        l_b, l_voff = codec.varbyte_encode(dlp, block=1)
+        if fmt == codec.FMT_VB:
+            d_b, d_voff = codec.varbyte_encode(deltas, block=1)
+            t_b, t_voff = codec.varbyte_encode(tf - np.uint64(1), block=1)
+            l_b, l_voff = codec.varbyte_encode(dlp, block=1)
+            d_voff = np.append(d_voff, len(d_b))
+            t_voff = np.append(t_voff, len(t_b))
+            l_voff = np.append(l_voff, len(l_b))
         p_b, p_voff = codec.varbyte_encode(posd, block=1)
-        d_voff = np.append(d_voff, len(d_b))
-        t_voff = np.append(t_voff, len(t_b))
-        l_voff = np.append(l_voff, len(l_b))
         p_voff = np.append(p_voff, len(p_b))
         u = codec.bm25_u_bound(tf)
         occ_start = np.append(p_idx, n)  # occurrence start per posting (+end)
@@ -225,8 +228,35 @@ def make_segment_encoder(avgdl: float, n_buckets: int):
                 dd = np.concatenate([dd, np.zeros(pad, dtype=dd.dtype)])
                 uu = np.concatenate([uu, np.full(pad, -np.inf)])
             term = t_vals[int(t[run_rows[r]])]
-            d0, t0_, l0 = int(d_voff[ps]), int(t_voff[ps]), int(l_voff[ps])
             p0 = int(p_voff[occ_start[ps]])
+            if fmt == codec.FMT_PFOR:
+                # PFor blocks are NOT value-wise independent, so the
+                # shared-buffer slicing above doesn't apply: re-encode the
+                # three per-posting streams per run (positions stay
+                # varbyte — per-value offsets are the phrase path's
+                # random-access handle). Byte-identical to
+                # encode_postings(fmt="pfor") on the same run (tested).
+                d_b_r, d_off_r = codec.pfor_encode(deltas[ps:pe])
+                t_b_r, t_off_r = codec.pfor_encode(tf[ps:pe] - np.uint64(1))
+                l_b_r, l_off_r = codec.pfor_encode(dlp[ps:pe])
+                streams = {
+                    "d_off": d_off_r.tolist(),
+                    "t_off": t_off_r.tolist(),
+                    "l_off": l_off_r.tolist(),
+                    "deltas": d_b_r,
+                    "tfs": t_b_r,
+                    "doclens": l_b_r,
+                }
+            else:
+                d0, t0_, l0 = int(d_voff[ps]), int(t_voff[ps]), int(l_voff[ps])
+                streams = {
+                    "d_off": (d_voff[blk] - d0).tolist(),
+                    "t_off": (t_voff[blk] - t0_).tolist(),
+                    "l_off": (l_voff[blk] - l0).tolist(),
+                    "deltas": d_b[d0 : int(d_voff[pe])],
+                    "tfs": t_b[t0_ : int(t_voff[pe])],
+                    "doclens": l_b[l0 : int(l_voff[pe])],
+                }
             rows.append(
                 {
                     "term": term,
@@ -237,14 +267,10 @@ def make_segment_encoder(avgdl: float, n_buckets: int):
                     .astype(np.int64).tolist(),
                     "bmax_u": uu.reshape(nblocks, B_).max(axis=1)
                     .astype(np.float64).tolist(),
-                    "d_off": (d_voff[blk] - d0).tolist(),
-                    "t_off": (t_voff[blk] - t0_).tolist(),
-                    "l_off": (l_voff[blk] - l0).tolist(),
-                    "deltas": d_b[d0 : int(d_voff[pe])],
-                    "tfs": t_b[t0_ : int(t_voff[pe])],
-                    "doclens": l_b[l0 : int(l_voff[pe])],
+                    **streams,
                     "positions": p_b[p0 : int(p_voff[occ_start[pe]])],
                     "p_off": (p_voff[occ_start[blk]] - p0).tolist(),
+                    "fmt": codec.FMT_TAGS[fmt],
                     "bucket": int(bucket_of(term, n_buckets)),
                 }
             )
@@ -400,7 +426,8 @@ def bucket_checksums(spark: SparkSession, seg_path: str, buckets: list[int]) -> 
             # ANSI mode (sum of 64-bit hashes overflows LongType)
             F.bit_xor(
                 F.xxhash64(
-                    "term", "shard", "n", "deltas", "tfs", "doclens", "positions"
+                    "term", "shard", "n", "fmt",
+                    "deltas", "tfs", "doclens", "positions"
                 )
             ).alias("checksum"),
         )
@@ -437,6 +464,7 @@ def build_segments(
     buckets_per_job: int = 16,
     progress: bool = False,
     stemmed: bool = False,
+    codec_fmt: str = codec.FMT_VB,
 ) -> None:
     """Full (resumable) index build. Safe to re-invoke after a crash: every
     completed unit is skipped via its manifest; a fingerprint mismatch
@@ -445,7 +473,15 @@ def build_segments(
     `stemmed` records (in stats.json) that tok_docs carried Porter-stemmed
     tokens (corpus.tokenized_docs(stem=True)); SegmentIndex/ServingIndex
     read the flag and switch their query analyzers to the stemmed variants
-    automatically — callers never have to know how an index was built."""
+    automatically — callers never have to know how an index was built.
+
+    `codec_fmt` picks the posting-stream codec: "vb" (varbyte, the
+    throughput default — its value-wise independence feeds the
+    mega-batched encoder) or "pfor" (PForDelta, size-optimized; see
+    index/codec.py). The flag is persisted in stats.json and stamped on
+    every segment row, so queries/merges/compaction need no out-of-band
+    knowledge and mixed-codec indexes (old buckets vb, merged buckets
+    pfor) decode correctly per row."""
     spark = tok_docs.sparkSession
     os.makedirs(index_dir, exist_ok=True)
     fp = input_fingerprint(spark, input_path)
@@ -463,6 +499,13 @@ def build_segments(
                 f"index at {index_dir} was built with stemmed="
                 f"{p1.get('stemmed', False)}; refusing to resume with "
                 f"stemmed={stemmed} (mixed analyzers in one index)"
+            )
+        if p1.get("codec", codec.FMT_VB) != codec_fmt:
+            raise ValueError(
+                f"index at {index_dir} was built with codec="
+                f"{p1.get('codec', codec.FMT_VB)}; refusing to resume with "
+                f"codec={codec_fmt} (a resumed build must re-encode only "
+                f"missing buckets byte-identically)"
             )
     else:
         t0 = time.time()
@@ -541,6 +584,7 @@ def build_segments(
                     "n_buckets": n_buckets,
                     "n_shards": n_shards,
                     "stemmed": stemmed,
+                    "codec": codec_fmt,
                 },
                 f,
             )
@@ -556,6 +600,7 @@ def build_segments(
                 "n_buckets": n_buckets,
                 "n_shards": n_shards,
                 "stemmed": stemmed,
+                "codec": codec_fmt,
                 "elapsed_sec": round(time.time() - t0, 2),
             },
         )
@@ -579,6 +624,7 @@ def encode_pending_buckets(
         meta = json.load(f)
     avgdl = meta["avgdl"]
     n_buckets = meta["n_buckets"]
+    codec_fmt = meta.get("codec", codec.FMT_VB)
     todo = [
         b
         for b in range(n_buckets)
@@ -601,7 +647,7 @@ def encode_pending_buckets(
     # (dictionary encode, carry splice, varbyte setup) dominates at the
     # 10k default; measured fastest at ~100k (bigger thrashes caches)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
-    encoder = make_segment_encoder(avgdl, n_buckets)
+    encoder = make_segment_encoder(avgdl, n_buckets, fmt=codec_fmt)
     try:
         for i in range(0, len(todo), buckets_per_job):
             chunk = todo[i : i + buckets_per_job]
@@ -716,6 +762,7 @@ class SegmentIndex:
         self.n_buckets = meta["n_buckets"]
         self.n_shards = meta["n_shards"]
         self.stemmed = bool(meta.get("stemmed", False))
+        self.codec_fmt = meta.get("codec", "vb")
         missing = [
             b
             for b in range(self.n_buckets)
@@ -842,7 +889,8 @@ def index_report(spark: SparkSession, index_dir: str) -> "DataFrame":
             ).alias("payload_bytes"),
             F.bit_xor(
                 F.xxhash64(
-                    "term", "shard", "n", "deltas", "tfs", "doclens", "positions"
+                    "term", "shard", "n", "fmt",
+                    "deltas", "tfs", "doclens", "positions"
                 )
             ).alias("live_checksum"),
         )

@@ -64,6 +64,7 @@ class ServingIndex:
         # a Porter-stemmed index stems its queries too (same contract as
         # the Spark path — wand._analyzers_for reads this flag)
         self.stemmed = bool(meta.get("stemmed", False))
+        self.codec_fmt = meta.get("codec", "vb")
         # forward index: per-shard lid->docid (lids may have holes after
         # compaction — fill with -1) + sorted docid->lid translation pair
         dm = pq.read_table(

@@ -84,6 +84,9 @@ def _enc_from_row(row) -> codec.EncodedList:
         doclens=bytes(row["doclens"]),
         positions=bytes(row["positions"]) if "positions" in row and row["positions"] is not None else b"",
         p_off=np.asarray(p_off, dtype=np.int64) if p_off is not None else None,
+        # per-row stream codec (segment schema `fmt`); rows from indexes
+        # built before the column existed decode as varbyte
+        fmt=codec.FMT_FROM_TAG[int(row["fmt"])] if "fmt" in row and row["fmt"] is not None else codec.FMT_VB,
     )
 
 

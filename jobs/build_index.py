@@ -43,6 +43,9 @@ def main(argv=None) -> None:
                     help="local-mode cores; omit under spark-submit on a cluster")
     ap.add_argument("--from-html", action="store_true",
                     help="re-extract text from the html column (Arrow UDF)")
+    ap.add_argument("--codec", choices=("vb", "pfor"), default="vb",
+                    help="posting-stream codec: vb (varbyte, throughput "
+                         "default) or pfor (PForDelta, size-optimized)")
     ap.add_argument("--stemmed", action="store_true",
                     help="Porter-stem the token stream (reference T8/T9: "
                          "to_tsvector('english', ...)); queries against "
@@ -83,6 +86,7 @@ def main(argv=None) -> None:
         buckets_per_job=args.buckets_per_job,
         progress=True,
         stemmed=args.stemmed,
+        codec_fmt=args.codec,
     )
     elapsed = time.time() - t0
     with open(f"{args.index}/stats.json") as f:
