@@ -390,6 +390,94 @@ def pfor_decode(buf, n: int, block: int = BLOCK) -> np.ndarray:
     return out
 
 
+def pfor_decode_at(buf, offs: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized decode of n values from consecutive PFor blocks whose
+    byte offsets are KNOWN (offs[i] = start of block i — exactly the
+    d_off/t_off/l_off arrays the EncodedList stores). Inverse of the
+    mega-batched encoder: headers read in one gather, low bits of all
+    same-width blocks unpacked/repacked in uint8 C kernels, exceptions
+    patched with a Python loop over exception BLOCKS only (rare by
+    construction — the width minimizer prices them out).
+
+    Equivalent to pfor_decode(buf, n) (tested), ~O(blocks) Python cost
+    -> O(width classes)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    offs = np.asarray(offs, dtype=np.int64)[: (n + BLOCK - 1) // BLOCK]
+    nb = offs.size
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    w = raw[offs].astype(np.int64)
+    n_exc = raw[offs + 1].astype(np.int64)
+    exc_len = raw[offs + 2].astype(np.int64) | (
+        raw[offs + 3].astype(np.int64) << 8
+    )
+    m = np.full(nb, BLOCK, dtype=np.int64)
+    m[-1] = n - (nb - 1) * BLOCK
+    pb = (m * w + 7) // 8
+    out = np.zeros(n, dtype=np.uint64)
+    arange_blk = np.arange(BLOCK, dtype=np.int64)
+    pad = int(((BLOCK * 64 + 7) // 8))  # widest possible packed section
+    rawp = None
+    for b in np.unique(w):
+        b = int(b)
+        if b == 0:
+            continue  # low bits all zero; exceptions patched below
+        rows = np.flatnonzero(w == b)
+        pbb = (BLOCK * b + 7) // 8
+        if rawp is None:
+            rawp = np.concatenate([raw, np.zeros(pad, dtype=np.uint8)])
+            win_cache: dict = {}
+        if pbb not in win_cache:
+            win_cache[pbb] = np.lib.stride_tricks.sliding_window_view(
+                rawp, pbb
+            )
+        packed = win_cache[pbb][offs[rows] + _PFOR_HDR]  # (rows, pbb) copy
+        dt = np.dtype(
+            "<u1" if b <= 8 else "<u2" if b <= 16
+            else "<u4" if b <= 32 else "<u8"
+        )
+        dtbits = dt.itemsize * 8
+        bits = np.unpackbits(packed, axis=1, bitorder="little")[
+            :, : BLOCK * b
+        ].reshape(rows.size, BLOCK, b)
+        full = np.zeros((rows.size, BLOCK, dtbits), dtype=np.uint8)
+        full[:, :, :b] = bits
+        vals = (
+            np.packbits(
+                full.reshape(rows.size, BLOCK * dtbits),
+                axis=1, bitorder="little",
+            )
+            .view(dt)
+            .astype(np.uint64)
+        )
+        idx = rows[:, None] * BLOCK + arange_blk[None, :]
+        sel = idx < n  # only the global last block is partial
+        out[idx[sel]] = vals[sel]
+    exc_rows = np.flatnonzero(n_exc)
+    if exc_rows.size:
+        # one pass for ALL exception blocks: gather the position bytes and
+        # splice every block's varbyte high-part section into one stream
+        # (varbyte is self-delimiting per value, so k_i values per section
+        # concatenate losslessly into one sum(k_i)-value decode)
+        k = n_exc[exc_rows]
+        total = int(k.sum())
+        sec = offs[exc_rows] + _PFOR_HDR + pb[exc_rows]
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(k)))[:-1], k
+        )
+        pos = raw[np.repeat(sec, k) + within].astype(np.int64)
+        hlen = exc_len[exc_rows] - k
+        hwithin = np.arange(int(hlen.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(hlen)))[:-1], hlen
+        )
+        hbytes = raw[np.repeat(sec + k, hlen) + hwithin]
+        high = varbyte_decode(hbytes.tobytes(), total)
+        out[np.repeat(exc_rows * BLOCK, k) + pos] |= high << np.repeat(
+            w[exc_rows], k
+        ).astype(np.uint64)
+    return out
+
+
 # stream-level dispatch: EncodedList.fmt -> (encode(values, block) ->
 # (bytes, offsets), decode(buf, n) -> uint64 array). "vb" is the default
 # production codec (value-wise independence feeds the mega-batched segment
@@ -401,8 +489,13 @@ FMT_TAGS = {FMT_VB: 0, FMT_PFOR: 1}
 FMT_FROM_TAG = {v: k for k, v in FMT_TAGS.items()}
 
 
-def _stream_decode(fmt: str, buf, n: int) -> np.ndarray:
+def _stream_decode(fmt: str, buf, n: int, offs=None) -> np.ndarray:
+    """offs (per-block byte offsets, relative to buf) unlocks the
+    vectorized pfor path; without it pfor falls back to the sequential
+    block walk. varbyte ignores offs (its decode is already one pass)."""
     if fmt == FMT_PFOR:
+        if offs is not None:
+            return pfor_decode_at(buf, offs, n)
         return pfor_decode(buf, n)
     return varbyte_decode(buf, n)
 
@@ -557,10 +650,10 @@ def decode_postings(
     """`flat_positions=True` returns positions as ONE flat absolute-position
     array (per-posting boundaries are the tfs) — the kernel-friendly shape
     with no per-posting list materialization."""
-    deltas = _stream_decode(enc.fmt, enc.deltas, enc.n)
+    deltas = _stream_decode(enc.fmt, enc.deltas, enc.n, enc.d_off)
     docids = np.cumsum(deltas, dtype=np.uint64)
-    tfs = _stream_decode(enc.fmt, enc.tfs, enc.n) + np.uint64(1)
-    doclens = _stream_decode(enc.fmt, enc.doclens, enc.n)
+    tfs = _stream_decode(enc.fmt, enc.tfs, enc.n, enc.t_off) + np.uint64(1)
+    doclens = _stream_decode(enc.fmt, enc.doclens, enc.n, enc.l_off)
     positions = None
     if with_positions and enc.p_off is not None:
         flat = varbyte_decode(enc.positions, int(tfs.sum()))
@@ -615,13 +708,20 @@ def decode_blocks(
         d_end = enc.d_off[b1 + 1] if b1 + 1 < nblocks else len(enc.deltas)
         t_end = enc.t_off[b1 + 1] if b1 + 1 < nblocks else len(enc.tfs)
         l_end = enc.l_off[b1 + 1] if b1 + 1 < nblocks else len(enc.doclens)
-        d = _stream_decode(enc.fmt, enc.deltas[enc.d_off[b0] : d_end], cnt)
+        if enc.fmt == FMT_PFOR:
+            d_ro = np.asarray(enc.d_off[b0 : b1 + 1], dtype=np.int64)
+            t_ro = np.asarray(enc.t_off[b0 : b1 + 1], dtype=np.int64)
+            l_ro = np.asarray(enc.l_off[b0 : b1 + 1], dtype=np.int64)
+            d_ro, t_ro, l_ro = d_ro - d_ro[0], t_ro - t_ro[0], l_ro - l_ro[0]
+        else:
+            d_ro = t_ro = l_ro = None
+        d = _stream_decode(enc.fmt, enc.deltas[enc.d_off[b0] : d_end], cnt, d_ro)
         base = np.uint64(enc.bmax_docid[b0 - 1]) if b0 > 0 else np.uint64(0)
         docids = np.cumsum(d, dtype=np.uint64) + base
         parts_d.append(docids)
-        tfs_b = _stream_decode(enc.fmt, enc.tfs[enc.t_off[b0] : t_end], cnt) + np.uint64(1)
+        tfs_b = _stream_decode(enc.fmt, enc.tfs[enc.t_off[b0] : t_end], cnt, t_ro) + np.uint64(1)
         parts_t.append(tfs_b)
-        parts_l.append(_stream_decode(enc.fmt, enc.doclens[enc.l_off[b0] : l_end], cnt))
+        parts_l.append(_stream_decode(enc.fmt, enc.doclens[enc.l_off[b0] : l_end], cnt, l_ro))
         if want_pos:
             p_end = enc.p_off[b1 + 1] if b1 + 1 < nblocks else len(enc.positions)
             flat = varbyte_decode(

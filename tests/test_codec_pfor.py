@@ -83,6 +83,43 @@ def test_pfor_deterministic():
     assert a == b
 
 
+@pytest.mark.parametrize("i", range(len(_cases())))
+def test_pfor_decode_at_equals_sequential(i):
+    """The vectorized known-offsets decoder must be value-identical to the
+    sequential block walk on every stream shape (zero-width blocks, all-
+    exception blocks, 64-bit extremes, partial last block)."""
+    v = _cases()[i]
+    buf, offs = codec.pfor_encode(v)
+    out = codec.pfor_decode_at(buf, offs, v.size)
+    assert out.dtype == np.uint64
+    assert np.array_equal(out, v)
+
+
+def test_pfor_decode_at_midstream_slice():
+    """decode_blocks hands pfor_decode_at a SLICED buffer with offsets
+    rebased to 0 — any contiguous block run must decode exactly."""
+    rng = _rng()
+    v = rng.permutation(
+        np.concatenate(
+            [rng.integers(0, 16, 2000), rng.integers(2**30, 2**35, 60)]
+        )
+    ).astype(np.uint64)
+    buf, offs = codec.pfor_encode(v)
+    nb = offs.size
+    for b0, b1 in [(0, 0), (0, nb - 1), (3, 7), (nb - 2, nb - 1), (5, 5)]:
+        end = offs[b1 + 1] if b1 + 1 < nb else len(buf)
+        cnt = min(v.size, (b1 + 1) * codec.BLOCK) - b0 * codec.BLOCK
+        ro = np.asarray(offs[b0 : b1 + 1], dtype=np.int64) - int(offs[b0])
+        out = codec.pfor_decode_at(buf[offs[b0] : end], ro, cnt)
+        assert np.array_equal(
+            out, v[b0 * codec.BLOCK : b0 * codec.BLOCK + cnt]
+        ), f"run {b0}-{b1}"
+
+
+def test_pfor_decode_at_empty():
+    assert codec.pfor_decode_at(b"", np.zeros(0, np.int64), 0).size == 0
+
+
 def test_pfor_beats_varbyte_on_posting_deltas():
     """On dense-lid posting deltas (the stream the codec exists for) PFor
     must not be larger than varbyte: deltas of a 30%-df head term over
