@@ -723,6 +723,7 @@ def encode_pending_buckets(
     obs = Observation("term_stats_totals")
     (
         ts.coalesce(1)
+        .sortWithinPartitions("term")  # row-group pruning for prefix scans
         .observe(obs, F.sum("df").alias("n_postings"))
         .write.mode("overwrite")
         .parquet(f"{index_dir}/term_stats")
