@@ -51,10 +51,21 @@ from honeywell_search_engine_spark.query import wand as W
 class ServingIndex:
     """Spark-free reader over a segment index directory (serving node)."""
 
-    def __init__(self, path: str, term_cache_capacity: int = 65536):
+    def __init__(
+        self,
+        path: str,
+        term_cache_capacity: int = 65536,
+        decode_through: bool = True,
+    ):
         import pyarrow.parquet as pq
 
         self.path = path
+        # decode-through: AND/OR/single queries run on fully-decoded
+        # posting lists from the (term, shard) LRU — warm queries skip
+        # codec work entirely (phrase/NEAR already did this). False keeps
+        # the block-selective encoded kernels (used by parity tests; also
+        # the right setting for a one-shot cold query over a huge term).
+        self.decode_through = decode_through
         with open(f"{path}/stats.json") as f:
             meta = json.load(f)
         self.n_docs = int(meta["n_docs"])
@@ -199,6 +210,32 @@ class ServingIndex:
         for s, trs in by_shard.items():
             dead = self._dead.get(s, W._NO_DEAD)
             sc = scope.get(s, W._NO_DEAD) if scope is not None else None
+            if self.decode_through:
+                pls = [(t, self._decoded(t, s, r)) for t, r in trs]
+                neg_pls = [
+                    (t, self._decoded(t, s, r))
+                    for t, r in neg_by_shard.get(s, [])
+                ]
+                if mode == "and":
+                    if len(pls) < len(terms):
+                        continue
+                    if len(terms) == 1:
+                        res = W._topk_single_decoded(
+                            pls[0][1], idf[pls[0][0]], self.avgdl, k, dead,
+                            sc, neg_pls,
+                        )
+                    else:
+                        res = W._shard_kernel_and_decoded(
+                            pls, idf, self.avgdl, k, dead, scope=sc,
+                            neg_pls=neg_pls,
+                        )
+                else:
+                    res = W._shard_kernel_or_decoded(
+                        pls, idf, self.avgdl, k, dead, scope=sc
+                    )
+                arr = self._docid_of[s]
+                out.extend((int(arr[int(l)]), float(v)) for l, v in res)
+                continue
             rows = [(t, W._enc_from_row(r)) for t, r in trs]
             neg_rows = [
                 (t, W._enc_from_row(r)) for t, r in neg_by_shard.get(s, [])
@@ -303,7 +340,7 @@ class ServingIndex:
             if any(t not in tmap for t in terms):
                 continue
             dead = self._dead.get(s, W._NO_DEAD)
-            pls = [(t, self._decoded(t, s, tmap[t])) for t in terms]
+            pls = [(t, self._decoded(t, s, tmap[t], positions=True)) for t in terms]
             res = W._shard_kernel_phrase_decoded(
                 pls, idf, self.avgdl, k, dead, slop
             )
@@ -338,7 +375,7 @@ class ServingIndex:
             if any(t not in tmap for t in terms):
                 continue
             dead = self._dead.get(s, W._NO_DEAD)
-            pls = [(t, self._decoded(t, s, tmap[t])) for t in terms]
+            pls = [(t, self._decoded(t, s, tmap[t], positions=True)) for t in terms]
             res = W._shard_kernel_phrase_decoded(
                 pls, idf, self.avgdl, k, dead, slop=dist, unordered=True
             )
@@ -347,19 +384,26 @@ class ServingIndex:
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
 
-    def _decoded(self, term: str, shard: int, row: dict):
-        """Fully-decoded posting list (flat absolute positions) for one
-        (term, shard) row, LRU-memoized — the hot-term working set of a
-        serving node, same idea as the encoded-row LRU one level up."""
+    def _decoded(self, term: str, shard: int, row: dict,
+                 positions: bool = False):
+        """Fully-decoded posting list for one (term, shard) row,
+        LRU-memoized — the hot-term working set of a serving node, same
+        idea as the encoded-row LRU one level up. Positions (flat
+        absolute) decode only when a positional query first asks
+        (`positions=True`); an entry cached without them is upgraded in
+        place, so AND/OR traffic never pays for position decode and a
+        later phrase query on the same term still hits the LRU."""
         from honeywell_search_engine_spark.index import codec
 
         key = (term, shard)
         pl = self._dec_lru.get(key)
-        if pl is None:
+        if pl is None or (positions and pl.positions is None):
             pl = codec.decode_postings(
-                W._enc_from_row(row), with_positions=True, flat_positions=True
+                W._enc_from_row(row), with_positions=positions,
+                flat_positions=True,
             )
             self._dec_lru[key] = pl
+            self._dec_lru.move_to_end(key)
             if len(self._dec_lru) > self._dec_cap:
                 self._dec_lru.popitem(last=False)
         else:

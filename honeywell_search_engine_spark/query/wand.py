@@ -410,6 +410,120 @@ def _shard_kernel_or(term_rows: list, idf: dict[str, float], avgdl: float,
     return _select_topk_with_ties(union.astype(np.int64), score, k)
 
 
+def _member_mask(sorted_ids: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """True where cand[i] appears in sorted_ids (both int64-comparable,
+    sorted_ids ascending) — one searchsorted, no decode, no Python set."""
+    if cand.size == 0 or sorted_ids.size == 0:
+        return np.zeros(cand.size, dtype=bool)
+    pos = np.searchsorted(sorted_ids, cand)
+    ok = pos < sorted_ids.size
+    out = np.zeros(cand.size, dtype=bool)
+    out[ok] = sorted_ids[pos[ok]] == cand[ok]
+    return out
+
+
+def _topk_single_decoded(pl, idf: float, avgdl: float, k: int,
+                         dead: np.ndarray = _NO_DEAD,
+                         scope: np.ndarray | None = None, neg_pls: list = ()):
+    """Single-term top-k over a PRE-DECODED posting list — the serving
+    decoded-LRU hot path. No block pruning (there is nothing left to
+    skip once the list is in memory as arrays); scores are the same
+    idf * _u_exact as _topk_single, so rank/score are bit-identical
+    (elementwise scoring commutes with filtering; pinned by
+    tests/test_local_serving.py)."""
+    lids = pl.docids.astype(np.int64)
+    scores = idf * _u_exact(pl.tfs, pl.doclens, avgdl)
+    if dead.size:
+        alive = ~np.isin(lids, dead)
+        lids, scores = lids[alive], scores[alive]
+    if scope is not None:
+        m = np.isin(lids, scope)
+        lids, scores = lids[m], scores[m]
+    for _t, npl in neg_pls:
+        if lids.size == 0:
+            break
+        keep = ~_member_mask(npl.docids.astype(np.int64), lids)
+        lids, scores = lids[keep], scores[keep]
+    return _select_topk_with_ties(lids, scores, k)
+
+
+def _shard_kernel_and_decoded(term_pls: list, idf: dict[str, float],
+                              avgdl: float, k: int,
+                              dead: np.ndarray = _NO_DEAD,
+                              scope: np.ndarray | None = None,
+                              neg_pls: list = ()):
+    """Conjunctive kernel over PRE-DECODED posting lists: term_pls =
+    [(term, PostingList)], all query terms present (caller enforces).
+    Same evaluation order as _shard_kernel_and — rarest list drives,
+    dead/scope/negation applied to the driver before intersection, exact
+    scores summed in lexicographic term order — so rank/score are
+    bit-identical to the encoded kernel (same float ops on the same
+    values; the encoded kernel's pruning is exact, so skipping it cannot
+    change results)."""
+    term_pls = sorted(term_pls, key=lambda tp: tp[1].docids.size)
+    t0, pl0 = term_pls[0]
+    cand = pl0.docids  # uint64 ascending
+    cols = {t0: (pl0.tfs, pl0.doclens)}
+    if dead.size:
+        alive = ~np.isin(cand.astype(np.int64), dead)
+        cand = cand[alive]
+        cols[t0] = (pl0.tfs[alive], pl0.doclens[alive])
+    if scope is not None:
+        m = np.isin(cand.astype(np.int64), scope)
+        tfs0, dls0 = cols[t0]
+        cand, cols[t0] = cand[m], (tfs0[m], dls0[m])
+    for _t, npl in neg_pls:
+        if cand.size == 0:
+            break
+        keep = ~_member_mask(npl.docids, cand)
+        if not keep.all():
+            tfs0, dls0 = cols[t0]
+            cand, cols[t0] = cand[keep], (tfs0[keep], dls0[keep])
+    for t, pl in term_pls[1:]:
+        if cand.size == 0:
+            return []
+        pos = np.searchsorted(pl.docids, cand)
+        ok = pos < pl.docids.size
+        keep = np.zeros(cand.size, dtype=bool)
+        keep[ok] = pl.docids[pos[ok]] == cand[ok]
+        sel = pos[keep]
+        for tt in list(cols):
+            cols[tt] = (cols[tt][0][keep], cols[tt][1][keep])
+        cols[t] = (pl.tfs[sel], pl.doclens[sel])
+        cand = cand[keep]
+    if cand.size == 0:
+        return []
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in sorted(cols):
+        tfs, dls = cols[t]
+        score += idf[t] * _u_exact(tfs, dls, avgdl)
+    return _select_topk_with_ties(cand.astype(np.int64), score, k)
+
+
+def _shard_kernel_or_decoded(term_pls: list, idf: dict[str, float],
+                             avgdl: float, k: int,
+                             dead: np.ndarray = _NO_DEAD,
+                             scope: np.ndarray | None = None):
+    """Disjunctive kernel over PRE-DECODED posting lists — union via
+    np.unique, contributions scatter-added in lexicographic term order,
+    exactly like _shard_kernel_or's unpruned path (whose pruned path is
+    exact too), so rank/score are bit-identical."""
+    term_pls = sorted(term_pls, key=lambda tp: tp[0])
+    union = np.unique(np.concatenate([pl.docids for _, pl in term_pls]))
+    if dead.size:
+        union = union[~np.isin(union.astype(np.int64), dead)]
+    if scope is not None:
+        union = union[np.isin(union.astype(np.int64), scope)]
+    score = np.zeros(union.size, dtype=np.float64)
+    for t, pl in term_pls:  # lexicographic order
+        pos = np.searchsorted(union, pl.docids)
+        ok = pos < union.size
+        ok[ok] = union[pos[ok]] == pl.docids[ok]
+        contrib = idf[t] * _u_exact(pl.tfs, pl.doclens, avgdl)
+        score[pos[ok]] += contrib[ok]
+    return _select_topk_with_ties(union.astype(np.int64), score, k)
+
+
 def _shard_kernel_phrase(term_rows: list, idf: dict[str, float], avgdl: float,
                          k: int, dead: np.ndarray = _NO_DEAD, slop: int = 0,
                          unordered: bool = False):

@@ -116,3 +116,37 @@ def test_serving_matches_spark_near_unordered(spark, seg_index, serving, pages_p
         ]
         assert serving.search_near_unordered(pair, k=10, dist=dist) == exp, dist
         assert exp  # the derived pair actually matches
+
+
+def test_decode_through_parity_with_encoded_kernels(spark, seg_index, serving):
+    """The decode-through path (decoded-postings LRU kernels for AND/OR/
+    single) must be bit-exact with the block-selective encoded kernels on
+    every mode, including negation, scope, and the positions-upgrade path
+    (an entry cached WITHOUT positions by an AND query must still serve a
+    later phrase query correctly)."""
+    enc = ServingIndex(seg_index.path, decode_through=False)
+    assert serving.decode_through  # default ON
+    for qid, q in reference_queries().items():
+        for mode in ("and", "or"):
+            assert serving.search(q, k=10, mode=mode) == enc.search(
+                q, k=10, mode=mode
+            ), (qid, mode)
+    # negation (websearch '-term') and scope through the decoded path
+    q0, q1 = marker_term(0), marker_term(1)
+    assert serving.search(q0, k=10, exclude_terms=[q1]) == enc.search(
+        q0, k=10, exclude_terms=[q1]
+    )
+    hits = [d for d, _ in enc.search(q0, k=100)]
+    scope = hits[: max(1, len(hits) // 2)]
+    assert serving.search(q0, k=10, allowed_docids=scope) == enc.search(
+        q0, k=10, allowed_docids=scope
+    )
+    # positions-upgrade: a fresh decode-through instance runs an AND query
+    # first (caches postings WITHOUT positions), then a phrase query over
+    # the same terms must upgrade the entries in place and match
+    fresh = ServingIndex(seg_index.path)
+    ph = "data search"
+    _ = fresh.search(ph, k=10, mode="and")  # caches w/o positions
+    assert fresh.search_phrase(ph, k=10) == enc.search_phrase(ph, k=10)
+    # and the upgraded entries still serve AND identically
+    assert fresh.search(ph, k=10, mode="and") == enc.search(ph, k=10, mode="and")
