@@ -292,10 +292,27 @@ class ServingIndex:
         for t in scan_terms:
             for row in rows_by_term[t]:
                 by_shard.setdefault(int(row["shard"]), {})[t] = row
+        # terms needing positions: members of any quoted phrase, positive
+        # or negated (adjacency verification reads them)
+        need_pos = {
+            t
+            for g in groups
+            for ph in (list(g[2]) + list(g[3]))
+            for t in ph
+        }
         out: list[tuple[int, float]] = []
         for s, tmap in by_shard.items():
             dead = self._dead.get(s, W._NO_DEAD)
-            by_term = {t: W._enc_from_row(r) for t, r in tmap.items()}
+            if self.decode_through:
+                # decoded-LRU path: the websearch kernels probe
+                # PostingLists directly (wand._probe_any), so warm
+                # multi-group queries skip codec work like AND/OR do
+                by_term = {
+                    t: self._decoded(t, s, r, positions=t in need_pos)
+                    for t, r in tmap.items()
+                }
+            else:
+                by_term = {t: W._enc_from_row(r) for t, r in tmap.items()}
             if single:
                 all_pos, neg, phrases, _ = groups[0]
                 if any(t not in by_term for t in all_pos):

@@ -182,6 +182,9 @@ def _negated_mask(neg_rows: list, cand: np.ndarray) -> np.ndarray:
     for _t, enc in neg_rows:
         if ci.size == 0:
             break
+        if isinstance(enc, codec.PostingList):  # decoded-LRU path
+            hit |= _member_mask(enc.docids.astype(np.int64), ci)
+            continue
         blocks = _candidate_blocks(enc, ci)
         valid = blocks < enc.bmax_docid.size
         if not valid.any():
@@ -755,6 +758,32 @@ def _gather_flat(pl, sel: np.ndarray) -> np.ndarray:
     return pl.positions[gidx]
 
 
+def _probe_pl(pl, cand: np.ndarray, with_positions: bool = False):
+    """Decoded-list analog of _probe_at: membership of sorted `cand` in a
+    PostingList plus aligned value columns — one searchsorted, no codec
+    work. Returns the same (keep, tfs, doclens, flat|None) contract."""
+    empty = np.zeros(0, dtype=np.int64)
+    if cand.size == 0:
+        return np.zeros(0, dtype=bool), empty, empty, (empty if with_positions else None)
+    pos = np.searchsorted(pl.docids, cand)
+    ok = pos < pl.docids.size
+    keep = np.zeros(cand.size, dtype=bool)
+    keep[ok] = pl.docids[pos[ok]] == cand[ok]
+    sel = pos[keep]
+    flat = _gather_flat(pl, sel) if with_positions else None
+    return keep, pl.tfs[sel], pl.doclens[sel], flat
+
+
+def _probe_any(x, cand: np.ndarray, with_positions: bool = False):
+    """Probe an EncodedList (block-selective decode) or an already-decoded
+    PostingList (direct searchsorted) with one calling convention — lets
+    the websearch kernels run unchanged over either representation (the
+    serving decoded-LRU path passes PostingLists)."""
+    if isinstance(x, codec.PostingList):
+        return _probe_pl(x, cand, with_positions)
+    return _probe_at(x, cand, with_positions)
+
+
 def _probe_at(enc: codec.EncodedList, cand: np.ndarray, with_positions: bool = False):
     """Selectively decode `enc` at the sorted candidate docids `cand`:
     only blocks that could contain a candidate are touched (block-max
@@ -802,7 +831,7 @@ def _phrase_mask(ph_rows: list, cand: np.ndarray) -> np.ndarray:
     flats: dict[str, tuple] = {}  # distinct term -> (tfs, flat) aligned with sub
     for t in dict.fromkeys(t for t, _ in ph_rows):
         enc = next(e for tt, e in ph_rows if tt == t)
-        keep, tfs, _dls, flat = _probe_at(enc, sub, with_positions=True)
+        keep, tfs, _dls, flat = _probe_any(enc, sub, with_positions=True)
         if not keep.any():
             return out  # some phrase term absent from every candidate
         for tt in flats:
@@ -854,9 +883,12 @@ def _websearch_match(
     need_pos = {t for ph in phrase_groups for t in ph}
     rows = sorted(pos_rows, key=lambda tr: tr[1].n)
     t0, e0 = rows[0]
-    pl0 = codec.decode_postings(
-        e0, with_positions=t0 in need_pos, flat_positions=True
-    )
+    if isinstance(e0, codec.PostingList):  # decoded-LRU path: caller
+        pl0 = e0  # guarantees positions are present for need_pos terms
+    else:
+        pl0 = codec.decode_postings(
+            e0, with_positions=t0 in need_pos, flat_positions=True
+        )
     cand = pl0.docids
     cols: dict[str, tuple] = {
         t0: (pl0.tfs, pl0.doclens, pl0.positions if t0 in need_pos else None)
@@ -879,36 +911,14 @@ def _websearch_match(
     for t, enc in rows[1:]:
         if cand.size == 0:
             return cand, cols
-        blocks = _candidate_blocks(enc, cand.astype(np.int64))
-        valid = blocks < enc.bmax_docid.size
-        ublocks = np.unique(blocks[valid])
         wp = t in need_pos
-        pl = codec.decode_blocks(enc, ublocks, with_positions=wp, flat_positions=True)
-        cand_v = cand[valid]
-        pos = np.searchsorted(pl.docids, cand_v)
-        ok = pos < pl.docids.size
-        match = np.zeros(cand_v.size, dtype=bool)
-        match[ok] = pl.docids[pos[ok]] == cand_v[ok]
-        keep = np.zeros(cand.size, dtype=bool)
-        keep[np.flatnonzero(valid)[match]] = True
-        sel = pos[match]
+        # _probe_any = the block-selective decode + membership + segment
+        # gather this loop used to inline (same ops, shared with the
+        # phrase-mask path), or a direct searchsorted when the caller
+        # passes pre-decoded PostingLists (serving decoded-LRU path)
+        keep, tfs, dls, flat = _probe_any(enc, cand, with_positions=wp)
         _filter(keep)
-        if wp:
-            cnt = pl.tfs.astype(np.int64)
-            starts = np.zeros(cnt.size + 1, dtype=np.int64)
-            np.cumsum(cnt, out=starts[1:])
-            seg_s, seg_l = starts[sel], cnt[sel]
-            out_starts = np.zeros(sel.size, dtype=np.int64)
-            if sel.size > 1:
-                np.cumsum(seg_l[:-1], out=out_starts[1:])
-            gidx = (
-                np.arange(int(seg_l.sum()), dtype=np.int64)
-                - np.repeat(out_starts, seg_l)
-                + np.repeat(seg_s, seg_l)
-            )
-            cols[t] = (pl.tfs[sel], pl.doclens[sel], pl.positions[gidx])
-        else:
-            cols[t] = (pl.tfs[sel], pl.doclens[sel], None)
+        cols[t] = (tfs, dls, flat if wp else None)
     if cand.size == 0:
         return cand, cols
     if neg_rows:
@@ -1021,7 +1031,7 @@ def _shard_kernel_websearch_or(
         enc = by_term.get(t)
         if enc is None:
             continue
-        keep, tfs, dls, _ = _probe_at(enc, union)
+        keep, tfs, dls, _ = _probe_any(enc, union)
         if keep.any():
             score[keep] += idf[t] * _u_exact(tfs, dls, avgdl)
     return _select_topk_with_ties(union.astype(np.int64), score, k)

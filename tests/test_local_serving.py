@@ -150,3 +150,23 @@ def test_decode_through_parity_with_encoded_kernels(spark, seg_index, serving):
     assert fresh.search_phrase(ph, k=10) == enc.search_phrase(ph, k=10)
     # and the upgraded entries still serve AND identically
     assert fresh.search(ph, k=10, mode="and") == enc.search(ph, k=10, mode="and")
+
+
+def test_decode_through_websearch_multigroup_parity(spark, seg_index, serving):
+    """Multi-group websearch (OR keyword, quoted phrases, negated quoted
+    phrases) through the decoded-LRU path must equal the encoded-kernel
+    path bit-exactly — covers wand._probe_any's PostingList branches in
+    _websearch_match, _phrase_mask, and the OR scoring probe."""
+    enc = ServingIndex(seg_index.path, decode_through=False)
+    q0, q1 = marker_term(0), marker_term(1)
+    queries = [
+        f"{q0} or {q1}",
+        '"data search" engine',
+        f'{q0} -"data search"',
+        f'"data search" or {q1}',
+        'web -"search engine" or "data search"',
+    ]
+    for q in queries:
+        assert serving.search_websearch(q, k=10) == enc.search_websearch(
+            q, k=10
+        ), q
