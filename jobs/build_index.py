@@ -43,9 +43,10 @@ def main(argv=None) -> None:
                     help="local-mode cores; omit under spark-submit on a cluster")
     ap.add_argument("--from-html", action="store_true",
                     help="re-extract text from the html column (Arrow UDF)")
-    ap.add_argument("--codec", choices=("vb", "pfor"), default="vb",
-                    help="posting-stream codec: vb (varbyte, throughput "
-                         "default) or pfor (PForDelta, size-optimized)")
+    ap.add_argument("--codec", choices=("vb", "pfor"), default="pfor",
+                    help="posting-stream codec: pfor (PForDelta, smaller "
+                         "payload, the default) or vb (varbyte, faster "
+                         "cold decode)")
     ap.add_argument("--stemmed", action="store_true",
                     help="Porter-stem the token stream (reference T8/T9: "
                          "to_tsvector('english', ...)); queries against "
