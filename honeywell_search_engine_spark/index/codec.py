@@ -650,6 +650,8 @@ def decode_postings(
     """`flat_positions=True` returns positions as ONE flat absolute-position
     array (per-posting boundaries are the tfs) — the kernel-friendly shape
     with no per-posting list materialization."""
+    if isinstance(enc, MemoList):
+        return _memo_slice_all(enc, with_positions, flat_positions)
     deltas = _stream_decode(enc.fmt, enc.deltas, enc.n, enc.d_off)
     docids = np.cumsum(deltas, dtype=np.uint64)
     tfs = _stream_decode(enc.fmt, enc.tfs, enc.n, enc.t_off) + np.uint64(1)
@@ -685,6 +687,8 @@ def decode_blocks(
     byte range is p_off[b]..p_off[b+1] and the per-posting split falls out
     of the block's tfs.
     """
+    if isinstance(enc, MemoList):
+        return _memo_slice_blocks(enc, blocks, with_positions, flat_positions)
     blocks = np.asarray(blocks, dtype=np.int64)
     nblocks = enc.bmax_docid.size
     parts_d, parts_t, parts_l = [], [], []
@@ -745,4 +749,106 @@ def decode_blocks(
         (np.concatenate(parts_p) if flat_positions else parts_p)
         if want_pos
         else None,
+    )
+
+
+class MemoList:
+    """EncodedList facade over ONE cached full decode of the same list.
+
+    Block metadata (n / bmax_docid / bmax_u) proxies to the encoded row,
+    while decode_postings/decode_blocks return SLICES of the cached
+    arrays — block b is exactly postings [b*BLOCK, (b+1)*BLOCK) of the
+    full decode, so every encoded kernel, INCLUDING its exact block-max
+    score pruning, runs decode-free. This is the serving decoded-LRU
+    representation (query/local.py): a decoded-only PostingList would
+    force the kernels to score whole lists (no pruning), which breaks
+    down on Zipf head terms at scale; MemoList keeps the skip structure
+    and drops only the codec work. Slices are asserted array-identical
+    to codec decode output (tests/test_codec.py).
+    """
+
+    __slots__ = ("enc", "pl", "_pos_off")
+
+    def __init__(self, enc: EncodedList, pl: PostingList):
+        self.enc = enc
+        self.pl = pl
+        self._pos_off = None
+
+    @property
+    def n(self) -> int:
+        return self.enc.n
+
+    @property
+    def fmt(self) -> str:
+        return self.enc.fmt
+
+    @property
+    def bmax_docid(self) -> np.ndarray:
+        return self.enc.bmax_docid
+
+    @property
+    def bmax_u(self) -> np.ndarray:
+        return self.enc.bmax_u
+
+    def _pos_offsets(self) -> np.ndarray:
+        """Posting -> flat-position-array offset (cumsum of tfs), computed
+        once per cached entry."""
+        if self._pos_off is None:
+            cnt = self.pl.tfs.astype(np.int64)
+            off = np.zeros(cnt.size + 1, dtype=np.int64)
+            np.cumsum(cnt, out=off[1:])
+            self._pos_off = off
+        return self._pos_off
+
+
+def _memo_positions_check(ml: MemoList, with_positions: bool, flat: bool):
+    if not with_positions:
+        return False
+    if ml.enc.p_off is None:
+        return False  # index built without positions: mirror encoded path
+    if ml.pl.positions is None:
+        raise ValueError(
+            "MemoList cached without positions but a positional decode "
+            "was requested — cache the entry with positions=True"
+        )
+    if not flat:
+        raise ValueError("MemoList serves flat positions only")
+    return True
+
+
+def _memo_slice_all(ml: MemoList, with_positions: bool, flat: bool) -> PostingList:
+    pl = ml.pl
+    if _memo_positions_check(ml, with_positions, flat):
+        return pl
+    return PostingList(pl.docids, pl.tfs, pl.doclens, None)
+
+
+def _memo_slice_blocks(
+    ml: MemoList, blocks: np.ndarray, with_positions: bool, flat: bool
+) -> PostingList:
+    pl = ml.pl
+    want_pos = _memo_positions_check(ml, with_positions, flat)
+    blocks = np.asarray(blocks, dtype=np.int64)
+    if blocks.size == 0:
+        z = np.zeros(0, dtype=np.uint64)
+        pos = np.zeros(0, dtype=np.uint64) if want_pos else None
+        return PostingList(z, z.copy(), z.copy(), pos)
+    runs = np.split(blocks, np.flatnonzero(np.diff(blocks) != 1) + 1)
+    off = ml._pos_offsets() if want_pos else None
+    pd_, pt_, pl_, pp_ = [], [], [], []
+    for run in runs:
+        s = int(run[0]) * BLOCK
+        e = min((int(run[-1]) + 1) * BLOCK, ml.n)
+        pd_.append(pl.docids[s:e])
+        pt_.append(pl.tfs[s:e])
+        pl_.append(pl.doclens[s:e])
+        if want_pos:
+            pp_.append(pl.positions[off[s] : off[e]])
+    if len(pd_) == 1:  # common case: one contiguous run -> zero-copy views
+        return PostingList(pd_[0], pt_[0], pl_[0], pp_[0] if want_pos else None)
+    return PostingList(
+        np.concatenate(pd_),
+        np.concatenate(pt_),
+        np.concatenate(pl_),
+        np.concatenate(pp_) if want_pos else None,
     )

@@ -48,6 +48,16 @@ from honeywell_search_engine_spark.index.segments import load_tombstones
 from honeywell_search_engine_spark.query import wand as W
 
 
+# Per-shard posting-list size above which the decode-through path switches
+# from fully-vectorized full-scan kernels to the block-walk kernels with
+# exact block-max pruning (still decode-free via MemoList slices). The
+# crossover: a full scan costs ~10 ns/posting, so a 128k list is ~1.3 ms —
+# about the fixed bookkeeping cost of the pruning kernels; below it the
+# scan wins (measured ~3x at 20k docs), above it pruning's skipped work
+# dominates (a Zipf head term at web scale is 10^6-10^8 postings/shard).
+FULLSCAN_MAX_POSTINGS = 1 << 17
+
+
 class ServingIndex:
     """Spark-free reader over a segment index directory (serving node)."""
 
@@ -211,35 +221,54 @@ class ServingIndex:
             dead = self._dead.get(s, W._NO_DEAD)
             sc = scope.get(s, W._NO_DEAD) if scope is not None else None
             if self.decode_through:
-                pls = [(t, self._decoded(t, s, r)) for t, r in trs]
-                neg_pls = [
-                    (t, self._decoded(t, s, r))
+                all_rows = trs + neg_by_shard.get(s, [])
+                if max(int(r["n"]) for _, r in all_rows) <= FULLSCAN_MAX_POSTINGS:
+                    # small lists: fully-vectorized scan kernels over the
+                    # cached decoded arrays — lowest constant cost, and
+                    # pruning cannot pay for its bookkeeping at this size
+                    # (measured ~3x faster than the block-walk kernels)
+                    pls = [(t, self._decoded(t, s, r)) for t, r in trs]
+                    neg_pls = [
+                        (t, self._decoded(t, s, r))
+                        for t, r in neg_by_shard.get(s, [])
+                    ]
+                    if mode == "and":
+                        if len(pls) < len(terms):
+                            continue
+                        if len(terms) == 1:
+                            res = W._topk_single_decoded(
+                                pls[0][1], idf[pls[0][0]], self.avgdl, k,
+                                dead, sc, neg_pls,
+                            )
+                        else:
+                            res = W._shard_kernel_and_decoded(
+                                pls, idf, self.avgdl, k, dead, scope=sc,
+                                neg_pls=neg_pls,
+                            )
+                    else:
+                        res = W._shard_kernel_or_decoded(
+                            pls, idf, self.avgdl, k, dead, scope=sc
+                        )
+                    arr = self._docid_of[s]
+                    out.extend(
+                        (int(arr[int(l)]), float(v)) for l, v in res
+                    )
+                    continue
+                # big lists (Zipf head terms): MemoList — the SAME
+                # encoded kernels, with their exact block-max pruning
+                # (essential at scale: a full scan of a 10M-posting list
+                # per query doesn't survive 100x), but block "decode" is
+                # a slice of the cached full decode
+                rows = [(t, self._memo(t, s, r)) for t, r in trs]
+                neg_rows = [
+                    (t, self._memo(t, s, r))
                     for t, r in neg_by_shard.get(s, [])
                 ]
-                if mode == "and":
-                    if len(pls) < len(terms):
-                        continue
-                    if len(terms) == 1:
-                        res = W._topk_single_decoded(
-                            pls[0][1], idf[pls[0][0]], self.avgdl, k, dead,
-                            sc, neg_pls,
-                        )
-                    else:
-                        res = W._shard_kernel_and_decoded(
-                            pls, idf, self.avgdl, k, dead, scope=sc,
-                            neg_pls=neg_pls,
-                        )
-                else:
-                    res = W._shard_kernel_or_decoded(
-                        pls, idf, self.avgdl, k, dead, scope=sc
-                    )
-                arr = self._docid_of[s]
-                out.extend((int(arr[int(l)]), float(v)) for l, v in res)
-                continue
-            rows = [(t, W._enc_from_row(r)) for t, r in trs]
-            neg_rows = [
-                (t, W._enc_from_row(r)) for t, r in neg_by_shard.get(s, [])
-            ]
+            else:
+                rows = [(t, W._enc_from_row(r)) for t, r in trs]
+                neg_rows = [
+                    (t, W._enc_from_row(r)) for t, r in neg_by_shard.get(s, [])
+                ]
             if mode == "and":
                 if len(rows) < len(terms):
                     continue
@@ -304,11 +333,10 @@ class ServingIndex:
         for s, tmap in by_shard.items():
             dead = self._dead.get(s, W._NO_DEAD)
             if self.decode_through:
-                # decoded-LRU path: the websearch kernels probe
-                # PostingLists directly (wand._probe_any), so warm
-                # multi-group queries skip codec work like AND/OR do
+                # MemoList-backed: the websearch kernels run unchanged
+                # (selective probes become slices of the cached decode)
                 by_term = {
-                    t: self._decoded(t, s, r, positions=t in need_pos)
+                    t: self._memo(t, s, r, positions=t in need_pos)
                     for t, r in tmap.items()
                 }
             else:
@@ -357,10 +385,18 @@ class ServingIndex:
             if any(t not in tmap for t in terms):
                 continue
             dead = self._dead.get(s, W._NO_DEAD)
-            pls = [(t, self._decoded(t, s, tmap[t], positions=True)) for t in terms]
-            res = W._shard_kernel_phrase_decoded(
-                pls, idf, self.avgdl, k, dead, slop
-            )
+            if max(int(tmap[t]["n"]) for t in terms) > FULLSCAN_MAX_POSTINGS:
+                # head-term phrase: keep candidate-block selectivity
+                # (positions sliced only for candidate blocks), decode-free
+                rows = [(t, self._memo(t, s, tmap[t], positions=True)) for t in terms]
+                res = W._shard_kernel_phrase(
+                    rows, idf, self.avgdl, k, dead, slop
+                )
+            else:
+                pls = [(t, self._decoded(t, s, tmap[t], positions=True)) for t in terms]
+                res = W._shard_kernel_phrase_decoded(
+                    pls, idf, self.avgdl, k, dead, slop
+                )
             arr = self._docid_of[s]
             out.extend((int(arr[int(l)]), float(v)) for l, v in res)
         out.sort(key=lambda r: (-r[1], r[0]))
@@ -392,37 +428,54 @@ class ServingIndex:
             if any(t not in tmap for t in terms):
                 continue
             dead = self._dead.get(s, W._NO_DEAD)
-            pls = [(t, self._decoded(t, s, tmap[t], positions=True)) for t in terms]
-            res = W._shard_kernel_phrase_decoded(
-                pls, idf, self.avgdl, k, dead, slop=dist, unordered=True
-            )
+            if max(int(tmap[t]["n"]) for t in terms) > FULLSCAN_MAX_POSTINGS:
+                rows = [(t, self._memo(t, s, tmap[t], positions=True)) for t in terms]
+                res = W._shard_kernel_phrase(
+                    rows, idf, self.avgdl, k, dead, slop=dist, unordered=True
+                )
+            else:
+                pls = [(t, self._decoded(t, s, tmap[t], positions=True)) for t in terms]
+                res = W._shard_kernel_phrase_decoded(
+                    pls, idf, self.avgdl, k, dead, slop=dist, unordered=True
+                )
             arr = self._docid_of[s]
             out.extend((int(arr[int(l)]), float(v)) for l, v in res)
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
 
-    def _decoded(self, term: str, shard: int, row: dict,
-                 positions: bool = False):
-        """Fully-decoded posting list for one (term, shard) row,
-        LRU-memoized — the hot-term working set of a serving node, same
-        idea as the encoded-row LRU one level up. Positions (flat
-        absolute) decode only when a positional query first asks
+    def _memo(self, term: str, shard: int, row: dict,
+              positions: bool = False):
+        """MemoList (encoded row + its full decode, codec.MemoList) for
+        one (term, shard), LRU-memoized — the hot-term working set of a
+        serving node, same idea as the encoded-row LRU one level up.
+        Kernels run on it unchanged (block decode = slice) so warm
+        queries keep block-max pruning but skip codec work. Positions
+        (flat absolute) decode only when a positional query first asks
         (`positions=True`); an entry cached without them is upgraded in
         place, so AND/OR traffic never pays for position decode and a
         later phrase query on the same term still hits the LRU."""
         from honeywell_search_engine_spark.index import codec
 
         key = (term, shard)
-        pl = self._dec_lru.get(key)
-        if pl is None or (positions and pl.positions is None):
-            pl = codec.decode_postings(
-                W._enc_from_row(row), with_positions=positions,
-                flat_positions=True,
+        ml = self._dec_lru.get(key)
+        if ml is None or (positions and ml.pl.positions is None):
+            enc = W._enc_from_row(row)
+            ml = codec.MemoList(
+                enc,
+                codec.decode_postings(
+                    enc, with_positions=positions, flat_positions=True
+                ),
             )
-            self._dec_lru[key] = pl
+            self._dec_lru[key] = ml
             self._dec_lru.move_to_end(key)
             if len(self._dec_lru) > self._dec_cap:
                 self._dec_lru.popitem(last=False)
         else:
             self._dec_lru.move_to_end(key)
-        return pl
+        return ml
+
+    def _decoded(self, term: str, shard: int, row: dict,
+                 positions: bool = False):
+        """The cached PostingList for one (term, shard) — the phrase/NEAR
+        kernels consume the decoded arrays directly."""
+        return self._memo(term, shard, row, positions).pl

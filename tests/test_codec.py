@@ -189,3 +189,67 @@ def test_mega_batch_encoder_byte_identical():
         assert list(r["p_off"]) == enc.p_off.tolist()
         assert list(r["bmax_docid"]) == enc.bmax_docid.tolist()
         assert list(r["bmax_u"]) == enc.bmax_u.tolist()
+
+
+@pytest.mark.parametrize("fmt", ["vb", "pfor"])
+@pytest.mark.parametrize("seed", range(3))
+def test_memolist_slices_equal_codec_decode(fmt, seed):
+    """MemoList (the serving decoded-LRU representation) must return
+    arrays IDENTICAL to codec decode for decode_postings and for
+    decode_blocks on arbitrary block subsets — that identity is what
+    makes every encoded kernel (and its block-max pruning) valid over a
+    MemoList without re-verification."""
+    from honeywell_search_engine_spark.index.codec import (
+        BLOCK,
+        MemoList,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 1500))
+    docids, tfs, dls = _random_plist(rng, n)
+    pos_parts = [
+        np.sort(rng.choice(10**6, size=int(t), replace=False)).astype(np.uint64)
+        for t in tfs
+    ]
+    flat = np.concatenate(pos_parts)
+    enc = encode_postings(docids, tfs, dls, 250.0, positions=flat, fmt=fmt)
+    ml = MemoList(enc, decode_postings(enc, with_positions=True, flat_positions=True))
+    # metadata proxies
+    assert ml.n == enc.n and ml.fmt == enc.fmt
+    assert np.array_equal(ml.bmax_docid, enc.bmax_docid)
+    assert np.array_equal(ml.bmax_u, enc.bmax_u)
+    # full decode
+    for wp in (False, True):
+        a = decode_postings(enc, with_positions=wp, flat_positions=True)
+        b = decode_postings(ml, with_positions=wp, flat_positions=True)
+        assert np.array_equal(a.docids, b.docids)
+        assert np.array_equal(a.tfs, b.tfs)
+        assert np.array_equal(a.doclens, b.doclens)
+        if wp:
+            assert np.array_equal(a.positions, b.positions)
+        else:
+            assert b.positions is None
+    # random block subsets (incl. empty, single, runs, all)
+    nblocks = enc.bmax_docid.size
+    subsets = [
+        np.zeros(0, dtype=np.int64),
+        np.array([0]),
+        np.arange(nblocks),
+    ] + [
+        np.unique(rng.choice(nblocks, size=max(1, nblocks // 2)))
+        for _ in range(5)
+    ]
+    for sel in subsets:
+        for wp in (False, True):
+            a = decode_blocks(enc, sel, with_positions=wp, flat_positions=True)
+            b = decode_blocks(ml, sel, with_positions=wp, flat_positions=True)
+            assert np.array_equal(a.docids, b.docids), sel
+            assert np.array_equal(a.tfs, b.tfs)
+            assert np.array_equal(a.doclens, b.doclens)
+            if wp:
+                assert np.array_equal(a.positions, b.positions), sel
+    # cached without positions: positional decode must fail loudly
+    ml2 = MemoList(enc, decode_postings(enc))
+    with pytest.raises(ValueError):
+        decode_postings(ml2, with_positions=True, flat_positions=True)

@@ -118,19 +118,43 @@ def test_serving_matches_spark_near_unordered(spark, seg_index, serving, pages_p
         assert exp  # the derived pair actually matches
 
 
-def test_decode_through_parity_with_encoded_kernels(spark, seg_index, serving):
+def test_decode_through_parity_with_encoded_kernels(
+    spark, seg_index, serving, monkeypatch
+):
     """The decode-through path (decoded-postings LRU kernels for AND/OR/
     single) must be bit-exact with the block-selective encoded kernels on
     every mode, including negation, scope, and the positions-upgrade path
     (an entry cached WITHOUT positions by an AND query must still serve a
-    later phrase query correctly)."""
+    later phrase query correctly). Both decode-through regimes are
+    exercised: the full-scan kernels (lists under FULLSCAN_MAX_POSTINGS —
+    the natural case at this corpus size) and the MemoList block-walk
+    kernels (forced by dropping the threshold to 0, the Zipf-head-term
+    regime at scale)."""
+    import honeywell_search_engine_spark.query.local as L
+
     enc = ServingIndex(seg_index.path, decode_through=False)
     assert serving.decode_through  # default ON
+    memo_sv = ServingIndex(seg_index.path)  # separate LRU for the 0-threshold regime
     for qid, q in reference_queries().items():
         for mode in ("and", "or"):
-            assert serving.search(q, k=10, mode=mode) == enc.search(
-                q, k=10, mode=mode
-            ), (qid, mode)
+            exp = enc.search(q, k=10, mode=mode)
+            assert serving.search(q, k=10, mode=mode) == exp, (qid, mode)
+            monkeypatch.setattr(L, "FULLSCAN_MAX_POSTINGS", 0)
+            try:
+                assert memo_sv.search(q, k=10, mode=mode) == exp, (qid, mode)
+            finally:
+                monkeypatch.undo()
+    # phrase/NEAR through the forced-MemoList regime too
+    monkeypatch.setattr(L, "FULLSCAN_MAX_POSTINGS", 0)
+    try:
+        assert memo_sv.search_phrase("data search", k=10) == enc.search_phrase(
+            "data search", k=10
+        )
+        assert memo_sv.search_near_unordered(
+            "data engine", k=10, dist=3
+        ) == enc.search_near_unordered("data engine", k=10, dist=3)
+    finally:
+        monkeypatch.undo()
     # negation (websearch '-term') and scope through the decoded path
     q0, q1 = marker_term(0), marker_term(1)
     assert serving.search(q0, k=10, exclude_terms=[q1]) == enc.search(
