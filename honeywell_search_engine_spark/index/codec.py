@@ -790,6 +790,23 @@ class MemoList:
     def bmax_u(self) -> np.ndarray:
         return self.enc.bmax_u
 
+    @property
+    def nbytes(self) -> int:
+        """Resident size of this cache entry: encoded streams + block
+        metadata + the decoded arrays (+ the lazy position-offset table,
+        counted up front so eviction accounting never drifts). This is
+        what a byte-budgeted serving cache charges per entry."""
+        e, p = self.enc, self.pl
+        b = len(e.deltas) + len(e.tfs) + len(e.doclens) + len(e.positions)
+        b += e.bmax_docid.nbytes + e.bmax_u.nbytes
+        b += e.d_off.nbytes + e.t_off.nbytes + e.l_off.nbytes
+        if e.p_off is not None:
+            b += e.p_off.nbytes
+        b += p.docids.nbytes + p.tfs.nbytes + p.doclens.nbytes
+        if p.positions is not None:
+            b += p.positions.nbytes + 8 * (p.docids.size + 1)
+        return b
+
     def _pos_offsets(self) -> np.ndarray:
         """Posting -> flat-position-array offset (cumsum of tfs), computed
         once per cached entry."""

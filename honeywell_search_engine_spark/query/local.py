@@ -66,6 +66,7 @@ class ServingIndex:
         path: str,
         term_cache_capacity: int = 65536,
         decode_through: bool = True,
+        dec_cache_bytes: int = 256 << 20,
     ):
         import pyarrow.parquet as pq
 
@@ -108,11 +109,17 @@ class ServingIndex:
         self._dead = self._lids_by_shard(load_tombstones(path))
         self._term_lru: OrderedDict[str, list[dict]] = OrderedDict()
         self._term_cap = term_cache_capacity
-        # decoded-postings LRU (phrase/NEAR hot path): (term, shard) ->
-        # PostingList with flat positions; bounded independently (decoded
-        # lists are ~8x their varbyte size)
+        # decoded-postings LRU: (term, shard) -> codec.MemoList (encoded
+        # row + its full decode). BYTE-budgeted, not entry-counted: a head
+        # term's entry is 10^4x a tail term's, so a count cap either
+        # under-uses memory or blows it — `dec_cache_bytes` (default
+        # 256 MiB) is the serving node's decoded-working-set budget; the
+        # hot (Zipf head) terms that dominate hits fit first, and
+        # eviction only ever hits cold tail entries (which are cheap to
+        # re-decode by definition).
         self._dec_lru: OrderedDict[tuple, object] = OrderedDict()
-        self._dec_cap = max(term_cache_capacity // 8, 256)
+        self._dec_budget = int(dec_cache_bytes)
+        self._dec_bytes = 0
 
     # ---- translation ----------------------------------------------------
 
@@ -459,6 +466,8 @@ class ServingIndex:
         key = (term, shard)
         ml = self._dec_lru.get(key)
         if ml is None or (positions and ml.pl.positions is None):
+            if ml is not None:  # positions upgrade replaces the entry
+                self._dec_bytes -= ml.nbytes
             enc = W._enc_from_row(row)
             ml = codec.MemoList(
                 enc,
@@ -468,8 +477,12 @@ class ServingIndex:
             )
             self._dec_lru[key] = ml
             self._dec_lru.move_to_end(key)
-            if len(self._dec_lru) > self._dec_cap:
-                self._dec_lru.popitem(last=False)
+            self._dec_bytes += ml.nbytes
+            while self._dec_bytes > self._dec_budget:
+                k_old, old = self._dec_lru.popitem(last=False)
+                self._dec_bytes -= old.nbytes
+                if k_old == key:
+                    break  # entry alone exceeds the budget: serve uncached
         else:
             self._dec_lru.move_to_end(key)
         return ml

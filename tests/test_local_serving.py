@@ -194,3 +194,33 @@ def test_decode_through_websearch_multigroup_parity(spark, seg_index, serving):
         assert serving.search_websearch(q, k=10) == enc.search_websearch(
             q, k=10
         ), q
+
+
+def test_decoded_lru_byte_budget(spark, seg_index, serving):
+    """The decoded-postings LRU is byte-budgeted: entries evict in LRU
+    order when the budget is exceeded, accounting stays consistent under
+    the positions-upgrade path, and results stay correct under a budget
+    so small that nothing can be retained."""
+    enc = ServingIndex(seg_index.path, decode_through=False)
+    qs = list(reference_queries().values())
+    # tiny budget: every entry exceeds it -> serve-uncached path
+    tiny = ServingIndex(seg_index.path, dec_cache_bytes=1)
+    for q in qs[:6]:
+        assert tiny.search(q, k=10) == enc.search(q, k=10), q
+    assert len(tiny._dec_lru) == 0
+    assert tiny._dec_bytes == 0
+    # moderate budget: cache holds some entries, total tracked exactly
+    mod = ServingIndex(seg_index.path, dec_cache_bytes=64 << 10)
+    for q in qs:
+        assert mod.search(q, k=10) == enc.search(q, k=10), q
+    assert 0 < mod._dec_bytes <= 64 << 10
+    assert mod._dec_bytes == sum(ml.nbytes for ml in mod._dec_lru.values())
+    # upgrade path: phrase over terms already cached without positions
+    before = mod._dec_bytes
+    mod.search_phrase("data search", k=10)
+    assert mod._dec_bytes == sum(ml.nbytes for ml in mod._dec_lru.values())
+    assert mod._dec_bytes >= 0 and mod._dec_bytes <= 64 << 10
+    # default budget retains everything at this corpus scale
+    assert serving._dec_bytes == sum(
+        ml.nbytes for ml in serving._dec_lru.values()
+    )
