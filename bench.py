@@ -540,6 +540,36 @@ def main() -> None:
         f"hit rate {extra['cached_stream_hit_rate']}, mix "
         f"{extra['cached_stream_mix']}")
 
+    # steady state: a SECOND zipf sample over the SAME searcher — result
+    # cache and decoded-postings LRU are warm, so this is the long-running
+    # serving-node regime (the number above includes cold start: first
+    # touch of every unique query on a cold index)
+    stream2 = rng.choices(pool, weights=weights, k=200)
+    lat2 = []
+    t0 = time.time()
+    for kind, q in stream2:
+        tq = time.time()
+        if kind == "and":
+            cs.search(q, k=10)
+        elif kind == "websearch":
+            cs.search_websearch(q, k=10)
+        elif kind == "near_unordered":
+            ph, dist = q
+            cs.search_near_unordered(ph, k=10, dist=dist)
+        else:
+            ph, slop = q
+            cs.search_phrase(ph, k=10, slop=slop)
+        lat2.append(time.time() - tq)
+    steady_sec = time.time() - t0
+    lat2.sort()
+    extra["cached_stream_steady_qps"] = round(len(stream2) / steady_sec, 1)
+    extra["cached_stream_steady_p95_sec"] = round(
+        lat2[int(len(lat2) * 0.95) - 1], 4
+    )
+    log(f"[bench] cached stream steady state: {len(stream2)} q in "
+        f"{steady_sec:.2f}s = {extra['cached_stream_steady_qps']} q/s, "
+        f"p95 {extra['cached_stream_steady_p95_sec']}s")
+
     # round-2 capabilities on the same index: phrase + ordered-NEAR
     # (positional decode path) — timed per query, reported as extras
     from honeywell_search_engine_spark.query.wand import bm25_topk_phrase
