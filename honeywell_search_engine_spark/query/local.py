@@ -492,3 +492,104 @@ class ServingIndex:
         """The cached PostingList for one (term, shard) — the phrase/NEAR
         kernels consume the decoded arrays directly."""
         return self._memo(term, shard, row, positions).pl
+
+    # ---- suggest / spell (serving-side mirrors of query/suggest.py) ------
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Serving-node autocomplete: dictionary terms extending `prefix`,
+        most-frequent first — [(term, df)], rank-identical to
+        query/suggest.suggest_terms (df desc, term asc). The prefix is
+        pushed as a closed range [prefix, prefix~) into the term_stats
+        parquet scan — the finalize step writes it term-sorted, so
+        row-group min/max statistics prune to the prefix's range — and
+        verified exactly with str.startswith on the pruned slice."""
+        if not prefix:
+            return []
+        import pyarrow.dataset as ds
+
+        data = ds.dataset(f"{self.path}/term_stats", format="parquet")
+        flt = (ds.field("term") >= prefix) & (
+            ds.field("term") <= prefix + "\uffff"
+        )
+        tbl = data.to_table(filter=flt, columns=["term", "df"])
+        rows = [
+            (t, int(d))
+            for t, d in zip(
+                tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
+            )
+            if t.startswith(prefix)
+        ]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
+
+    def correct_terms(
+        self, terms: list[str], spell_dir: str, max_edit: int = 2, k: int = 3
+    ) -> dict[str, list[tuple[str, int, int]]]:
+        """Serving-side SymSpell lookup against a persisted deletes table
+        (query/suggest.build_spell_table(out_dir=...)): {qterm: [(term,
+        distance, df)]} ranked (distance asc, df desc, term asc) —
+        candidate-set- and rank-identical to query/suggest.correct_terms
+        (same delete-key theorem, same verify). The parquet read is
+        filtered to the query terms' delete neighborhoods — a few hundred
+        keys — so a serving node never scans the dictionary."""
+        from honeywell_search_engine_spark.query.suggest import (
+            py_deletes,
+            py_levenshtein,
+        )
+
+        import pyarrow.dataset as ds
+
+        qterms = list(dict.fromkeys(terms))
+        if not qterms:
+            return {}
+        keys_by_term = {t: py_deletes(t, max_edit) for t in qterms}
+        all_keys = sorted(set().union(*keys_by_term.values()))
+        data = ds.dataset(spell_dir, format="parquet")
+        tbl = data.to_table(
+            filter=ds.field("delkey").isin(all_keys),
+            columns=["delkey", "term", "df"],
+        )
+        by_key: dict[str, set] = {}
+        cand_df: dict[str, int] = {}
+        for dk, t, df in zip(
+            tbl.column("delkey").to_pylist(),
+            tbl.column("term").to_pylist(),
+            tbl.column("df").to_pylist(),
+        ):
+            by_key.setdefault(dk, set()).add(t)
+            cand_df[t] = int(df)
+        out: dict[str, list[tuple[str, int, int]]] = {}
+        for q in qterms:
+            cands = set()
+            for dk in keys_by_term[q]:
+                cands |= by_key.get(dk, set())
+            scored = [
+                (t, d, cand_df[t])
+                for t in cands
+                if (d := py_levenshtein(q, t)) <= max_edit
+            ]
+            scored.sort(key=lambda r: (r[1], -r[2], r[0]))
+            out[q] = scored[:k]
+        return out
+
+    def did_you_mean(
+        self, query: str, spell_dir: str, max_edit: int = 2
+    ) -> tuple[str, bool]:
+        """Serving-side rewrite, mirror of query/suggest.did_you_mean:
+        analyze with THIS index's analyzer (stemmed or plain), pass
+        in-dictionary terms through (their distance-0 self-candidate
+        ranks first), replace out-of-dictionary terms with their best
+        candidate. Returns (corrected_query, changed)."""
+        _aq, _tok, _sg = W._analyzers_for(self)
+        qterms = _aq(query)
+        if not qterms:
+            return query, False
+        best = {
+            q: c[0][0]
+            for q, c in self.correct_terms(
+                qterms, spell_dir, max_edit, k=1
+            ).items()
+            if c
+        }
+        fixed = [best.get(t, t) for t in qterms]
+        return " ".join(fixed), fixed != qterms

@@ -163,3 +163,19 @@ def suggest_terms(term_stats: DataFrame, prefix: str, k: int = 10) -> DataFrame:
         .select("term", "df")
         .limit(k)
     )
+
+
+def py_levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein DP, semantics-identical to Spark's
+    `levenshtein` builtin — the serving-side verify step."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return len(a) + len(b)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

@@ -162,3 +162,53 @@ def test_spell_table_size_is_linear(spell, dict_terms):
     )
     max_len = max(len(t) for t in dict_terms)
     assert per_term <= 1 + max_len + max_len * (max_len - 1) // 2
+
+
+def test_serving_suggest_matches_spark(spark, seg_index):
+    """ServingIndex.suggest (pyarrow range-pruned) must rank-match
+    query/suggest.suggest_terms on the same index."""
+    from honeywell_search_engine_spark.query.local import ServingIndex
+
+    sv = ServingIndex(seg_index.path)
+    prefixes = ["da", "se", "eng", "q", "zzz", "dat"]
+    for p in prefixes:
+        exp = [
+            (r["term"], r["df"])
+            for r in suggest_terms(seg_index.term_stats, p, k=10).collect()
+        ]
+        assert sv.suggest(p, k=10) == exp, p
+    assert sv.suggest("", k=10) == []
+
+
+def test_serving_spell_matches_spark(spark, seg_index, dict_terms, tmp_path):
+    """ServingIndex.correct_terms / did_you_mean against a persisted
+    spell table must candidate- and rank-match the Spark path (and the
+    brute-force oracle transitively, via the existing exactness test)."""
+    from honeywell_search_engine_spark.query.local import ServingIndex
+    from honeywell_search_engine_spark.query.suggest import py_levenshtein
+
+    spell_dir = str(tmp_path / "spell")
+    build_spell_table(seg_index.term_stats, max_edit=2, out_dir=spell_dir)
+    sv = ServingIndex(seg_index.path)
+    qs = []
+    for t in sorted(dict_terms)[10:14]:
+        qs.extend(_mutate(t))
+    spark_spell = spark.read.parquet(spell_dir)
+    exp_rows = correct_terms(spark_spell, qs, max_edit=2, k=3).collect()
+    exp: dict = {}
+    for r in exp_rows:
+        exp.setdefault(r["qterm"], []).append(
+            (r["term"], r["distance"], r["df"])
+        )
+    got = sv.correct_terms(qs, spell_dir, max_edit=2, k=3)
+    for q in qs:
+        assert got.get(q, []) == exp.get(q, []), q
+    # py_levenshtein == the DP oracle used by the Spark-side tests
+    for a in qs[:4]:
+        for b in sorted(dict_terms)[:20]:
+            assert py_levenshtein(a, b) == _lev(a, b), (a, b)
+    # did_you_mean end-to-end parity
+    base = sorted(dict_terms)[12]
+    typo_q = f"{_mutate(base)[1]} {sorted(dict_terms)[13]}"
+    exp_fix = did_you_mean(seg_index, spark_spell, typo_q, max_edit=2)
+    assert sv.did_you_mean(typo_q, spell_dir, max_edit=2) == exp_fix
