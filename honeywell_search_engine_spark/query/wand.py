@@ -1410,10 +1410,36 @@ def bm25_topk_websearch_batch(
     avgdl = index.stats.avgdl
     dead_bc = index.dead_broadcast()
 
+    use_count: dict[str, int] = {}
+    need_pos: set = set()
+    for groups in parsed.values():
+        q_t = set()
+        for g in groups:
+            q_t |= set(g[0]) | set(g[1])
+            for ph in list(g[2]) + list(g[3]):
+                q_t |= set(ph)
+                need_pos |= set(ph)
+        for t in q_t:
+            use_count[t] = use_count.get(t, 0) + 1
+
     def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
         dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
-        by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
+        # shared-term memoization: see bm25_topk_wand_batch — one decode
+        # per task (positions only where some phrase needs them)
+        by_term = {}
+        for _, r in pdf.iterrows():
+            enc = _enc_from_row(r)
+            if use_count.get(r["term"], 0) > 1:
+                enc = codec.MemoList(
+                    enc,
+                    codec.decode_postings(
+                        enc,
+                        with_positions=r["term"] in need_pos,
+                        flat_positions=True,
+                    ),
+                )
+            by_term[r["term"]] = enc
         idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         out_q, out_d, out_s = [], [], []
         for qid, groups in parsed.items():
@@ -1482,10 +1508,27 @@ def bm25_topk_phrase_batch(
     avgdl = index.stats.avgdl
     dead_bc = index.dead_broadcast()
 
+    use_count: dict[str, int] = {}
+    for ts in live.values():
+        for t in set(ts):
+            use_count[t] = use_count.get(t, 0) + 1
+
     def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
         dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
-        by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
+        # shared-term memoization (positions included): see
+        # bm25_topk_wand_batch — one decode per task, not per query
+        by_term = {}
+        for _, r in pdf.iterrows():
+            enc = _enc_from_row(r)
+            if use_count.get(r["term"], 0) > 1:
+                enc = codec.MemoList(
+                    enc,
+                    codec.decode_postings(
+                        enc, with_positions=True, flat_positions=True
+                    ),
+                )
+            by_term[r["term"]] = enc
         idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         out_q, out_d, out_s = [], [], []
         for qid, ts in live.items():
@@ -1547,10 +1590,24 @@ def bm25_topk_wand_batch(
     avgdl = index.stats.avgdl
     dead_bc = index.dead_broadcast()
 
+    use_count: dict[str, int] = {}
+    for ts in live_b.values():
+        for t in set(ts):
+            use_count[t] = use_count.get(t, 0) + 1
+
     def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
         dead = dead_bc.value.get(shard, _NO_DEAD) if dead_bc is not None else _NO_DEAD
-        by_term = {r["term"]: _enc_from_row(r) for _, r in pdf.iterrows()}
+        # terms shared by several queries (the Zipf head of a query log)
+        # decode ONCE per task as a MemoList — every query after the
+        # first runs decode-free with block-max pruning intact;
+        # single-query terms stay encoded (selective decode only)
+        by_term = {}
+        for _, r in pdf.iterrows():
+            enc = _enc_from_row(r)
+            if use_count.get(r["term"], 0) > 1:
+                enc = codec.MemoList(enc, codec.decode_postings(enc))
+            by_term[r["term"]] = enc
         idf_b = {r["term"]: float(r["idf"]) for _, r in pdf.iterrows()}
         out_q, out_d, out_s = [], [], []
         for qid, ts in live_b.items():
