@@ -67,6 +67,7 @@ class ServingIndex:
         term_cache_capacity: int = 65536,
         decode_through: bool = True,
         dec_cache_bytes: int = 256 << 20,
+        shards: list[int] | None = None,
     ):
         import pyarrow.parquet as pq
 
@@ -77,6 +78,13 @@ class ServingIndex:
         # the block-selective encoded kernels (used by parity tests; also
         # the right setting for a one-shot cold query over a huge term).
         self.decode_through = decode_through
+        # shard-subset mode (the 10^12-doc deployment unit): this node
+        # owns only `shards` — docmap rows and posting payloads load for
+        # those shards alone, so per-node memory scales with owned
+        # shards, not the corpus; idf still uses GLOBAL df (see _idf), so
+        # scores are node-independent and a ShardRouter merge is exact.
+        self._shards = sorted(set(int(s) for s in shards)) if shards is not None else None
+        self._df_cache: dict[str, int] = {}
         with open(f"{path}/stats.json") as f:
             meta = json.load(f)
         self.n_docs = int(meta["n_docs"])
@@ -90,7 +98,12 @@ class ServingIndex:
         # forward index: per-shard lid->docid (lids may have holes after
         # compaction — fill with -1) + sorted docid->lid translation pair
         dm = pq.read_table(
-            f"{path}/docmap", columns=["shard", "local_id", "docid"]
+            f"{path}/docmap", columns=["shard", "local_id", "docid"],
+            filters=(
+                [("shard", "in", self._shards)]
+                if self._shards is not None
+                else None
+            ),
         )
         shard = dm.column("shard").to_numpy()
         lid = dm.column("local_id").to_numpy()
@@ -145,7 +158,10 @@ class ServingIndex:
 
     def _rows_for(self, terms: list[str]) -> dict[str, list[dict]]:
         """{term: [segment row dict per shard]} — LRU first, then ONE
-        pruned dataset read for all missing terms."""
+        pruned dataset read for all missing terms. A shard-subset node
+        reads only its OWN shards' posting payloads; global df (for idf —
+        scores must be identical on every node) rides a second,
+        metadata-columns-only read over all shards."""
         out: dict[str, list[dict]] = {}
         missing = []
         for t in dict.fromkeys(terms):
@@ -162,6 +178,16 @@ class ServingIndex:
             )
             buckets = sorted({bucket_of(t, self.n_buckets) for t in missing})
             flt = ds.field("bucket").isin(buckets) & ds.field("term").isin(missing)
+            if self._shards is not None:
+                df_tbl = data.to_table(filter=flt, columns=["term", "n"])
+                dfs = {t: 0 for t in missing}
+                for t, n in zip(
+                    df_tbl.column("term").to_pylist(),
+                    df_tbl.column("n").to_pylist(),
+                ):
+                    dfs[t] += int(n)
+                self._df_cache.update(dfs)
+                flt = flt & ds.field("shard").isin(list(self._shards))
             tbl = data.to_table(filter=flt)
             got: dict[str, list[dict]] = {t: [] for t in missing}
             for row in tbl.to_pylist():
@@ -170,13 +196,20 @@ class ServingIndex:
                 self._term_lru[t] = rows
                 out[t] = rows
                 if len(self._term_lru) > self._term_cap:
-                    self._term_lru.popitem(last=False)
+                    old_t, _ = self._term_lru.popitem(last=False)
+                    self._df_cache.pop(old_t, None)
         return out
 
-    def _idf(self, rows: list[dict]) -> float:
+    def _idf(self, rows: list[dict], term: str | None = None) -> float:
         """idf from segment metadata: df = sum of per-shard n (identical to
-        the finalize aggregate, index/stats.py)."""
-        df = sum(int(r["n"]) for r in rows)
+        the finalize aggregate, index/stats.py). On a shard-subset node
+        `rows` covers only the owned shards, so df comes from the global
+        metadata cache instead — idf (and therefore every score) is
+        node-independent."""
+        if self._shards is not None and term is not None:
+            df = self._df_cache.get(term, 0)
+        else:
+            df = sum(int(r["n"]) for r in rows)
         return math.log1p((self.n_docs - df + 0.5) / (df + 0.5))
 
     # ---- queries ----------------------------------------------------------
@@ -213,7 +246,7 @@ class ServingIndex:
         rows_by_term = self._rows_for(terms + neg_terms)
         if mode == "and" and any(not rows_by_term[t] for t in terms):
             return []  # a term unknown globally -> conjunction empty
-        idf = {t: self._idf(r) for t, r in rows_by_term.items() if r}
+        idf = {t: self._idf(r, t) for t, r in rows_by_term.items() if r}
         scope = self._lids_by_shard(allowed_docids) if allowed_docids is not None else None
         by_shard: dict[int, list] = {}
         neg_by_shard: dict[int, list] = {}
@@ -323,7 +356,7 @@ class ServingIndex:
         rows_by_term = self._rows_for(scan_terms)
         if single and any(not rows_by_term[t] for t in groups[0][0]):
             return []  # a required term unknown globally -> empty
-        idf = {t: self._idf(r) for t, r in rows_by_term.items() if r}
+        idf = {t: self._idf(r, t) for t, r in rows_by_term.items() if r}
         by_shard: dict[int, dict[str, dict]] = {}
         for t in scan_terms:
             for row in rows_by_term[t]:
@@ -382,7 +415,7 @@ class ServingIndex:
         rows_by_term = self._rows_for(terms)
         if any(not rows_by_term[t] for t in set(terms)):
             return []
-        idf = {t: self._idf(r) for t, r in rows_by_term.items()}
+        idf = {t: self._idf(r, t) for t, r in rows_by_term.items()}
         by_shard: dict[int, dict[str, dict]] = {}
         for t, rows in rows_by_term.items():
             for row in rows:
@@ -425,7 +458,7 @@ class ServingIndex:
         rows_by_term = self._rows_for(terms)
         if any(not rows_by_term[t] for t in terms):
             return []
-        idf = {t: self._idf(r) for t, r in rows_by_term.items()}
+        idf = {t: self._idf(r, t) for t, r in rows_by_term.items()}
         by_shard: dict[int, dict[str, dict]] = {}
         for t, rows in rows_by_term.items():
             for row in rows:
@@ -593,3 +626,54 @@ class ServingIndex:
         }
         fixed = [best.get(t, t) for t in qterms]
         return " ".join(fixed), fixed != qterms
+
+
+class ShardRouter:
+    """Fan-out over shard-subset ServingIndex nodes — the 10^12-doc
+    serving topology at sandbox scale: `n_shards` shards are dealt
+    round-robin to `n_nodes` nodes, each node loads ONLY its shards'
+    docmap and posting payloads (memory per node scales with owned
+    shards, not corpus), and the router merges per-node top-k.
+
+    The merge is exact: every node scores with GLOBAL df (ServingIndex
+    shard-subset mode reads df from segment metadata across all shards),
+    so scores are node-independent, and each node's (-score, docid)
+    ordering is total, so the global top-k is contained in the union of
+    per-node top-k lists. Results are bit-identical to a single
+    full-index ServingIndex (tested)."""
+
+    def __init__(self, path: str, n_nodes: int = 2, **kw):
+        with open(f"{path}/stats.json") as f:
+            n_shards = int(json.load(f)["n_shards"])
+        self.nodes = [
+            ServingIndex(path, shards=list(range(i, n_shards, n_nodes)), **kw)
+            for i in range(min(n_nodes, n_shards))
+        ]
+
+    @staticmethod
+    def _merge(parts: list, k: int) -> list[tuple[int, float]]:
+        out = [r for p in parts for r in p]
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
+    def search(self, query: str, k: int = 10, **kw) -> list[tuple[int, float]]:
+        return self._merge([n.search(query, k, **kw) for n in self.nodes], k)
+
+    def search_websearch(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        return self._merge(
+            [n.search_websearch(query, k) for n in self.nodes], k
+        )
+
+    def search_phrase(
+        self, phrase: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        return self._merge(
+            [n.search_phrase(phrase, k, slop) for n in self.nodes], k
+        )
+
+    def search_near_unordered(
+        self, query: str, k: int = 10, dist: int = 3
+    ) -> list[tuple[int, float]]:
+        return self._merge(
+            [n.search_near_unordered(query, k, dist) for n in self.nodes], k
+        )

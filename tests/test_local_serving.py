@@ -224,3 +224,45 @@ def test_decoded_lru_byte_budget(spark, seg_index, serving):
     assert serving._dec_bytes == sum(
         ml.nbytes for ml in serving._dec_lru.values()
     )
+
+
+def test_shard_router_matches_full_index(spark, seg_index, serving):
+    """A ShardRouter over shard-subset nodes must be bit-identical to one
+    full-index ServingIndex on every query mode — per-node df must be
+    GLOBAL (a node computing idf from its own shards would score
+    differently and break the merge)."""
+    from honeywell_search_engine_spark.query.local import ShardRouter
+
+    router = ShardRouter(seg_index.path, n_nodes=3)
+    # each node holds only its shards' docmap
+    import json as _json
+
+    with open(f"{seg_index.path}/stats.json") as f:
+        n_shards = int(_json.load(f)["n_shards"])
+    owned = []
+    for n in router.nodes:
+        assert set(n._docid_of) <= set(n._shards)
+        owned.extend(n._shards)
+    assert sorted(owned) == list(range(n_shards))
+    for qid, q in reference_queries().items():
+        for mode in ("and", "or"):
+            assert router.search(q, k=10, mode=mode) == serving.search(
+                q, k=10, mode=mode
+            ), (qid, mode)
+    q0, q1 = marker_term(0), marker_term(1)
+    assert router.search_websearch(f"{q0} or {q1}", k=10) == (
+        serving.search_websearch(f"{q0} or {q1}", k=10)
+    )
+    assert router.search_websearch('"data search" -engine', k=10) == (
+        serving.search_websearch('"data search" -engine', k=10)
+    )
+    assert router.search_phrase("data search", k=10) == serving.search_phrase(
+        "data search", k=10
+    )
+    assert router.search_near_unordered(
+        "data engine", k=10, dist=3
+    ) == serving.search_near_unordered("data engine", k=10, dist=3)
+    # posting payload rows on a node are restricted to its shards
+    node = router.nodes[0]
+    rows = node._rows_for([q0])
+    assert rows[q0] and all(int(r["shard"]) in node._shards for r in rows[q0])
