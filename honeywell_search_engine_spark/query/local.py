@@ -37,12 +37,10 @@ from __future__ import annotations
 
 import json
 import math
-import os
 from collections import OrderedDict
 
 import numpy as np
 
-from honeywell_search_engine_spark.functions.analyzer import analyze_query, tokenize
 from honeywell_search_engine_spark.index.naive import bucket_of
 from honeywell_search_engine_spark.index.segments import load_tombstones
 from honeywell_search_engine_spark.query import wand as W
