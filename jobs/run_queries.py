@@ -36,6 +36,10 @@ def main(argv=None) -> None:
                      "(jobs/rerank_corpus.py runs the LTR rerank stage)")
     ap.add_argument("--dist", type=int, default=3,
                     help="near-unordered max distance")
+    ap.add_argument("--nodes", type=int, default=1,
+                    help="serve mode only: fan out over N shard-subset "
+                         "serving nodes via ShardRouter (each node loads "
+                         "only its shards; results identical to 1 node)")
     ap.add_argument("--batch", action="store_true",
                     help="evaluate all queries in one Spark job")
     ap.add_argument("--cores", type=int, default=None)
@@ -76,9 +80,15 @@ def main(argv=None) -> None:
             )
         out["_batch_sec"] = round(time.time() - t0, 3)
     elif args.mode == "serve":
-        from honeywell_search_engine_spark.query.local import ServingIndex
+        from honeywell_search_engine_spark.query.local import (
+            ServingIndex,
+            ShardRouter,
+        )
 
-        sv = ServingIndex(args.index)
+        if args.nodes > 1:
+            sv = ShardRouter(args.index, n_nodes=args.nodes)
+        else:
+            sv = ServingIndex(args.index)
         for name, q in queries.items():
             t0 = time.time()
             hits = sv.search(q, k=args.k)
