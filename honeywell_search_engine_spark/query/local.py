@@ -640,38 +640,48 @@ class ShardRouter:
     per-node top-k lists. Results are bit-identical to a single
     full-index ServingIndex (tested)."""
 
-    def __init__(self, path: str, n_nodes: int = 2, **kw):
+    def __init__(
+        self, path: str, n_nodes: int = 2, parallel: bool = True, **kw
+    ):
         with open(f"{path}/stats.json") as f:
             n_shards = int(json.load(f)["n_shards"])
         self.nodes = [
             ServingIndex(path, shards=list(range(i, n_shards, n_nodes)), **kw)
             for i in range(min(n_nodes, n_shards))
         ]
+        # in-process stand-in for the scatter-gather RPC: node queries run
+        # on a thread pool (numpy/pyarrow release the GIL for the heavy
+        # parts), so router latency tracks the slowest node, not the sum
+        self._pool = None
+        if parallel and len(self.nodes) > 1:
+            from concurrent.futures import ThreadPoolExecutor
 
-    @staticmethod
-    def _merge(parts: list, k: int) -> list[tuple[int, float]]:
+            self._pool = ThreadPoolExecutor(max_workers=len(self.nodes))
+
+    def _fanout(self, fn_name: str, k: int, *args, **kw):
+        calls = [getattr(n, fn_name) for n in self.nodes]
+        if self._pool is None:
+            parts = [c(*args, k=k, **kw) for c in calls]
+        else:
+            parts = list(
+                self._pool.map(lambda c: c(*args, k=k, **kw), calls)
+            )
         out = [r for p in parts for r in p]
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
 
     def search(self, query: str, k: int = 10, **kw) -> list[tuple[int, float]]:
-        return self._merge([n.search(query, k, **kw) for n in self.nodes], k)
+        return self._fanout("search", k, query, **kw)
 
     def search_websearch(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        return self._merge(
-            [n.search_websearch(query, k) for n in self.nodes], k
-        )
+        return self._fanout("search_websearch", k, query)
 
     def search_phrase(
         self, phrase: str, k: int = 10, slop: int = 0
     ) -> list[tuple[int, float]]:
-        return self._merge(
-            [n.search_phrase(phrase, k, slop) for n in self.nodes], k
-        )
+        return self._fanout("search_phrase", k, phrase, slop=slop)
 
     def search_near_unordered(
         self, query: str, k: int = 10, dist: int = 3
     ) -> list[tuple[int, float]]:
-        return self._merge(
-            [n.search_near_unordered(query, k, dist) for n in self.nodes], k
-        )
+        return self._fanout("search_near_unordered", k, query, dist=dist)

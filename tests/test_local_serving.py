@@ -266,3 +266,19 @@ def test_shard_router_matches_full_index(spark, seg_index, serving):
     node = router.nodes[0]
     rows = node._rows_for([q0])
     assert rows[q0] and all(int(r["shard"]) in node._shards for r in rows[q0])
+
+
+def test_shard_router_serial_equals_parallel(spark, seg_index, serving):
+    """parallel=False (serial fan-out) and the threaded default must be
+    identical — the pool is an execution detail, not a semantics one."""
+    from honeywell_search_engine_spark.query.local import ShardRouter
+
+    par = ShardRouter(seg_index.path, n_nodes=2)
+    ser = ShardRouter(seg_index.path, n_nodes=2, parallel=False)
+    for q in list(reference_queries().values())[:6]:
+        assert par.search(q, k=10) == ser.search(q, k=10) == serving.search(
+            q, k=10
+        ), q
+    assert par.search_phrase("data search", k=10) == ser.search_phrase(
+        "data search", k=10
+    )
