@@ -420,6 +420,19 @@ def input_fingerprint(spark: SparkSession, input_path: str) -> str:
     return f"{zlib.crc32(blob):08x}:{len(jvm_files)}"
 
 
+def _checksum_cols(df: DataFrame) -> list[str]:
+    """Columns folded into the per-bucket xxhash64 content checksum.
+    `fmt` joined the segment schema when PForDelta landed; an index
+    built before that has no such column, and its persisted manifests
+    were hashed WITHOUT it — so `fmt` participates only when present,
+    keeping recomputed checksums comparable to pre-fmt manifests (and
+    avoiding an unresolved-column error on the scan)."""
+    cols = ["term", "shard", "n"]
+    if "fmt" in df.columns:
+        cols.append("fmt")
+    return cols + ["deltas", "tfs", "doclens", "positions"]
+
+
 def bucket_checksums(spark: SparkSession, seg_path: str, buckets: list[int]) -> dict[int, dict]:
     """Order-independent content checksums for many buckets in ONE job
     (per-bucket jobs would add ~0.3s fixed cost × n_buckets)."""
@@ -432,10 +445,7 @@ def bucket_checksums(spark: SparkSession, seg_path: str, buckets: list[int]) -> 
             # bit_xor, not sum: order-independent AND overflow-free under
             # ANSI mode (sum of 64-bit hashes overflows LongType)
             F.bit_xor(
-                F.xxhash64(
-                    "term", "shard", "n", "fmt",
-                    "deltas", "tfs", "doclens", "positions"
-                )
+                F.xxhash64(*_checksum_cols(df))
             ).alias("checksum"),
         )
         .collect()
@@ -886,8 +896,9 @@ def index_report(spark: SparkSession, index_dir: str) -> "DataFrame":
     for skew (a hot bucket), staleness (fingerprint drift), or corruption
     (manifest checksum vs recomputed). One Spark job over the segment
     metadata columns; payload columns are length()-ed, never decoded."""
+    seg = spark.read.parquet(f"{index_dir}/segments")
     live = (
-        spark.read.parquet(f"{index_dir}/segments")
+        seg
         .groupBy("bucket")
         .agg(
             F.count_distinct("term").alias("n_terms"),
@@ -898,10 +909,7 @@ def index_report(spark: SparkSession, index_dir: str) -> "DataFrame":
                 + F.coalesce(F.length("positions"), F.lit(0))
             ).alias("payload_bytes"),
             F.bit_xor(
-                F.xxhash64(
-                    "term", "shard", "n", "fmt",
-                    "deltas", "tfs", "doclens", "positions"
-                )
+                F.xxhash64(*_checksum_cols(seg))
             ).alias("live_checksum"),
         )
     )

@@ -56,6 +56,20 @@ from honeywell_search_engine_spark.query import wand as W
 FULLSCAN_MAX_POSTINGS = 1 << 17
 
 
+def _succ_prefix(prefix: str) -> str | None:
+    """Smallest string greater than every string with prefix `prefix`:
+    the last code point incremented (dropping trailing U+10FFFF, which
+    has no successor). [prefix, _succ_prefix(prefix)) is the exact
+    prefix range under code-point order — unlike prefix+U+FFFF, it
+    admits supplementary-plane continuations. None ⇒ no finite upper
+    bound exists (prefix is all U+10FFFF)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
 class ServingIndex:
     """Spark-free reader over a segment index directory (serving node)."""
 
@@ -498,6 +512,7 @@ class ServingIndex:
         ml = self._dec_lru.get(key)
         if ml is None or (positions and ml.pl.positions is None):
             if ml is not None:  # positions upgrade replaces the entry
+                del self._dec_lru[key]
                 self._dec_bytes -= ml.nbytes
             enc = W._enc_from_row(row)
             ml = codec.MemoList(
@@ -506,14 +521,19 @@ class ServingIndex:
                     enc, with_positions=positions, flat_positions=True
                 ),
             )
+            if ml.nbytes > self._dec_budget:
+                # An entry that alone exceeds the budget (a Zipf head
+                # term at scale: 10^7+ postings/shard decodes past the
+                # 256 MiB default) must NOT enter the LRU — inserting
+                # it first would flush every other warm entry before
+                # being discarded itself. Serve it uncached.
+                return ml
             self._dec_lru[key] = ml
             self._dec_lru.move_to_end(key)
             self._dec_bytes += ml.nbytes
             while self._dec_bytes > self._dec_budget:
                 k_old, old = self._dec_lru.popitem(last=False)
                 self._dec_bytes -= old.nbytes
-                if k_old == key:
-                    break  # entry alone exceeds the budget: serve uncached
         else:
             self._dec_lru.move_to_end(key)
         return ml
@@ -530,18 +550,25 @@ class ServingIndex:
         """Serving-node autocomplete: dictionary terms extending `prefix`,
         most-frequent first — [(term, df)], rank-identical to
         query/suggest.suggest_terms (df desc, term asc). The prefix is
-        pushed as a closed range [prefix, prefix~) into the term_stats
-        parquet scan — the finalize step writes it term-sorted, so
-        row-group min/max statistics prune to the prefix's range — and
-        verified exactly with str.startswith on the pruned slice."""
+        pushed as a half-open range [prefix, succ(prefix)) into the
+        term_stats parquet scan — the finalize step writes it
+        term-sorted, so row-group min/max statistics prune to the
+        prefix's range — and verified exactly with str.startswith on
+        the pruned slice. The upper bound is the SUCCESSOR prefix (last
+        code point incremented, see _succ_prefix), not prefix+U+FFFF:
+        a term whose next character after the prefix is
+        supplementary-plane (> U+FFFF) compares greater than that
+        bound and would be silently excluded even though it extends
+        the prefix."""
         if not prefix:
             return []
         import pyarrow.dataset as ds
 
         data = ds.dataset(f"{self.path}/term_stats", format="parquet")
-        flt = (ds.field("term") >= prefix) & (
-            ds.field("term") <= prefix + "\uffff"
-        )
+        flt = ds.field("term") >= prefix
+        ub = _succ_prefix(prefix)
+        if ub is not None:
+            flt = flt & (ds.field("term") < ub)
         tbl = data.to_table(filter=flt, columns=["term", "df"])
         rows = [
             (t, int(d))

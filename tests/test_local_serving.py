@@ -282,3 +282,43 @@ def test_shard_router_serial_equals_parallel(spark, seg_index, serving):
     assert par.search_phrase("data search", k=10) == ser.search_phrase(
         "data search", k=10
     )
+
+
+def test_decoded_lru_oversize_entry_served_uncached(seg_index):
+    """A single (term, shard) entry larger than the WHOLE decoded-cache
+    budget must be served uncached without touching the LRU — the
+    pre-fix code inserted it first and then popped from the LRU end
+    until under budget, flushing every warm entry before discarding the
+    oversize one (a Zipf head term at scale would wipe the cache on
+    every query that touched it)."""
+    from honeywell_search_engine_spark.functions.analyzer import analyze
+
+    probe = ServingIndex(seg_index.path)
+    for q in reference_queries().values():
+        probe.search(q, k=10)
+    # restrict serving to the shard holding the largest decoded entry so
+    # a search for that term touches exactly one (oversize) entry
+    cands = [
+        ((t, s), ml) for (t, s), ml in probe._dec_lru.items()
+        if analyze(t) == [t]
+    ]
+    (big_term, shard), big_ml = max(cands, key=lambda kv: kv[1].nbytes)
+    budget = big_ml.nbytes - 1
+    small = [
+        (t, ml.nbytes)
+        for (t, s), ml in cands
+        if s == shard and t != big_term and ml.nbytes <= budget // 2
+    ]
+    assert small, "fixture corpus too uniform for this test"
+    small_term = min(small, key=lambda kv: kv[1])[0]
+
+    enc = ServingIndex(seg_index.path, shards=[shard], decode_through=False)
+    sv = ServingIndex(seg_index.path, shards=[shard], dec_cache_bytes=budget)
+    assert sv.search(small_term, k=10) == enc.search(small_term, k=10)
+    warm = set(sv._dec_lru)
+    assert (small_term, shard) in warm
+    # the oversize term: correct results, warm set untouched, not cached
+    assert sv.search(big_term, k=10) == enc.search(big_term, k=10)
+    assert set(sv._dec_lru) == warm
+    assert (big_term, shard) not in sv._dec_lru
+    assert sv._dec_bytes == sum(ml.nbytes for ml in sv._dec_lru.values())

@@ -665,3 +665,61 @@ def test_near_unordered_validates_input(seg_index):
     for bad in ("data", "data data", "data search engine"):
         with _pytest.raises(ValueError, match="two-distinct-term"):
             bm25_topk_near_unordered(seg_index, bad)
+
+
+def test_bucket_checksums_pre_fmt_index(spark, seg_index, tmp_path):
+    """An index built before the `fmt` column existed must still be
+    checksummable — `fmt` participates in the xxhash64 only when present
+    in the scanned schema, so recomputed checksums stay comparable to
+    manifests persisted by the pre-fmt builder (advice r5). A pre-fmt
+    index is simulated by rewriting the segments parquet without fmt."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from honeywell_search_engine_spark.index.segments import (
+        bucket_checksums,
+        index_report,
+    )
+
+    old = str(tmp_path / "prefmt")
+    os.makedirs(old)
+    seg = spark.read.parquet(f"{seg_index.path}/segments")
+    assert "fmt" in seg.columns
+    (
+        seg.drop("fmt")
+        .repartition(4)
+        .write.partitionBy("bucket")
+        .parquet(f"{old}/segments")
+    )
+    for aux in ("manifests", "term_stats"):
+        src = os.path.join(seg_index.path, aux)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(old, aux))
+    for fn in os.listdir(seg_index.path):
+        p = os.path.join(seg_index.path, fn)
+        if os.path.isfile(p):
+            shutil.copy(p, os.path.join(old, fn))
+
+    buckets = sorted(
+        int(r["bucket"])
+        for r in spark.read.parquet(f"{old}/segments")
+        .select("bucket").distinct().collect()
+    )
+    chks = bucket_checksums(spark, f"{old}/segments", buckets)
+    assert chks and all(c["rows"] > 0 for c in chks.values())
+    # and checksums equal the hand-rolled pre-fmt formula
+    exp = {
+        int(r["bucket"]): int(r["cs"])
+        for r in spark.read.parquet(f"{old}/segments")
+        .groupBy("bucket")
+        .agg(F.bit_xor(F.xxhash64(
+            "term", "shard", "n", "deltas", "tfs", "doclens", "positions"
+        )).alias("cs"))
+        .collect()
+    }
+    assert {b: c["checksum"] for b, c in chks.items()} == exp
+    # index_report runs on the pre-fmt layout too (same column guard)
+    rep = index_report(spark, old).collect()
+    assert len(rep) > 0

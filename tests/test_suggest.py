@@ -212,3 +212,43 @@ def test_serving_spell_matches_spark(spark, seg_index, dict_terms, tmp_path):
     typo_q = f"{_mutate(base)[1]} {sorted(dict_terms)[13]}"
     exp_fix = did_you_mean(seg_index, spark_spell, typo_q, max_edit=2)
     assert sv.did_you_mean(typo_q, spell_dir, max_edit=2) == exp_fix
+
+
+def test_succ_prefix():
+    from honeywell_search_engine_spark.query.local import _succ_prefix
+
+    assert _succ_prefix("se") == "sf"
+    assert _succ_prefix("a") == "b"
+    # trailing max code point: carry into the previous position
+    assert _succ_prefix("a\U0010FFFF") == "b"
+    assert _succ_prefix("\U0010FFFF") is None
+    s = _succ_prefix("café")
+    assert s is not None and s > "café" and not s.startswith("café")
+
+
+def test_serving_suggest_supplementary_plane(tmp_path):
+    """Terms with supplementary-plane characters (> U+FFFF) right after
+    the prefix must still be suggested — the old prefix+U+FFFF upper
+    bound silently excluded them (advice r5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from honeywell_search_engine_spark.query.local import ServingIndex
+
+    terms = sorted(["se", "search", "se\U0001F600x", "sf", "s", "sd"])
+    dfs = list(range(10, 10 + len(terms)))
+    tdir = tmp_path / "term_stats"
+    tdir.mkdir()
+    pq.write_table(
+        pa.table({"term": terms, "df": dfs}), tdir / "part-0.parquet"
+    )
+    sv = object.__new__(ServingIndex)
+    sv.path = str(tmp_path)
+    got = sv.suggest("se", k=10)
+    assert set(t for t, _ in got) == {"se", "search", "se\U0001F600x"}
+    # rank: df desc, term asc — and df values survive the round-trip
+    exp = sorted(
+        [(t, d) for t, d in zip(terms, dfs) if t.startswith("se")],
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert got == exp
