@@ -117,3 +117,37 @@ class CachedSearcher:
                 ).collect()
             ],
         )
+
+    def warm(self, query_log) -> int:
+        """Pre-warm the cache from a query log — the standard serving-node
+        start-up step: replay yesterday's head queries before taking
+        traffic so the first real user never pays the cold path. Entries
+        are (kind, args...) tuples mirroring the public surface, or bare
+        strings (treated as AND searches):
+
+            ("q", query[, k[, mode]])  -> search
+            ("w", query[, k])          -> search_websearch
+            ("p", phrase[, k[, slop]]) -> search_phrase
+            ("nu", query[, k[, dist]]) -> search_near_unordered
+
+        Returns the number of entries computed (misses); duplicates and
+        already-cached entries cost one LRU hit each. Cold start is
+        decode + pyarrow-read dominated, so warming also populates the
+        underlying ServingIndex decoded-postings LRU — steady-state
+        latency from the first query."""
+        before = self.misses
+        for entry in query_log:
+            if isinstance(entry, str):
+                entry = ("q", entry)
+            kind, args = entry[0], list(entry[1:])
+            if kind == "q":
+                self.search(*args)
+            elif kind == "w":
+                self.search_websearch(*args)
+            elif kind == "p":
+                self.search_phrase(*args)
+            elif kind == "nu":
+                self.search_near_unordered(*args)
+            else:
+                raise ValueError(f"unknown query-log kind: {kind!r}")
+        return self.misses - before

@@ -712,3 +712,24 @@ class ShardRouter:
         self, query: str, k: int = 10, dist: int = 3
     ) -> list[tuple[int, float]]:
         return self._fanout("search_near_unordered", k, query, dist=dist)
+
+    # ---- dictionary surface ----------------------------------------------
+    # suggest / spell read index-GLOBAL metadata (term_stats and the
+    # SymSpell deletes table live at the shared lake path, identical from
+    # every node — shard-subset mode restricts only docmap + posting
+    # payloads), so any node answers exactly; no scatter-gather. The
+    # router routes them to one node — this is the real topology too:
+    # autocomplete boxes hit any serving node, not all of them.
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        return self.nodes[0].suggest(prefix, k=k)
+
+    def correct_terms(
+        self, terms: list[str], spell_dir: str, max_edit: int = 2, k: int = 3
+    ) -> dict[str, list[tuple[str, int, int]]]:
+        return self.nodes[0].correct_terms(terms, spell_dir, max_edit, k)
+
+    def did_you_mean(
+        self, query: str, spell_dir: str, max_edit: int = 2
+    ) -> tuple[str, bool]:
+        return self.nodes[0].did_you_mean(query, spell_dir, max_edit)

@@ -218,3 +218,18 @@ def test_oracled_gates_are_driver_canonicalizable(spark):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, f"non-canonicalizable gate columns: {bad}"
+
+
+def test_gate_board_within_driver_sample():
+    """STANDING CONSTRAINT (round-5 discovery, COVERAGE.md): the driver
+    samples exactly the first 50 queries() entries in insertion order, so
+    a 51st gate would silently go unverified. Merge into a tagged-union
+    family before appending."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    assert len(q) <= 50, (
+        f"gate board has {len(q)} entries; the driver samples only the "
+        "first 50 — merge gates into a tagged-union family instead"
+    )
+    assert set(e.oracle_sql()) <= set(q)

@@ -322,3 +322,82 @@ def test_decoded_lru_oversize_entry_served_uncached(seg_index):
     assert set(sv._dec_lru) == warm
     assert (big_term, shard) not in sv._dec_lru
     assert sv._dec_bytes == sum(ml.nbytes for ml in sv._dec_lru.values())
+
+
+def test_cached_searcher_warm(seg_index):
+    """CachedSearcher.warm replays a query log: every entry lands in the
+    LRU (subsequent identical queries are pure hits, identical rows),
+    bare strings mean AND search, duplicates are not recomputed, and
+    unknown kinds fail loudly."""
+    import pytest as _pytest
+
+    from honeywell_search_engine_spark.query.cache import CachedSearcher
+
+    qs = list(reference_queries().values())[:4]
+    log = [
+        ("q", qs[0], 10),
+        ("q", qs[1], 10, "or"),
+        ("w", f"{qs[2]} -zzzznotaterm", 10),
+        ("p", "data search", 10, 0),
+        ("nu", "data engine", 10, 3),
+        qs[3],                      # bare string -> AND search
+        ("q", qs[0], 10),           # duplicate -> hit, not a new miss
+    ]
+    cs = CachedSearcher(seg_index)
+    n = cs.warm(log)
+    assert n == 6                   # 7 entries, 1 duplicate
+    assert cs.hits == 1 and cs.misses == 6
+    # replaying the stream is all hits with identical rows
+    ref = CachedSearcher(seg_index)
+    assert cs.search(qs[0], k=10) == ref.search(qs[0], k=10)
+    assert cs.search(qs[1], k=10, mode="or") == ref.search(
+        qs[1], k=10, mode="or"
+    )
+    assert cs.search_phrase("data search", k=10, slop=0) == (
+        ref.search_phrase("data search", k=10, slop=0)
+    )
+    assert cs.search_near_unordered("data engine", k=10, dist=3) == (
+        ref.search_near_unordered("data engine", k=10, dist=3)
+    )
+    assert cs.search(qs[3], k=10) == ref.search(qs[3], k=10)
+    assert cs.misses == 6           # nothing recomputed
+    with _pytest.raises(ValueError, match="query-log kind"):
+        cs.warm([("xx", "nope")])
+
+
+def test_shard_router_full_public_surface(spark, seg_index, serving, tmp_path):
+    """Every public ServingIndex method must be available on ShardRouter
+    and equal the full-index instance: the four search modes with their
+    options (scoped, OR mode, negation), plus the dictionary surface
+    (suggest / correct_terms / did_you_mean — index-global metadata,
+    routed to one node)."""
+    from honeywell_search_engine_spark.query.local import ShardRouter
+    from honeywell_search_engine_spark.query.suggest import build_spell_table
+
+    router = ShardRouter(seg_index.path, n_nodes=3)
+    q0 = marker_term(0)
+    # scoped + OR + negation options ride the fan-out kwargs
+    hits = [d for d, _ in serving.search(q0, k=100)]
+    scope = hits[:3] + [987654321]
+    assert router.search(q0, k=10, allowed_docids=scope) == serving.search(
+        q0, k=10, allowed_docids=scope
+    )
+    for q in list(reference_queries().values())[:4]:
+        assert router.search(q, k=10, mode="or") == serving.search(
+            q, k=10, mode="or"
+        ), q
+    assert router.search(
+        "data search", k=10, exclude_terms=["engine"]
+    ) == serving.search("data search", k=10, exclude_terms=["engine"])
+    # dictionary surface
+    for p in ("da", "se", "eng", "zzz"):
+        assert router.suggest(p, k=10) == serving.suggest(p, k=10), p
+    spell_dir = str(tmp_path / "spell")
+    build_spell_table(seg_index.term_stats, max_edit=2, out_dir=spell_dir)
+    qs = ["serch", "data", "enginee"]
+    assert router.correct_terms(qs, spell_dir) == serving.correct_terms(
+        qs, spell_dir
+    )
+    assert router.did_you_mean("data serch", spell_dir) == (
+        serving.did_you_mean("data serch", spell_dir)
+    )
