@@ -652,6 +652,63 @@ class ServingIndex:
         fixed = [best.get(t, t) for t in qterms]
         return " ".join(fixed), fixed != qterms
 
+    # ---- full response rows (reference API row, Spark-free) --------------
+
+    def attach_docs(
+        self, docs_path: str, id_col: str = "docid", text_col: str = "text"
+    ) -> None:
+        """Attach the forward text store (a docs parquet with
+        (id_col, text_col)) — search_response fetches the k hit
+        documents' text from it per query (query/respond.fetch_texts)."""
+        self._docs_path = docs_path
+        self._docs_id_col = id_col
+        self._docs_text_col = text_col
+
+    def search_response(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        rerank_from: int | None = None,
+    ) -> list[tuple]:
+        """The reference's full search-response row, served Spark-free:
+        [(rnk, docid, score_r, snippet, highlights, lex_score, has_oie,
+        confidence)] — row-identical to the Spark path
+        (operators/serving.search_response_indexed; parity pinned in
+        tests/test_serving.py). BM25 top-k runs on the pruned posting
+        lists as usual; the composition (query/respond.py mirrors of the
+        snippet/highlight/triple operators) touches only the k hit
+        documents, fetched from the attached docs store.
+
+        `rerank_from=N` routes through the deterministic rerank stage
+        (R7 analog): candidates = disjunctive top-N, feature-rescored
+        (respond.rerank_hits_py ≡ operators/serving.rerank_topk), top-k
+        of THAT order composed (rnk = rerank order, score_r = rerank
+        score)."""
+        from honeywell_search_engine_spark.query import respond
+
+        if not hasattr(self, "_docs_path"):
+            raise ValueError(
+                "no text store attached — call attach_docs(docs_path) first"
+            )
+
+        def _texts(ids):
+            return respond.fetch_texts(
+                self._docs_path, ids, self._docs_id_col, self._docs_text_col
+            )
+
+        if rerank_from is not None:
+            cands = self.search(query, k=rerank_from, mode="or")
+            texts = _texts([d for d, _ in cands])
+            qterms = respond.analyze_query(query)
+            ranked = respond.rerank_hits_py(cands, texts, qterms, k_out=k)
+            hits = [(d, rr) for _rnk, d, rr, _sr in ranked]
+            return respond.compose_response_rows(hits, texts, query)
+        hits = self.search(query, k=k, mode=mode)
+        return respond.compose_response_rows(
+            hits, _texts([d for d, _ in hits]), query
+        )
+
 
 class ShardRouter:
     """Fan-out over shard-subset ServingIndex nodes — the 10^12-doc
@@ -733,3 +790,50 @@ class ShardRouter:
         self, query: str, spell_dir: str, max_edit: int = 2
     ) -> tuple[str, bool]:
         return self.nodes[0].did_you_mean(query, spell_dir, max_edit)
+
+    def attach_docs(
+        self, docs_path: str, id_col: str = "docid", text_col: str = "text"
+    ) -> None:
+        """Attach the forward text store to every node (the docs table is
+        lake-global; each node could equally fetch only its own shards'
+        docs — the router composes from the merged hit set, so it fetches
+        via one node)."""
+        for n in self.nodes:
+            n.attach_docs(docs_path, id_col, text_col)
+
+    def search_response(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        rerank_from: int | None = None,
+    ) -> list[tuple]:
+        """Full response rows over the fanned-out global top-k: the hit
+        merge is the exact scatter-gather (see _fanout); the k-document
+        composition (and the optional rerank stage over the merged
+        disjunctive top-N) runs once at the router — identical to a full
+        instance (tested)."""
+        from honeywell_search_engine_spark.query import respond
+
+        node = self.nodes[0]
+        if not hasattr(node, "_docs_path"):
+            raise ValueError(
+                "no text store attached — call attach_docs(docs_path) first"
+            )
+
+        def _texts(ids):
+            return respond.fetch_texts(
+                node._docs_path, ids, node._docs_id_col, node._docs_text_col
+            )
+
+        if rerank_from is not None:
+            cands = self.search(query, k=rerank_from, mode="or")
+            texts = _texts([d for d, _ in cands])
+            qterms = respond.analyze_query(query)
+            ranked = respond.rerank_hits_py(cands, texts, qterms, k_out=k)
+            hits = [(d, rr) for _rnk, d, rr, _sr in ranked]
+            return respond.compose_response_rows(hits, texts, query)
+        hits = self.search(query, k=k, mode=mode)
+        return respond.compose_response_rows(
+            hits, _texts([d for d, _ in hits]), query
+        )

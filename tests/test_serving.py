@@ -249,3 +249,94 @@ def test_rerank_matches_oracle_across_grammar_edges(spark):
     empty = rerank_topk(docs, "the of and", 50, 10)
     assert empty.count() == 0
     assert empty.columns == ["rnk", "docid", "rerank_r", "score_r"]
+
+
+def test_serving_search_response_equals_spark(spark, seg_index, pages_path, tmp_path):
+    """ServingIndex.search_response (Spark-free composition over the k
+    hit docs, query/respond.py) must be row-identical to the Spark path
+    (search_response_indexed: WAND top-k + shared Spark composition) on
+    the reference query set — snippet, highlights, lex step, OIE flag,
+    confidence, HALF_UP-rounded score, all of it. ShardRouter composes
+    the same rows over the fanned-out global top-k."""
+    from honeywell_search_engine_spark.index.corpus import docs_from_pages
+    from honeywell_search_engine_spark.operators.serving import (
+        search_response_indexed,
+    )
+    from honeywell_search_engine_spark.query.local import (
+        ServingIndex,
+        ShardRouter,
+    )
+    from honeywell_search_engine_spark.sources.pages import (
+        read_pages,
+        reference_queries,
+    )
+
+    docs = docs_from_pages(read_pages(spark, pages_path)).select("docid", "text")
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+
+    sv = ServingIndex(seg_index.path)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="attach_docs"):
+        sv.search_response("data search", k=5)
+    sv.attach_docs(docs_path)
+    router = ShardRouter(seg_index.path, n_nodes=3)
+    router.attach_docs(docs_path)
+
+    checked = 0
+    for qid, q in list(reference_queries().items())[::3]:
+        exp = [
+            tuple(r)
+            for r in search_response_indexed(
+                seg_index, docs, q, k=5, id_col="docid"
+            ).collect()
+        ]
+        got = sv.search_response(q, k=5)
+        assert got == exp, (qid, q)
+        assert router.search_response(q, k=5) == exp, (qid, q)
+        checked += bool(exp)
+    assert checked >= 4
+    # degenerate queries: empty / unknown terms -> []
+    assert sv.search_response("", k=5) == []
+    assert sv.search_response("zzzznotaterm", k=5) == []
+
+
+def test_serving_search_response_reranked_equals_spark(spark, seg_index, pages_path, tmp_path):
+    """ServingIndex.search_response(rerank_from=N) — candidates from the
+    serving disjunctive top-N, features rescored by the pure-Python
+    rerank mirror — must equal the Spark path search_response(
+    rerank_from=N) row for row (rnk = rerank order, score_r = rounded
+    rerank score)."""
+    from honeywell_search_engine_spark.index.corpus import docs_from_pages
+    from honeywell_search_engine_spark.operators.serving import search_response
+    from honeywell_search_engine_spark.query.local import (
+        ServingIndex,
+        ShardRouter,
+    )
+    from honeywell_search_engine_spark.sources.pages import (
+        read_pages,
+        reference_queries,
+    )
+
+    docs = docs_from_pages(read_pages(spark, pages_path)).select("docid", "text")
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+    sv = ServingIndex(seg_index.path)
+    sv.attach_docs(docs_path)
+    router = ShardRouter(seg_index.path, n_nodes=2)
+    router.attach_docs(docs_path)
+
+    checked = 0
+    for qid, q in list(reference_queries().items())[::4]:
+        exp = [
+            tuple(r)
+            for r in search_response(
+                docs, q, k=5, id_col="docid", rerank_from=50
+            ).collect()
+        ]
+        got = sv.search_response(q, k=5, rerank_from=50)
+        assert got == exp, (qid, q)
+        assert router.search_response(q, k=5, rerank_from=50) == exp, qid
+        checked += bool(exp)
+    assert checked >= 3
