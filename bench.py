@@ -436,6 +436,37 @@ def main() -> None:
         f"warm p95 {extra['serving_warm_p95_sec']}s, "
         f"{extra['serving_qps']} q/s single-thread")
 
+    # full response rows (reference API row: snippet/highlights/OIE/
+    # confidence, query/respond.py) — warm composition latency over the
+    # attached docs store (per-hit text fetch + O(k·doc_len) Python)
+    docs_store = f"{WORK}/docs_store_{N_DOCS}"
+    if not os.path.exists(f"{docs_store}/_SUCCESS"):
+        from honeywell_search_engine_spark.index.corpus import docs_from_pages
+        from honeywell_search_engine_spark.sources.pages import read_pages
+
+        (
+            docs_from_pages(read_pages(spark, pages_path))
+            .select("docid", "text")
+            .write.mode("overwrite").parquet(docs_store)
+        )
+    sv.attach_docs(docs_store)
+    for qtext in reference_queries().values():  # warm the hit path
+        sv.search_response(qtext, k=10)
+    resp = []
+    t0 = time.time()
+    for _ in range(3):
+        for qtext in reference_queries().values():
+            tq = time.time()
+            sv.search_response(qtext, k=10)
+            resp.append(time.time() - tq)
+    resp_sec = time.time() - t0
+    resp.sort()
+    extra["serving_response_p95_sec"] = round(resp[int(len(resp) * 0.95) - 1], 4)
+    extra["serving_response_qps"] = round(len(resp) / resp_sec, 1)
+    log(f"[bench] serving full-response rows: warm p95 "
+        f"{extra['serving_response_p95_sec']}s, "
+        f"{extra['serving_response_qps']} q/s single-thread")
+
     # concurrent serving capacity via process REPLICAS (how real serving
     # scales: N stateless nodes over the same immutable segments; Python
     # THREADS convoy on the GIL for this CPU-bound kernel — measured far
@@ -710,6 +741,76 @@ def main() -> None:
             f"payload ({extra['codec_vb']['payload_vs_pfor']:.0%} of pfor), "
             f"batch20 {vb_batch:.2f}s")
         shutil.rmtree(vb_dir, ignore_errors=True)
+
+    # ---- maintenance path: incremental merge + compaction -----------------
+    # At 100 TB the operational number is incremental merge throughput (a
+    # full rebuild is off the table); compaction is the tombstone-GC cost.
+    # Copy the headline index, stream a 10% delta corpus (distinct seed ->
+    # distinct urls/docids), fold it in with merge_deltas, then tombstone
+    # 5% of docs and compact.
+    if os.environ.get("BENCH_MAINT", "1") != "0":
+        import pyarrow.parquet as _pq
+
+        from honeywell_search_engine_spark.index.maintenance import (
+            compact,
+            delete_docs,
+            merge_deltas,
+        )
+        from honeywell_search_engine_spark.sources.pages import (
+            write_pages_table_spark,
+        )
+        from honeywell_search_engine_spark.streaming.ingest import (
+            stream_postings_delta,
+        )
+
+        maint_dir = f"{WORK}/idx_maint_{N_BUILD}"
+        shutil.rmtree(maint_dir, ignore_errors=True)
+        shutil.copytree(idx_dir, maint_dir)
+        n_delta = max(N_DOCS // 10, 1000)
+        delta_pages = f"{WORK}/pages_delta_{n_delta}"
+        if not os.path.exists(f"{delta_pages}/_GEN_{n_delta}"):
+            shutil.rmtree(delta_pages, ignore_errors=True)
+            write_pages_table_spark(
+                spark, delta_pages, n_delta, seed=9090909,
+                partitions=max(CPUS, 8),
+            )
+            open(f"{delta_pages}/_GEN_{n_delta}", "w").write(str(n_delta))
+        delta_dir = f"{WORK}/delta_{n_delta}"
+        shutil.rmtree(delta_dir, ignore_errors=True)
+        t0 = time.time()
+        stream_postings_delta(
+            spark, delta_pages, delta_dir, n_buckets=32, n_shards=16
+        )
+        stream_sec = time.time() - t0
+        t0 = time.time()
+        summary = merge_deltas(spark, maint_dir, delta_dir)
+        merge_sec = time.time() - t0
+        extra["delta_stream_sec"] = round(stream_sec, 2)
+        extra["merge_sec"] = round(merge_sec, 2)
+        extra["merge_docs_added"] = int(summary["docs_added"])
+        extra["merge_docs_per_sec"] = round(summary["docs_added"] / merge_sec, 1)
+        extra["merge_affected_buckets"] = int(summary["affected_buckets"])
+        log(f"[bench] merge_deltas: {summary['docs_added']} docs folded in "
+            f"{merge_sec:.1f}s = {extra['merge_docs_per_sec']} docs/s "
+            f"({summary['affected_buckets']} buckets re-encoded; delta "
+            f"stream {stream_sec:.1f}s)")
+        # tombstone 5% of docs, then compact (physical rewrite + GC)
+        dm = _pq.read_table(f"{maint_dir}/docmap", columns=["docid"])
+        victims = dm.column("docid").to_pylist()[::20]
+        delete_docs(maint_dir, victims, reason="bench compaction")
+        t0 = time.time()
+        st = compact(spark, maint_dir)
+        compact_sec = time.time() - t0
+        extra["compact_sec"] = round(compact_sec, 2)
+        extra["compact_tombstones"] = len(victims)
+        extra["compact_docs_per_sec"] = round(
+            (extra["merge_docs_added"] + N_DOCS) / compact_sec, 1
+        )
+        log(f"[bench] compact: {len(victims)} tombstones GC'd over "
+            f"{extra['merge_docs_added'] + N_DOCS} docs in {compact_sec:.1f}s "
+            f"({extra['compact_docs_per_sec']} docs/s rewrite)")
+        shutil.rmtree(maint_dir, ignore_errors=True)
+        shutil.rmtree(delta_dir, ignore_errors=True)
     spark.stop()
 
     out = {
@@ -735,6 +836,7 @@ def main() -> None:
         "index_build_sec", "index_build_docs_per_sec",
         "bm25_latency_median_sec", "bm25_latency_p95_sec", "bm25_batch_qps",
         "serving_warm_p95_sec", "serving_qps", "serving_replica_qps",
+        "serving_response_p95_sec", "serving_response_qps",
         "cached_stream_qps", "cached_stream_warm_qps",
         "cached_stream_steady_qps",
         "bytes_per_posting_payload", "bytes_per_posting_on_disk",

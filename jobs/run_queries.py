@@ -42,6 +42,15 @@ def main(argv=None) -> None:
                          "only its shards; results identical to 1 node)")
     ap.add_argument("--batch", action="store_true",
                     help="evaluate all queries in one Spark job")
+    ap.add_argument("--docs", default=None,
+                    help="serve mode only: docs parquet (docid, text) to "
+                         "attach — hits become the reference's FULL "
+                         "response row (rnk, docid, score_r, snippet, "
+                         "highlights, lex_score, has_oie, confidence)")
+    ap.add_argument("--rerank-from", type=int, default=None,
+                    help="serve mode + --docs: route through the "
+                         "deterministic LTR rerank stage over the "
+                         "disjunctive top-N")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -89,9 +98,16 @@ def main(argv=None) -> None:
             sv = ShardRouter(args.index, n_nodes=args.nodes)
         else:
             sv = ServingIndex(args.index)
+        if args.docs:
+            sv.attach_docs(args.docs)
         for name, q in queries.items():
             t0 = time.time()
-            hits = sv.search(q, k=args.k)
+            if args.docs:
+                hits = sv.search_response(
+                    q, k=args.k, rerank_from=args.rerank_from
+                )
+            else:
+                hits = sv.search(q, k=args.k)
             out[str(name)] = {"sec": round(time.time() - t0, 4), "hits": hits}
     else:
         from honeywell_search_engine_spark.query.wand import (
