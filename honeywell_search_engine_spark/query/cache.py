@@ -118,6 +118,41 @@ class CachedSearcher:
             ],
         )
 
+    def attach_docs(
+        self, docs_path: str, id_col: str = "docid", text_col: str = "text"
+    ) -> None:
+        """Attach the forward text store for search_response (local-miss
+        serving only — the Spark-miss path composes via
+        operators/serving.search_response_indexed in the caller's plan)."""
+        if self._local is None:
+            raise ValueError(
+                "attach_docs requires local_misses=True (the serving path)"
+            )
+        self._local.attach_docs(docs_path, id_col, text_col)
+
+    def search_response(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        rerank_from: int | None = None,
+    ) -> list:
+        """Full response rows (ServingIndex.search_response), memoized —
+        the reference's result cache sits exactly here: the cached value
+        IS the API row the serving process returns (reference
+        PIPELINE.md result-caching note)."""
+        if self._local is None:
+            raise ValueError(
+                "search_response requires local_misses=True (the serving path)"
+            )
+        key = ("r", query, k, mode, rerank_from)
+        return self._get(
+            key,
+            lambda: self._local.search_response(
+                query, k=k, mode=mode, rerank_from=rerank_from
+            ),
+        )
+
     def warm(self, query_log) -> int:
         """Pre-warm the cache from a query log — the standard serving-node
         start-up step: replay yesterday's head queries before taking
@@ -129,6 +164,7 @@ class CachedSearcher:
             ("w", query[, k])          -> search_websearch
             ("p", phrase[, k[, slop]]) -> search_phrase
             ("nu", query[, k[, dist]]) -> search_near_unordered
+            ("r", query[, k])          -> search_response (docs attached)
 
         Returns the number of entries computed (misses); duplicates and
         already-cached entries cost one LRU hit each. Cold start is
@@ -148,6 +184,8 @@ class CachedSearcher:
                 self.search_phrase(*args)
             elif kind == "nu":
                 self.search_near_unordered(*args)
+            elif kind == "r":
+                self.search_response(*args)
             else:
                 raise ValueError(f"unknown query-log kind: {kind!r}")
         return self.misses - before

@@ -659,10 +659,16 @@ class ServingIndex:
     ) -> None:
         """Attach the forward text store (a docs parquet with
         (id_col, text_col)) — search_response fetches the k hit
-        documents' text from it per query (query/respond.fetch_texts)."""
+        documents' text from it per query (query/respond.fetch_texts).
+        The dataset handle is opened once here — per-query fetches skip
+        the file-listing/metadata walk and go straight to the pushed
+        id-filter read."""
+        import pyarrow.dataset as ds
+
         self._docs_path = docs_path
         self._docs_id_col = id_col
         self._docs_text_col = text_col
+        self._docs_ds = ds.dataset(docs_path, format="parquet")
 
     def search_response(
         self,
@@ -694,7 +700,8 @@ class ServingIndex:
 
         def _texts(ids):
             return respond.fetch_texts(
-                self._docs_path, ids, self._docs_id_col, self._docs_text_col
+                self._docs_path, ids, self._docs_id_col, self._docs_text_col,
+                dataset=self._docs_ds,
             )
 
         if rerank_from is not None:
@@ -823,7 +830,8 @@ class ShardRouter:
 
         def _texts(ids):
             return respond.fetch_texts(
-                node._docs_path, ids, node._docs_id_col, node._docs_text_col
+                node._docs_path, ids, node._docs_id_col, node._docs_text_col,
+                dataset=node._docs_ds,
             )
 
         if rerank_from is not None:

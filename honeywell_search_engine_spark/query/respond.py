@@ -168,15 +168,20 @@ def fetch_texts(
     docids: list[int],
     id_col: str = "docid",
     text_col: str = "text",
+    dataset=None,
 ) -> dict[int, str]:
     """docid -> text for the hit set: a pyarrow filtered read of the docs
     parquet (predicate pushed to row groups — k ids, not a scan). The
-    KV-store analog of the deployment story."""
+    KV-store analog of the deployment story. Pass a pre-opened
+    `dataset` to skip the per-query metadata/listing walk (ServingIndex
+    opens it once at attach_docs)."""
     import pyarrow.dataset as ds
 
     if not docids:
         return {}
-    data = ds.dataset(docs_path, format="parquet")
+    data = dataset if dataset is not None else ds.dataset(
+        docs_path, format="parquet"
+    )
     tbl = data.to_table(
         filter=ds.field(id_col).isin([int(d) for d in docids]),
         columns=[id_col, text_col],

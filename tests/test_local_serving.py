@@ -401,3 +401,48 @@ def test_shard_router_full_public_surface(spark, seg_index, serving, tmp_path):
     assert router.did_you_mean("data serch", spell_dir) == (
         serving.did_you_mean("data serch", spell_dir)
     )
+
+
+def test_cached_searcher_search_response(spark, seg_index, pages_path, tmp_path):
+    """CachedSearcher.search_response memoizes the FULL API row (the
+    reference's result cache caches the response, not just ids): rows
+    equal the uncached serving path, repeats are hits, the 'r' kind
+    warms through the query log, and without an attached store it fails
+    loudly."""
+    import pytest as _pytest
+
+    from honeywell_search_engine_spark.index.corpus import docs_from_pages
+    from honeywell_search_engine_spark.query.cache import CachedSearcher
+    from honeywell_search_engine_spark.sources.pages import read_pages
+
+    docs_path = str(tmp_path / "docs")
+    (
+        docs_from_pages(read_pages(spark, pages_path))
+        .select("docid", "text")
+        .write.parquet(docs_path)
+    )
+    sv = ServingIndex(seg_index.path)
+    sv.attach_docs(docs_path)
+    cs = CachedSearcher(seg_index)
+    cs.attach_docs(docs_path)
+    qs = list(reference_queries().values())[:3]
+    for q in qs:
+        assert cs.search_response(q, k=5) == sv.search_response(q, k=5), q
+    assert cs.misses == 3
+    for q in qs:
+        cs.search_response(q, k=5)
+    assert cs.hits == 3
+    # rerank variant keys separately and matches the serving path
+    assert cs.search_response(qs[0], k=5, rerank_from=20) == (
+        sv.search_response(qs[0], k=5, rerank_from=20)
+    )
+    assert cs.misses == 4
+    # warm() accepts the 'r' kind
+    cs2 = CachedSearcher(seg_index)
+    cs2.attach_docs(docs_path)
+    assert cs2.warm([("r", qs[0], 5)]) == 1
+    assert cs2.search_response(qs[0], k=5) == sv.search_response(qs[0], k=5)
+    assert cs2.hits == 1
+    # Spark-miss-mode searcher refuses the serving-only surface
+    with _pytest.raises(ValueError, match="local_misses"):
+        CachedSearcher(seg_index, local_misses=False).search_response(qs[0])
