@@ -340,3 +340,71 @@ def test_serving_search_response_reranked_equals_spark(spark, seg_index, pages_p
         assert router.search_response(q, k=5, rerank_from=50) == exp, qid
         checked += bool(exp)
     assert checked >= 3
+
+
+def test_respond_mirrors_fuzz_vs_spark(spark):
+    """Randomized parity: the pure-Python response mirrors
+    (query/respond.py) must equal the Spark operators on adversarial
+    texts — tabs/newlines around sentence bounds (Spark trim strips
+    spaces ONLY), runs of punctuation, supplementary-plane chars, empty
+    and tiny docs, stopword-only sentences."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from honeywell_search_engine_spark.functions.analyzer import analyze_query
+    from honeywell_search_engine_spark.operators.search import (
+        highlight_terms,
+        naive_triples,
+    )
+    from honeywell_search_engine_spark.functions.analyzer import tokenize
+    from honeywell_search_engine_spark.operators.serving import best_snippet
+    from honeywell_search_engine_spark.query import respond
+
+    rng = random.Random(20260817)
+    words = [
+        "data", "search", "engine", "index", "the", "of", "it", "zz",
+        "query", "rank", "\U0001F600emoji", "café", "x1", "longword" * 3,
+    ]
+    puncts = [". ", "! ", "?? ", "...  ", ".\t", ".\n ", " ", ", "]
+
+    def mk_text():
+        n = rng.randint(0, 12)
+        parts = []
+        for _ in range(n):
+            sent = " ".join(rng.choices(words, k=rng.randint(1, 9)))
+            if rng.random() < 0.3:
+                sent = "\t" + sent + "  "
+            parts.append(sent + rng.choice(puncts))
+        return "".join(parts)
+
+    texts = [mk_text() for _ in range(40)] + ["", ".", "a b", "data. " * 30]
+    pdf = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(pdf, "docid long, text string")
+    queries = ["data search", "engine index query", "café \U0001F600emoji",
+               "the of it", "zz"]
+    for q in queries:
+        qts = analyze_query(q)
+        snip = {
+            r["docid"]: (r["snippet"], r["overlap_r"], r["lex_score"])
+            for r in best_snippet(docs, q, id_col="docid").collect()
+        }
+        hl = {
+            r["docid"]: " ".join(r["highlights"])
+            for r in highlight_terms(docs, q, id_col="docid").collect()
+        }
+        qarr = set(qts)
+        tri = {}
+        for r in naive_triples(docs, id_col="docid").collect():
+            trip = f"{r['subj']} {r['pred']} {r['obj']}"
+            hit = bool(set(tokenize(trip)) & qarr)
+            tri[r["docid"]] = max(tri.get(r["docid"], 0), int(hit))
+        for i, t in pdf:
+            s, o, lex = respond.best_snippet_py(t, qts)
+            exp_s, exp_or, exp_lex = snip[i]
+            assert s == exp_s, (q, i, t)
+            assert respond.round_half_up(o, 6) == exp_or, (q, i)
+            assert lex == exp_lex, (q, i)
+            if qts:
+                assert respond.highlights_py(t, qts) == hl[i], (q, i)
+            assert respond.has_oie_py(t, qts) == tri.get(i, 0) if qts else True
