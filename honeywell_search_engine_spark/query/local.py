@@ -662,13 +662,44 @@ class ServingIndex:
         documents' text from it per query (query/respond.fetch_texts).
         The dataset handle is opened once here — per-query fetches skip
         the file-listing/metadata walk and go straight to the pushed
-        id-filter read."""
+        id-filter read. `doc_cache_entries` bounds the hot-document text
+        LRU (the standard serving document cache: Zipf queries hit the
+        same head documents, so distinct queries still reuse fetches)."""
         import pyarrow.dataset as ds
 
         self._docs_path = docs_path
         self._docs_id_col = id_col
         self._docs_text_col = text_col
         self._docs_ds = ds.dataset(docs_path, format="parquet")
+        self._doc_lru: OrderedDict[int, str] = OrderedDict()
+        self._doc_cap = 4096
+
+    def _fetch_texts(self, docids: list[int]) -> dict[int, str]:
+        """docid -> text through the document LRU; only cache misses hit
+        the parquet store, in ONE pushed id-filter read."""
+        from honeywell_search_engine_spark.query import respond
+
+        out: dict[int, str] = {}
+        missing = []
+        for d in docids:
+            t = self._doc_lru.get(d)
+            if t is None:
+                missing.append(d)
+            else:
+                self._doc_lru.move_to_end(d)
+                out[d] = t
+        if missing:
+            fetched = respond.fetch_texts(
+                self._docs_path, missing, self._docs_id_col,
+                self._docs_text_col, dataset=self._docs_ds,
+            )
+            for d in missing:
+                t = fetched.get(d, "")
+                out[d] = t
+                self._doc_lru[d] = t
+            while len(self._doc_lru) > self._doc_cap:
+                self._doc_lru.popitem(last=False)
+        return out
 
     def search_response(
         self,
@@ -697,13 +728,7 @@ class ServingIndex:
             raise ValueError(
                 "no text store attached — call attach_docs(docs_path) first"
             )
-
-        def _texts(ids):
-            return respond.fetch_texts(
-                self._docs_path, ids, self._docs_id_col, self._docs_text_col,
-                dataset=self._docs_ds,
-            )
-
+        _texts = self._fetch_texts
         if rerank_from is not None:
             cands = self.search(query, k=rerank_from, mode="or")
             texts = _texts([d for d, _ in cands])
@@ -827,13 +852,7 @@ class ShardRouter:
             raise ValueError(
                 "no text store attached — call attach_docs(docs_path) first"
             )
-
-        def _texts(ids):
-            return respond.fetch_texts(
-                node._docs_path, ids, node._docs_id_col, node._docs_text_col,
-                dataset=node._docs_ds,
-            )
-
+        _texts = node._fetch_texts
         if rerank_from is not None:
             cands = self.search(query, k=rerank_from, mode="or")
             texts = _texts([d for d, _ in cands])

@@ -446,3 +446,35 @@ def test_cached_searcher_search_response(spark, seg_index, pages_path, tmp_path)
     # Spark-miss-mode searcher refuses the serving-only surface
     with _pytest.raises(ValueError, match="local_misses"):
         CachedSearcher(seg_index, local_misses=False).search_response(qs[0])
+
+
+def test_doc_text_lru(spark, seg_index, pages_path, tmp_path):
+    """The serving document cache: repeated/overlapping hit sets reuse
+    fetched texts (only misses touch the store), responses stay
+    identical, and the LRU respects its entry cap."""
+    from honeywell_search_engine_spark.index.corpus import docs_from_pages
+    from honeywell_search_engine_spark.sources.pages import read_pages
+
+    docs_path = str(tmp_path / "docs")
+    (
+        docs_from_pages(read_pages(spark, pages_path))
+        .select("docid", "text")
+        .write.parquet(docs_path)
+    )
+    sv = ServingIndex(seg_index.path)
+    sv.attach_docs(docs_path)
+    ref = ServingIndex(seg_index.path)
+    ref.attach_docs(docs_path)
+    q = list(reference_queries().values())[0]
+    exp = ref.search_response(q, k=5)
+    assert sv.search_response(q, k=5) == exp
+    cached_ids = set(sv._doc_lru)
+    assert cached_ids == {d for _, d, *_ in exp}
+    # second pass: all texts come from the LRU (store fetch not needed)
+    sv._docs_ds = None  # any store read would now raise
+    assert sv.search_response(q, k=5) == exp
+    # cap binds
+    sv._docs_ds = ref._docs_ds
+    sv._doc_cap = 3
+    sv.search_response(list(reference_queries().values())[1], k=5)
+    assert len(sv._doc_lru) <= 3
