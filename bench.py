@@ -811,6 +811,45 @@ def main() -> None:
             f"({extra['compact_docs_per_sec']} docs/s rewrite)")
         shutil.rmtree(maint_dir, ignore_errors=True)
         shutil.rmtree(delta_dir, ignore_errors=True)
+
+        # LSM alternative: O(delta) generation ingest — build an index
+        # over JUST the delta and serve base+delta via GenerationSet
+        # (bit-exact with the merged index, tests/test_generations.py).
+        # The number to compare against merge_sec: at 100 TB eager merge
+        # re-encodes every touched bucket, generations pay only for the
+        # delta build; merge_deltas becomes the occasional compaction.
+        from honeywell_search_engine_spark.query.generations import (
+            GenerationSet,
+        )
+
+        gen_delta_idx = f"{WORK}/idx_delta_gen"
+        t_gen_build = build_index(spark, delta_pages, gen_delta_idx)
+        t0 = time.time()
+        gsv = GenerationSet([idx_dir, gen_delta_idx])
+        gen_open_sec = time.time() - t0
+        for qtext in reference_queries().values():  # warm
+            gsv.search(qtext, k=10)
+        glat = []
+        for _ in range(3):
+            for qtext in reference_queries().values():
+                tq = time.time()
+                gsv.search(qtext, k=10)
+                glat.append(time.time() - tq)
+        glat.sort()
+        extra["gen_ingest_build_sec"] = round(t_gen_build, 2)
+        extra["gen_ingest_open_sec"] = round(gen_open_sec, 2)
+        extra["gen_ingest_docs_per_sec"] = round(
+            n_delta / (t_gen_build + gen_open_sec), 1
+        )
+        extra["gen_serving_warm_p95_sec"] = round(
+            glat[int(len(glat) * 0.95) - 1], 4
+        )
+        log(f"[bench] generation ingest (LSM path): delta index built in "
+            f"{t_gen_build:.1f}s + open {gen_open_sec:.2f}s = "
+            f"{extra['gen_ingest_docs_per_sec']} docs/s (vs merge "
+            f"{extra['merge_docs_per_sec']}); 2-gen serving warm p95 "
+            f"{extra['gen_serving_warm_p95_sec']}s")
+        shutil.rmtree(gen_delta_idx, ignore_errors=True)
     spark.stop()
 
     out = {
@@ -841,6 +880,7 @@ def main() -> None:
         "cached_stream_steady_qps",
         "bytes_per_posting_payload", "bytes_per_posting_on_disk",
         "merge_docs_per_sec", "compact_sec",
+        "gen_ingest_docs_per_sec", "gen_serving_warm_p95_sec",
     ]
     compact = dict(out)
     compact["extra"] = {

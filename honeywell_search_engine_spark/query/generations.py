@@ -1,0 +1,250 @@
+"""LSM-style generation serving: query base + delta indexes as ONE
+logical index, bit-exactly, without merging.
+
+Why this exists: `merge_deltas` (index/maintenance.py) folds a delta into
+the base eagerly — exact and crash-safe, but a delta whose vocabulary
+touches every bucket costs a near-full re-encode (measured: a 10% delta
+merged in 1.5× the full-build time, BENCH r6). At 100 TB that is the
+wrong default. The standard design — Lucene generations / LSM levels — is
+to BUILD an index over just the delta (O(delta)) and serve the union,
+compacting with `merge_deltas` only when the generation count or delta
+ratio crosses a threshold. This module is that read path.
+
+Exactness (pinned bit-for-bit against the eagerly merged index in
+tests/test_generations.py) requires three corrections, all injected into
+the member `ServingIndex` instances:
+
+1. **Global stats.** BM25 depends on N (n_docs) and avgdl. Each
+   generation's kernels get the LOGICAL index's values — computed here
+   with exact integer arithmetic over the docmaps (pyarrow reads), the
+   same sums `merge_deltas` journals.
+2. **Newest-wins shadowing.** A docid re-ingested in a newer generation
+   must not surface from an older one, even when only the OLD version
+   matches the query (the document was replaced, not duplicated).
+   Shadowed docids are translated to per-shard lids and unioned into the
+   older generation's tombstone arrays — the existing kernel dead-list
+   path, zero new kernel code.
+3. **df correction.** idf uses df from segment metadata; the merged
+   index drops a replaced doc's old posting rows, so global df(t) =
+   Σ_generations df_g(t) − |t's postings on shadowed docs|. The
+   correction is delta-sized: one pruned read of the older generation's
+   occurrence parquet filtered to the shadowed lids, deduplicated to
+   (term, shard, lid). Possible because scores and block bounds are
+   stats-independent in the codec (index/codec.py bm25_u_bound) — exact
+   scores always recompute from stored (tf, doclen) with current stats,
+   the same property `merge_deltas` relies on.
+
+Deployment note: tombstones (`delete_docs`) should be issued against
+every generation directory (a docid lives in exactly one live
+generation, so extra tombstones are no-ops); each member instance loads
+its own directory's tombstones as usual.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from honeywell_search_engine_spark.query.local import ServingIndex
+
+
+class GenerationSet:
+    """Serve `paths` (oldest → newest) as one logical index.
+
+    Query surface mirrors ServingIndex (search / search_websearch /
+    search_phrase / search_near_unordered, plus attach_docs +
+    search_response); every mode merges per-generation top-k under the
+    shared total order (-score, docid) — exact because scores are
+    generation-independent after the stat injection, and each document
+    lives wholly in one generation."""
+
+    def __init__(self, paths: list[str], **kw):
+        import pyarrow.parquet as pq
+
+        if not paths:
+            raise ValueError("GenerationSet needs at least one index path")
+        self.paths = list(paths)
+        self.gens = [ServingIndex(p, **kw) for p in paths]
+        if len({g.stemmed for g in self.gens}) > 1:
+            raise ValueError("generations disagree on the stemmed flag")
+
+        # ---- exact logical stats + newest-wins shadow sets ---------------
+        # integer sums over the docmaps == the sums merge_deltas journals
+        dms = [
+            pq.read_table(
+                f"{p}/docmap", columns=["docid", "shard", "local_id", "doclen"]
+            )
+            for p in paths
+        ]
+        claimed: set[int] = set()
+        shadows: list[set[int]] = [set() for _ in paths]
+        n_docs = 0
+        total_tokens = 0
+        for i in range(len(paths) - 1, -1, -1):
+            ids = dms[i].column("docid").to_pylist()
+            dls = dms[i].column("doclen").to_pylist()
+            for d, dl in zip(ids, dls):
+                if d in claimed:
+                    shadows[i].add(int(d))
+                else:
+                    claimed.add(d)
+                    n_docs += 1
+                    total_tokens += int(dl)
+        self.n_docs = n_docs
+        self.avgdl = float(total_tokens) / n_docs if n_docs else 0.0
+        for g in self.gens:
+            g.n_docs = self.n_docs
+            g.avgdl = self.avgdl
+
+        # ---- shadowed docids -> older-generation dead lids ---------------
+        self._df_corr: dict[str, int] = {}
+        for i, g in enumerate(self.gens):
+            if not shadows[i]:
+                continue
+            extra = g._lids_by_shard(sorted(shadows[i]))
+            for s, arr in extra.items():
+                cur = g._dead.get(s)
+                g._dead[s] = (
+                    np.union1d(cur, arr) if cur is not None and len(cur)
+                    else np.sort(arr)
+                )
+            self._df_corr_update(paths[i], extra)
+
+        # ---- per-term global df (memoized) --------------------------------
+        self._df_memo: dict[str, int] = {}
+        for g in self.gens:
+            g._df_global = self._global_df
+
+    def _df_corr_update(self, path: str, lids_by_shard: dict) -> None:
+        """Accumulate df corrections: distinct (term, shard, lid) posting
+        rows of THIS generation's occurrence parquet whose lid is
+        shadowed — one pruned, delta-sized read per generation."""
+        import pyarrow.dataset as ds
+
+        all_lids = sorted(
+            {int(l) for arr in lids_by_shard.values() for l in arr}
+        )
+        data = ds.dataset(f"{path}/postings", format="parquet",
+                          partitioning="hive")
+        tbl = data.to_table(
+            filter=ds.field("lid").isin(all_lids),
+            columns=["term", "shard", "lid"],
+        )
+        want = {
+            (int(s), int(l))
+            for s, arr in lids_by_shard.items()
+            for l in arr
+        }
+        seen: set[tuple] = set()
+        for t, s, l in zip(
+            tbl.column("term").to_pylist(),
+            tbl.column("shard").to_pylist(),
+            tbl.column("lid").to_pylist(),
+        ):
+            key = (t, int(s), int(l))
+            if (int(s), int(l)) in want and key not in seen:
+                seen.add(key)
+                self._df_corr[t] = self._df_corr.get(t, 0) + 1
+
+    def _gen_df(self, gen_idx: int, term: str) -> int:
+        """One generation's df for `term` from its term_stats parquet
+        (term-sorted -> row-group pruned read), 0 if absent."""
+        import pyarrow.dataset as ds
+
+        data = ds.dataset(
+            f"{self.paths[gen_idx]}/term_stats", format="parquet"
+        )
+        tbl = data.to_table(
+            filter=ds.field("term") == term, columns=["df"]
+        )
+        col = tbl.column("df").to_pylist()
+        return int(col[0]) if col else 0
+
+    def _global_df(self, term: str) -> int:
+        v = self._df_memo.get(term)
+        if v is None:
+            v = sum(
+                self._gen_df(i, term) for i in range(len(self.gens))
+            ) - self._df_corr.get(term, 0)
+            self._df_memo[term] = v
+        return v
+
+    # ---- query surface ----------------------------------------------------
+
+    def _merge(self, parts: list[list[tuple[int, float]]], k: int):
+        out = [r for p in parts for r in p]
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
+    def search(self, query: str, k: int = 10, **kw):
+        return self._merge([g.search(query, k=k, **kw) for g in self.gens], k)
+
+    def search_websearch(self, query: str, k: int = 10):
+        return self._merge(
+            [g.search_websearch(query, k=k) for g in self.gens], k
+        )
+
+    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0):
+        return self._merge(
+            [g.search_phrase(phrase, k=k, slop=slop) for g in self.gens], k
+        )
+
+    def search_near_unordered(self, query: str, k: int = 10, dist: int = 3):
+        return self._merge(
+            [g.search_near_unordered(query, k=k, dist=dist) for g in self.gens],
+            k,
+        )
+
+    def attach_docs(
+        self, docs_paths, id_col: str = "docid", text_col: str = "text"
+    ) -> None:
+        """One docs store per generation (oldest → newest), or a single
+        shared path. Text fetch walks newest → oldest so a re-ingested
+        document reads its newest text."""
+        if isinstance(docs_paths, str):
+            docs_paths = [docs_paths] * len(self.gens)
+        if len(docs_paths) != len(self.gens):
+            raise ValueError("one docs path per generation (or one shared)")
+        for g, p in zip(self.gens, docs_paths):
+            g.attach_docs(p, id_col, text_col)
+
+    def _fetch_texts(self, docids: list[int]) -> dict[int, str]:
+        out: dict[int, str] = {}
+        remaining = list(docids)
+        for g in reversed(self.gens):  # newest generation wins
+            if not remaining:
+                break
+            got = g._fetch_texts(remaining)
+            # a store miss comes back as "" — keep looking in older
+            # generations; unresolved ids default to "" at the end
+            for d, t in got.items():
+                if t != "" and d not in out:
+                    out[d] = t
+            remaining = [d for d in remaining if d not in out]
+        for d in remaining:
+            out[d] = ""
+        return out
+
+    def search_response(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        rerank_from: int | None = None,
+    ) -> list[tuple]:
+        from honeywell_search_engine_spark.query import respond
+
+        if not hasattr(self.gens[0], "_docs_path"):
+            raise ValueError(
+                "no text store attached — call attach_docs(docs_path) first"
+            )
+        if rerank_from is not None:
+            cands = self.search(query, k=rerank_from, mode="or")
+            texts = self._fetch_texts([d for d, _ in cands])
+            qterms = respond.analyze_query(query)
+            ranked = respond.rerank_hits_py(cands, texts, qterms, k_out=k)
+            hits = [(d, rr) for _rnk, d, rr, _sr in ranked]
+            return respond.compose_response_rows(hits, texts, query)
+        hits = self.search(query, k=k, mode=mode)
+        return respond.compose_response_rows(
+            hits, self._fetch_texts([d for d, _ in hits]), query
+        )

@@ -145,6 +145,10 @@ class ServingIndex:
         self._dec_lru: OrderedDict[tuple, object] = OrderedDict()
         self._dec_budget = int(dec_cache_bytes)
         self._dec_bytes = 0
+        # hook for generation-set serving (query/generations.py): when
+        # set, df for idf comes from the LOGICAL index (sum over live
+        # generations) instead of this instance's segment metadata
+        self._df_global = None
 
     # ---- translation ----------------------------------------------------
 
@@ -218,7 +222,9 @@ class ServingIndex:
         `rows` covers only the owned shards, so df comes from the global
         metadata cache instead — idf (and therefore every score) is
         node-independent."""
-        if self._shards is not None and term is not None:
+        if self._df_global is not None and term is not None:
+            df = self._df_global(term)
+        elif self._shards is not None and term is not None:
             df = self._df_cache.get(term, 0)
         else:
             df = sum(int(r["n"]) for r in rows)

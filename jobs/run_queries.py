@@ -40,6 +40,11 @@ def main(argv=None) -> None:
                     help="serve mode only: fan out over N shard-subset "
                          "serving nodes via ShardRouter (each node loads "
                          "only its shards; results identical to 1 node)")
+    ap.add_argument("--delta-index", action="append", default=[],
+                    help="serve mode only: additional index generation(s) "
+                         "(oldest to newest) served with --index as ONE "
+                         "logical index via GenerationSet — bit-exact "
+                         "with an eagerly merged index")
     ap.add_argument("--batch", action="store_true",
                     help="evaluate all queries in one Spark job")
     ap.add_argument("--docs", default=None,
@@ -94,7 +99,15 @@ def main(argv=None) -> None:
             ShardRouter,
         )
 
-        if args.nodes > 1:
+        if args.delta_index:
+            if args.nodes > 1:
+                raise SystemExit("--delta-index and --nodes are exclusive")
+            from honeywell_search_engine_spark.query.generations import (
+                GenerationSet,
+            )
+
+            sv = GenerationSet([args.index] + args.delta_index)
+        elif args.nodes > 1:
             sv = ShardRouter(args.index, n_nodes=args.nodes)
         else:
             sv = ServingIndex(args.index)

@@ -1,0 +1,218 @@
+"""GenerationSet (query/generations.py): serving base + delta indexes as
+one logical index must be BIT-EXACT with the eagerly merged index
+(merge_deltas) on every query mode — global stats, newest-wins
+shadowing, and the df correction for replaced documents all verified
+against the merged oracle."""
+
+import os
+
+import pytest
+
+from honeywell_search_engine_spark.index.corpus import (
+    docs_from_pages,
+    tokenized_docs,
+)
+from honeywell_search_engine_spark.index.maintenance import merge_deltas
+from honeywell_search_engine_spark.index.segments import build_segments
+from honeywell_search_engine_spark.query.generations import GenerationSet
+from honeywell_search_engine_spark.query.local import ServingIndex
+from honeywell_search_engine_spark.sources.pages import (
+    PAGES_SCHEMA,
+    generate_pages_pdf,
+    marker_term,
+)
+from honeywell_search_engine_spark.streaming.ingest import (
+    stream_postings_delta,
+)
+
+
+def _write_slice(spark, pdf, lo, hi, path):
+    os.makedirs(path, exist_ok=True)
+    sl = spark.createDataFrame(pdf.iloc[lo:hi], schema=PAGES_SCHEMA)
+    sl.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture(scope="module")
+def gen_fixture(spark, tmp_path_factory):
+    """Base index over docs 0..250; delta over docs 220..400 with the
+    overlapping 30 docs REWRITTEN (longer text -> doclen and df change,
+    so the shadow/df corrections actually bind). Returns
+    (base_idx_dir, delta_idx_dir, merged_idx_dir, base_pages, delta_pages)."""
+    root = tmp_path_factory.mktemp("gens")
+    pdf = generate_pages_pdf(400)
+    delta_pdf = pdf.iloc[220:400].copy()
+    # re-ingested docs (220..250) change content: append marker-ish words
+    mask = delta_pdf.index < 250
+    delta_pdf.loc[mask, "text"] = (
+        delta_pdf.loc[mask, "text"] + " reingest fresh content versions"
+    )
+
+    base_pages = str(root / "pages_base")
+    delta_pages = str(root / "pages_delta")
+    _write_slice(spark, pdf, 0, 250, base_pages)
+    os.makedirs(delta_pages, exist_ok=True)
+    spark.createDataFrame(delta_pdf, schema=PAGES_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(delta_pages)
+
+    def build(pages_dir, out_dir):
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+        build_segments(
+            tokenized_docs(docs_from_pages(pages)), out_dir, pages_dir,
+            n_buckets=8, n_shards=4, buckets_per_job=8,
+        )
+
+    base_idx = str(root / "idx_base")
+    delta_idx = str(root / "idx_delta")
+    build(base_pages, base_idx)
+    build(delta_pages, delta_idx)
+
+    # merged oracle: copy base, stream the delta, merge eagerly
+    import shutil
+
+    merged_idx = str(root / "idx_merged")
+    shutil.copytree(base_idx, merged_idx)
+    delta_dir = str(root / "delta_postings")
+    stream_postings_delta(spark, delta_pages, delta_dir, n_buckets=8, n_shards=4)
+    summary = merge_deltas(spark, merged_idx, delta_dir)
+    # non-en pages are filtered by the corpus pipeline, so compare vs the
+    # delta's own doc count rather than a hardcoded 150
+    assert summary["docs_added"] > 100
+    return base_idx, delta_idx, merged_idx, base_pages, delta_pages
+
+
+def test_generation_stats_match_merged(gen_fixture):
+    base_idx, delta_idx, merged_idx, *_ = gen_fixture
+    gs = GenerationSet([base_idx, delta_idx])
+    merged = ServingIndex(merged_idx)
+    assert gs.n_docs == merged.n_docs
+    assert gs.avgdl == pytest.approx(merged.avgdl, rel=0, abs=1e-12)
+
+
+def test_generation_search_bitexact_vs_merged(gen_fixture):
+    base_idx, delta_idx, merged_idx, *_ = gen_fixture
+    gs = GenerationSet([base_idx, delta_idx])
+    merged = ServingIndex(merged_idx)
+    queries = [
+        "data search", "web engine", "data", "index query",
+        marker_term(0), marker_term(2), "reingest fresh",
+        "zzzznotaterm", "",
+    ]
+    for q in queries:
+        for mode in ("and", "or"):
+            got = gs.search(q, k=20, mode=mode)
+            exp = merged.search(q, k=20, mode=mode)
+            assert got == exp, (q, mode)
+    # websearch incl. negation + phrases
+    for q in [
+        "data -search", '"data search" engine', "data or engine",
+        'web -"data search"', "reingest -content",
+    ]:
+        assert gs.search_websearch(q, k=20) == merged.search_websearch(
+            q, k=20
+        ), q
+    # positional modes
+    for ph, slop in [("data search", 0), ("data search", 2),
+                     ("reingest fresh content", 0)]:
+        assert gs.search_phrase(ph, k=20, slop=slop) == (
+            merged.search_phrase(ph, k=20, slop=slop)
+        ), (ph, slop)
+    assert gs.search_near_unordered("data engine", k=20, dist=3) == (
+        merged.search_near_unordered("data engine", k=20, dist=3)
+    )
+
+
+def test_generation_shadowing_excludes_old_versions(gen_fixture):
+    """A query matching ONLY the old version of a re-ingested doc must
+    not surface it from the base generation (newest wins, even when the
+    new version doesn't match)."""
+    base_idx, delta_idx, merged_idx, *_ = gen_fixture
+    gs = GenerationSet([base_idx, delta_idx])
+    merged = ServingIndex(merged_idx)
+    base_only = ServingIndex(base_idx)
+    # find a term whose postings include a shadowed (re-ingested) doc
+    shadowed = {
+        d for d, _ in base_only.search("data", k=10_000, mode="or")
+    } & {
+        d
+        for d, _ in ServingIndex(delta_idx).search(
+            "reingest", k=10_000, mode="or"
+        )
+    }
+    assert shadowed  # the fixture really re-ingested matching docs
+    got = {d for d, _ in gs.search("data", k=10_000, mode="or")}
+    exp = {d for d, _ in merged.search("data", k=10_000, mode="or")}
+    assert got == exp
+
+
+def test_generation_df_correction_binds(gen_fixture):
+    """Global df for a term present in replaced base docs must equal the
+    merged index's df (base df minus shadowed postings plus delta df)."""
+    base_idx, delta_idx, merged_idx, *_ = gen_fixture
+    gs = GenerationSet([base_idx, delta_idx])
+    merged = ServingIndex(merged_idx)
+    assert gs._df_corr, "fixture produced no shadowed postings"
+    term = max(gs._df_corr, key=gs._df_corr.get)
+    rows = merged._rows_for([term])[term]
+    assert gs._global_df(term) == sum(int(r["n"]) for r in rows)
+
+
+def test_generation_scope_and_tombstones(gen_fixture, tmp_path):
+    """allowed_docids scope spans generations; a tombstone issued against
+    every generation dir kills the doc exactly like on the merged index."""
+    import shutil
+
+    from honeywell_search_engine_spark.index.maintenance import delete_docs
+
+    base_idx, delta_idx, merged_idx, *_ = gen_fixture
+    gs0 = GenerationSet([base_idx, delta_idx])
+    merged0 = ServingIndex(merged_idx)
+    hits = merged0.search("data search", k=50)
+    assert hits
+    scope = [d for d, _ in hits[:5]] + [123456789]
+    assert gs0.search("data search", k=10, allowed_docids=scope) == (
+        merged0.search("data search", k=10, allowed_docids=scope)
+    )
+    # tombstones: work on copies so the module fixture stays pristine
+    b2 = str(tmp_path / "b2"); d2 = str(tmp_path / "d2"); m2 = str(tmp_path / "m2")
+    shutil.copytree(base_idx, b2)
+    shutil.copytree(delta_idx, d2)
+    shutil.copytree(merged_idx, m2)
+    victims = [hits[0][0], hits[2][0]]
+    for p in (b2, d2, m2):
+        delete_docs(p, victims, reason="generation test")
+    gs = GenerationSet([b2, d2])
+    merged = ServingIndex(m2)
+    got = gs.search("data search", k=50)
+    assert got == merged.search("data search", k=50)
+    assert not set(victims) & {d for d, _ in got}
+
+
+def test_generation_response_rows(gen_fixture, spark, tmp_path):
+    """search_response over generations: per-generation text stores,
+    newest text wins for re-ingested docs; rows equal the merged index's
+    response over the merged (newest-text) docs store."""
+    base_idx, delta_idx, merged_idx, base_pages, delta_pages = gen_fixture
+    from honeywell_search_engine_spark.sources.pages import read_pages
+
+    base_docs = str(tmp_path / "docs_base")
+    delta_docs = str(tmp_path / "docs_delta")
+    merged_docs = str(tmp_path / "docs_merged")
+    bd = docs_from_pages(read_pages(spark, base_pages)).select("docid", "text")
+    dd = docs_from_pages(read_pages(spark, delta_pages)).select("docid", "text")
+    bd.write.parquet(base_docs)
+    dd.write.parquet(delta_docs)
+    # merged store: newest text per docid
+    bd.join(dd.select("docid"), "docid", "left_anti").unionByName(dd).write.parquet(
+        merged_docs
+    )
+
+    gs = GenerationSet([base_idx, delta_idx])
+    gs.attach_docs([base_docs, delta_docs])
+    merged = ServingIndex(merged_idx)
+    merged.attach_docs(merged_docs)
+    for q in ["data search", "reingest fresh", "web engine"]:
+        assert gs.search_response(q, k=5) == merged.search_response(q, k=5), q
+    assert gs.search_response("data search", k=5, rerank_from=30) == (
+        merged.search_response("data search", k=5, rerank_from=30)
+    )
