@@ -849,6 +849,31 @@ def main() -> None:
             f"{extra['gen_ingest_docs_per_sec']} docs/s (vs merge "
             f"{extra['merge_docs_per_sec']}); 2-gen serving warm p95 "
             f"{extra['gen_serving_warm_p95_sec']}s")
+
+        # LSM act 3 — promotion: fold the generation into the base by
+        # segment SPLICE (index/promote.py): full base blocks pass through
+        # byte-identical, only the seam block per touched list re-encodes,
+        # and the base occurrence rows are never read. Same operational
+        # outcome as merge_deltas (one self-contained index) at a fraction
+        # of the encode work — compare promote_docs_per_sec vs
+        # merge_docs_per_sec.
+        from honeywell_search_engine_spark.index.promote import (
+            promote_generation,
+        )
+
+        promo_dir = f"{WORK}/idx_promote"
+        shutil.rmtree(promo_dir, ignore_errors=True)
+        shutil.copytree(idx_dir, promo_dir)
+        t0 = time.time()
+        ps = promote_generation(spark, promo_dir, gen_delta_idx)
+        promote_sec = time.time() - t0
+        extra["promote_sec"] = round(promote_sec, 2)
+        extra["promote_docs_per_sec"] = round(ps["docs_added"] / promote_sec, 1)
+        log(f"[bench] promote_generation: {ps['docs_added']} docs spliced in "
+            f"{promote_sec:.1f}s = {extra['promote_docs_per_sec']} docs/s "
+            f"({ps['affected_buckets']} buckets rewritten; vs eager merge "
+            f"{extra['merge_docs_per_sec']} docs/s)")
+        shutil.rmtree(promo_dir, ignore_errors=True)
         shutil.rmtree(gen_delta_idx, ignore_errors=True)
     spark.stop()
 
@@ -881,6 +906,7 @@ def main() -> None:
         "bytes_per_posting_payload", "bytes_per_posting_on_disk",
         "merge_docs_per_sec", "compact_sec",
         "gen_ingest_docs_per_sec", "gen_serving_warm_p95_sec",
+        "promote_docs_per_sec",
     ]
     compact = dict(out)
     compact["extra"] = {

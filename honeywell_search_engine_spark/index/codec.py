@@ -566,16 +566,24 @@ def encode_postings(
     avgdl: float,
     positions: np.ndarray | None = None,
     fmt: str = FMT_VB,
+    prev_docid: int = 0,
 ) -> EncodedList:
     """Encode one sorted posting list. docids MUST be ascending and unique.
     tf is stored as tf-1 (tf >= 1 always), doclen as-is. `positions`, if
     given, is the flat ascending-per-posting position array (length =
-    sum(tfs)) ordered by (docid, position)."""
+    sum(tfs)) ordered by (docid, position).
+
+    `prev_docid` sets the delta-chain base of the FIRST value (default 0 =
+    the first delta is the absolute docid). Block b>0 of any list already
+    chains off bmax_docid[b-1] (decode_blocks), so an encode with
+    prev_docid = last docid of an existing list produces blocks that can
+    be byte-appended to that list — the segment-splice merge path
+    (index/promote.py)."""
     docids = np.asarray(docids, dtype=np.uint64)
     n = docids.size
     assert n > 0
     deltas = np.empty(n, dtype=np.uint64)
-    deltas[0] = docids[0]
+    deltas[0] = docids[0] - np.uint64(prev_docid)
     np.subtract(docids[1:], docids[:-1], out=deltas[1:])
     u = bm25_u_bound(np.asarray(tfs))  # stats-independent bound (see above)
     nblocks = (n + BLOCK - 1) // BLOCK

@@ -255,6 +255,9 @@ def _finish_compact(
         if i == 0 and _fail_at == "mid_swap":
             raise RuntimeError("injected failure at mid_swap")
     meta.update({"n_docs": st["n_docs"], "avgdl": st["avgdl"]})
+    # the postings rewrite above re-sorted every bucket into single
+    # contiguous files, so promotion's multi-file markers are all cleared
+    meta.pop("occ_multifile_buckets", None)
     with open(f"{index_dir}/stats.json", "w") as f:
         json.dump(meta, f)
     buckets = list(range(meta["n_buckets"]))
@@ -555,6 +558,12 @@ def merge_deltas(
         if os.path.isdir(docmap_staged):
             _swap_bucket_dir(f"{index_dir}/docmap", docmap_staged)
         meta.update({"n_docs": inflight["n_docs"], "avgdl": inflight["avgdl"]})
+        if "occ_multifile_buckets" in meta:
+            # STAGE re-sorted the affected buckets into contiguous files,
+            # clearing any promotion-appended multi-file markers on them
+            meta["occ_multifile_buckets"] = [
+                b for b in meta["occ_multifile_buckets"] if b not in set(affected)
+            ]
         with open(f"{index_dir}/stats.json", "w") as f:
             json.dump(meta, f)
         inflight["status"] = "swapped"

@@ -1,0 +1,649 @@
+"""Segment-splice promotion: fold a delta GENERATION INDEX into the base
+index by block-granular byte concatenation — O(delta + seams) encode CPU
+instead of merge_deltas' O(affected-bucket re-encode).
+
+Why this exists (the round-6 LSM arc, third act): the measured eager
+merge (`maintenance.merge_deltas`) of a 10% delta costs ~1.5× the FULL
+build — its STAGE phase shuffles + re-sorts every affected bucket's
+occurrence rows and its ENCODE phase re-encodes every affected posting
+list from scratch. `query.generations.GenerationSet` already makes delta
+INGEST O(delta): build a small standalone index over just the new docs
+and serve base+delta unioned, bit-exactly. This module closes the loop:
+when the generation count / delta ratio crosses policy, PROMOTE the
+generation into the base without re-encoding the base.
+
+The splice (what Lucene calls a segment merge, done at codec-block
+granularity): per (term, shard) posting list,
+
+- every FULL base block passes through **byte-identical** — the posting
+  codec (index/codec.py) makes block b's delta chain base
+  ``bmax_docid[b-1]``, block byte ranges self-contained for BOTH stream
+  codecs (varbyte groups and per-block PFor packs), and the block score
+  bound ``bmax_u`` stats-independent (bm25_u_bound), so appending
+  postings after a block changes nothing about it;
+- delta postings all sort AFTER base postings: the delta docmap's dense
+  per-shard lids are offset by ``base_max_lid(shard)+1``
+  (docmap.append_local_ids semantics — base lists never shift);
+- only the SEAM re-encodes: the base's trailing partial block (< BLOCK
+  postings) plus the delta list, chained off the last kept block via
+  ``encode_postings(prev_docid=...)``. When the base list ends exactly on
+  a block boundary and both rows share a codec, even that collapses to
+  re-encoding ONE varbyte/PFor block (the delta list's first delta
+  becomes relative to the base's last docid);
+- lists only in the base pass through whole; lists only in the delta
+  re-encode just their first block (first delta += lid offset).
+
+Exactness: the promoted index is query-for-query bit-identical to an
+index built from scratch over the union corpus — BM25 inputs (tf,
+doclen, df, N, avgdl) are all preserved or exactly summed (disjoint
+docids ⇒ df adds; n_docs/avgdl from exact integer doclen sums over both
+docmaps), and kernels are exact under any lid assignment
+(query/wand.py boundary-tie contract). Pinned in tests/test_promote.py.
+
+Occurrence rows (the durable re-encode source for merge/compact) are
+APPENDED as extra parquet files per bucket — base files untouched
+(delta rows rewritten with offset lids, O(delta)). merge_deltas and
+compact re-sort on read, so they stay exact over the multi-file layout;
+the one consumer that relies on (term, shard) groups living in a single
+file — encode_pending_buckets' no-shuffle scan — consults the
+``occ_multifile_buckets`` marker this module leaves in stats.json and
+normalizes (one pruned repartition+sort per bucket) before re-encoding.
+
+Scope: the delta's docids must be DISJOINT from the base's (the
+append-only web-crawl case). Re-ingested documents need posting
+deletion inside base lists — that is merge_deltas' job (newest-wins
+upsert) or GenerationSet's query-time shadowing; promote refuses loudly.
+
+At 100 TB: promotion reads+rewrites the affected buckets' segment BYTES
+(compressed, ~2.4 B/posting — an IO-bound streaming pass distributed one
+bucket per task) but its encode CPU is O(delta + one seam block per
+touched list); the base occurrence rows (the expensive raw form, ~10× the
+segment bytes) are never shuffled, rewritten, or even read. Parity with
+the reference's ingest-visibility contract (backend/app/worker/tasks.py
+indexes per-upload batches; Postgres GIN maintains its index
+incrementally) — this is the Spark-native equivalent of that incremental
+path, with Lucene-style generational semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+from pyspark.sql import SparkSession, functions as F
+
+from honeywell_search_engine_spark.index import codec
+from honeywell_search_engine_spark.index.codec import BLOCK, EncodedList
+
+__all__ = ["promote_generation", "splice_encoded", "should_promote"]
+
+
+# --------------------------------------------------------------------------
+# pure splice kernel (unit-tested directly in tests/test_promote.py)
+# --------------------------------------------------------------------------
+
+
+def _stream_codecs(fmt: str):
+    if fmt == codec.FMT_PFOR:
+        return codec.pfor_encode, codec.pfor_decode
+    return codec.varbyte_encode, codec.varbyte_decode
+
+
+def _patch_first_delta(enc: EncodedList, add: int) -> tuple[bytes, int]:
+    """Re-encode ONLY block 0 of `enc`'s delta stream with its first value
+    increased by `add`. Returns (new_block0_bytes, old_block0_byte_len)."""
+    enc_s, dec_s = _stream_codecs(enc.fmt)
+    nb0 = min(BLOCK, enc.n)
+    end = int(enc.d_off[1]) if enc.bmax_docid.size > 1 else len(enc.deltas)
+    d = np.asarray(dec_s(enc.deltas[:end], nb0), dtype=np.uint64)
+    d[0] += np.uint64(add)
+    new0, _ = enc_s(d, block=BLOCK)
+    return new0, end
+
+
+def _check_positions(base: EncodedList | None, delta: EncodedList | None):
+    sides = [e for e in (base, delta) if e is not None]
+    has = {e.p_off is not None for e in sides}
+    if len(has) > 1:
+        raise ValueError("cannot splice a positional list with a non-positional one")
+    return has.pop()
+
+
+def splice_encoded(
+    base: EncodedList | None, delta: EncodedList | None, lid_offset: int
+) -> EncodedList:
+    """Concatenate two encoded posting lists of the same (term, shard) —
+    `delta`'s docids (shard-local lids) shifted by `lid_offset`, which must
+    exceed every base docid. Full base blocks pass through byte-identical;
+    see the module docstring for the seam cases. The result decodes
+    exactly like ``encode_postings`` over the concatenated raw arrays
+    (property-pinned in tests)."""
+    if delta is None:
+        assert base is not None
+        return base
+    has_pos = _check_positions(base, delta)
+    off = int(lid_offset)
+
+    if base is None:
+        # delta-only term: first delta is the absolute first docid — add
+        # the offset to it, re-encoding block 0 alone.
+        new0, old_end = _patch_first_delta(delta, off)
+        d_off = delta.d_off.copy()
+        d_off[1:] += len(new0) - old_end
+        return EncodedList(
+            n=delta.n,
+            bmax_docid=delta.bmax_docid + np.int64(off),
+            bmax_u=delta.bmax_u,
+            d_off=d_off,
+            t_off=delta.t_off,
+            l_off=delta.l_off,
+            deltas=new0 + delta.deltas[old_end:],
+            tfs=delta.tfs,
+            doclens=delta.doclens,
+            positions=delta.positions,
+            p_off=delta.p_off,
+            fmt=delta.fmt,
+        )
+
+    base_last = int(base.bmax_docid[-1])
+    if off <= base_last:
+        raise ValueError(
+            f"lid offset {off} does not clear the base list (last docid "
+            f"{base_last}) — generations must append, never interleave"
+        )
+    nfull, rem = divmod(base.n, BLOCK)
+
+    if rem == 0 and base.fmt == delta.fmt:
+        # seam-free: base ends on a block boundary and codecs agree — the
+        # ONLY bytes that change in either list are delta's block 0 of the
+        # delta stream (its first value becomes relative to base_last).
+        new0, old_end = _patch_first_delta(delta, off - base_last)
+        app_d_off = delta.d_off + np.int64(len(base.deltas))
+        app_d_off[1:] += len(new0) - old_end
+        pos, p_off = base.positions, base.p_off
+        if has_pos:
+            pos = base.positions + delta.positions
+            p_off = np.concatenate(
+                [base.p_off, delta.p_off + np.int64(len(base.positions))]
+            )
+        return EncodedList(
+            n=base.n + delta.n,
+            bmax_docid=np.concatenate(
+                [base.bmax_docid, delta.bmax_docid + np.int64(off)]
+            ),
+            bmax_u=np.concatenate([base.bmax_u, delta.bmax_u]),
+            d_off=np.concatenate([base.d_off, app_d_off]),
+            t_off=np.concatenate(
+                [base.t_off, delta.t_off + np.int64(len(base.tfs))]
+            ),
+            l_off=np.concatenate(
+                [base.l_off, delta.l_off + np.int64(len(base.doclens))]
+            ),
+            deltas=base.deltas + new0 + delta.deltas[old_end:],
+            tfs=base.tfs + delta.tfs,
+            doclens=base.doclens + delta.doclens,
+            positions=pos,
+            p_off=p_off,
+            fmt=base.fmt,
+        )
+
+    # general seam: keep base's full blocks, decode its trailing partial
+    # block + the whole (small) delta list, re-encode that appendix in the
+    # base's codec chained off the last kept block.
+    tail = (
+        codec.decode_blocks(
+            base, np.array([nfull]), with_positions=has_pos, flat_positions=True
+        )
+        if rem
+        else None
+    )
+    dl = codec.decode_postings(delta, with_positions=has_pos, flat_positions=True)
+    d_docids = dl.docids + np.uint64(off)
+    if tail is not None:
+        docids = np.concatenate([tail.docids, d_docids])
+        tfs = np.concatenate([tail.tfs, dl.tfs])
+        doclens = np.concatenate([tail.doclens, dl.doclens])
+        positions = (
+            np.concatenate([tail.positions, dl.positions]) if has_pos else None
+        )
+    else:
+        docids, tfs, doclens = d_docids, dl.tfs, dl.doclens
+        positions = dl.positions if has_pos else None
+    prev = int(base.bmax_docid[nfull - 1]) if nfull > 0 else 0
+    app = codec.encode_postings(
+        docids, tfs, doclens, 0.0, positions=positions, fmt=base.fmt,
+        prev_docid=prev,
+    )
+    nblocks_b = base.bmax_docid.size
+    d_end = int(base.d_off[nfull]) if nfull < nblocks_b else len(base.deltas)
+    t_end = int(base.t_off[nfull]) if nfull < nblocks_b else len(base.tfs)
+    l_end = int(base.l_off[nfull]) if nfull < nblocks_b else len(base.doclens)
+    pos, p_off = base.positions, base.p_off
+    if has_pos:
+        p_end = (
+            int(base.p_off[nfull]) if nfull < nblocks_b else len(base.positions)
+        )
+        pos = base.positions[:p_end] + app.positions
+        p_off = np.concatenate([base.p_off[:nfull], app.p_off + np.int64(p_end)])
+    return EncodedList(
+        n=base.n + delta.n,
+        bmax_docid=np.concatenate([base.bmax_docid[:nfull], app.bmax_docid]),
+        bmax_u=np.concatenate([base.bmax_u[:nfull], app.bmax_u]),
+        d_off=np.concatenate([base.d_off[:nfull], app.d_off + np.int64(d_end)]),
+        t_off=np.concatenate([base.t_off[:nfull], app.t_off + np.int64(t_end)]),
+        l_off=np.concatenate([base.l_off[:nfull], app.l_off + np.int64(l_end)]),
+        deltas=base.deltas[:d_end] + app.deltas,
+        tfs=base.tfs[:t_end] + app.tfs,
+        doclens=base.doclens[:l_end] + app.doclens,
+        positions=pos,
+        p_off=p_off,
+        fmt=base.fmt,
+    )
+
+# --------------------------------------------------------------------------
+# row-level splice + the per-bucket Spark kernel
+# --------------------------------------------------------------------------
+
+
+def _row_splice(brow: dict | None, drow: dict, off: int, bucket: int) -> dict:
+    from honeywell_search_engine_spark.query.wand import _enc_from_row
+
+    out = splice_encoded(
+        _enc_from_row(brow) if brow is not None else None,
+        _enc_from_row(drow),
+        off,
+    )
+    src = brow if brow is not None else drow
+    return {
+        "term": src["term"],
+        "shard": int(src["shard"]),
+        "n": out.n,
+        "ctf": int((brow["ctf"] if brow is not None else 0) + drow["ctf"]),
+        "bmax_docid": out.bmax_docid.tolist(),
+        "bmax_u": out.bmax_u.tolist(),
+        "d_off": out.d_off.tolist(),
+        "t_off": out.t_off.tolist(),
+        "l_off": out.l_off.tolist(),
+        "deltas": out.deltas,
+        "tfs": out.tfs,
+        "doclens": out.doclens,
+        "positions": out.positions,
+        "p_off": out.p_off.tolist() if out.p_off is not None else None,
+        "fmt": codec.FMT_TAGS[out.fmt],
+        "bucket": int(bucket),
+    }
+
+
+def _make_bucket_splicer(index_dir: str, delta_dir: str, offs: dict[int, int]):
+    """mapInArrow kernel: one task per bucket id, direct pyarrow reads of
+    both indexes' bucket files (the same executor-local read doctrine as
+    ServingIndex — on a cluster these paths are shared storage). Emits the
+    spliced bucket's full segment rows; Spark's committer makes the staged
+    write atomic. Bucket = task granularity; a hot bucket can be split by
+    shard with the same kernel if it ever dominates."""
+
+    def splice_bucket(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from honeywell_search_engine_spark.index.segments import (
+            PA_SEGMENT_SCHEMA,
+        )
+
+        for batch in batches:
+            for b in batch.column("bucket").to_pylist():
+                base_p = f"{index_dir}/segments/bucket={b}"
+                delta_p = f"{delta_dir}/segments/bucket={b}"
+                base_rows = (
+                    pq.read_table(base_p).to_pylist()
+                    if os.path.isdir(base_p)
+                    else []
+                )
+                delta_rows = pq.read_table(delta_p).to_pylist()
+                dmap = {(r["term"], r["shard"]): r for r in delta_rows}
+                out = []
+                for r in base_rows:
+                    dr = dmap.pop((r["term"], r["shard"]), None)
+                    if dr is None:
+                        r["bucket"] = int(b)  # byte-identical passthrough
+                        out.append(r)
+                    else:
+                        out.append(_row_splice(r, dr, offs[int(r["shard"])], b))
+                for (_t, s), dr in dmap.items():
+                    out.append(_row_splice(None, dr, offs[int(s)], b))
+                out.sort(key=lambda r: (r["term"], r["shard"]))
+                for i in range(0, len(out), 1024):
+                    yield pa.RecordBatch.from_pylist(
+                        out[i : i + 1024], schema=PA_SEGMENT_SCHEMA
+                    )
+
+    return splice_bucket
+
+
+# --------------------------------------------------------------------------
+# promotion state (manifests/promote_state.json — the merge_state pattern)
+# --------------------------------------------------------------------------
+
+
+def _state_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifests", "promote_state.json")
+
+
+def _read_promote_state(index_dir: str) -> dict:
+    p = _state_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"promoted": {}, "inflight": None}
+
+
+def _write_promote_state(index_dir: str, state: dict) -> None:
+    os.makedirs(os.path.dirname(_state_path(index_dir)), exist_ok=True)
+    tmp = _state_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, _state_path(index_dir))
+
+
+def _offsets_map_expr(offs: dict[int, int]):
+    return F.create_map(
+        *[F.lit(int(v)) for kv in sorted(offs.items()) for v in kv]
+    )
+
+
+def should_promote(
+    base_dir: str,
+    generation_dirs: list[str],
+    max_generations: int = 3,
+    max_delta_ratio: float = 0.2,
+) -> bool:
+    """Tiered-compaction policy: promote when the generation COUNT exceeds
+    `max_generations` (each generation adds one merge leg to every serving
+    query) or the generations' combined doc count exceeds
+    `max_delta_ratio` of the base (per-query overhead is roughly linear in
+    the delta fraction). Pure stats.json reads — callable from any node."""
+    if not generation_dirs:
+        return False
+    if len(generation_dirs) > max_generations:
+        return True
+
+    def _n(p):
+        with open(f"{p}/stats.json") as f:
+            return json.load(f)["n_docs"]
+
+    base_n = _n(base_dir)
+    return sum(_n(g) for g in generation_dirs) > max_delta_ratio * max(base_n, 1)
+
+
+# --------------------------------------------------------------------------
+# the promotion itself
+# --------------------------------------------------------------------------
+
+
+def promote_generation(
+    spark: SparkSession,
+    index_dir: str,
+    delta_index_dir: str,
+    _fail_at: str | None = None,
+) -> dict:
+    """Fold the generation index at `delta_index_dir` into `index_dir` via
+    the segment splice (module docstring). Requirements: same n_shards /
+    n_buckets / stemmed flag, delta finalized and tombstone-free, and the
+    delta's docids DISJOINT from the base's (append-only ingest; re-crawls
+    go through merge_deltas' upsert or GenerationSet shadowing instead).
+
+    Idempotent per delta (fingerprint registry) and crash-safe under the
+    same journal discipline as merge_deltas: STAGE writes everything next
+    to the live index without touching it; COMMIT invalidates manifests
+    first (readers refuse rather than trust stale metadata), then swaps
+    segment bucket dirs and hard-appends the journaled occurrence/docmap
+    files under deterministic names; FINALIZE recomputes bucket checksums
+    and term_stats. Re-running after a crash at any point converges
+    (tests/test_promote.py kill-point tests). `_fail_at` is the test-only
+    injection hook ("staged" | "invalidated" | "mid_swap" | "swapped")."""
+    import pyarrow.parquet as pq
+
+    from honeywell_search_engine_spark.index.maintenance import (
+        _repair_dir_swaps,
+        _swap_bucket_dir,
+    )
+    from honeywell_search_engine_spark.index.segments import (
+        SEGMENT_SCHEMA,
+        _read_manifest,
+        _write_manifest,
+        bucket_checksums,
+        encode_pending_buckets,
+        input_fingerprint,
+        load_tombstones,
+    )
+
+    def _boom(point: str) -> None:
+        if _fail_at == point:
+            raise RuntimeError(f"injected failure at {point}")
+
+    _repair_dir_swaps(index_dir)
+    with open(f"{index_dir}/stats.json") as f:
+        meta = json.load(f)
+    with open(f"{delta_index_dir}/stats.json") as f:
+        dmeta = json.load(f)
+    for k in ("n_shards", "n_buckets", "stemmed"):
+        if meta.get(k) != dmeta.get(k):
+            raise ValueError(
+                f"generation layout mismatch on {k}: "
+                f"base={meta.get(k)} delta={dmeta.get(k)}"
+            )
+    fin = _read_manifest(delta_index_dir, "finalize.json")
+    if not fin or fin.get("status") != "complete":
+        raise ValueError(f"generation at {delta_index_dir} is not finalized")
+    if load_tombstones(delta_index_dir):
+        raise ValueError(
+            f"generation at {delta_index_dir} carries tombstones — "
+            "compact it before promoting"
+        )
+
+    fp = input_fingerprint(spark, f"{delta_index_dir}/segments")
+    state = _read_promote_state(index_dir)
+    inflight = state.get("inflight")
+    if inflight and inflight.get("fp") != fp:
+        raise ValueError(
+            f"promotion of {inflight.get('delta_index_dir')} is in flight; "
+            "re-run it first"
+        )
+    if not inflight and fp in state["promoted"]:
+        return {
+            "docs_added": 0,
+            "affected_buckets": 0,
+            "n_docs": meta["n_docs"],
+        }
+
+    staged_seg = f"{index_dir}/segments_promoted"
+    staged_occ = f"{index_dir}/promote_staged_occ"
+    staged_dm = f"{index_dir}/promote_staged_docmap"
+
+    # ---- STAGE ------------------------------------------------------------
+    if inflight is None or inflight["status"] == "staging":
+        state["inflight"] = inflight = {
+            "status": "staging",
+            "fp": fp,
+            "delta_index_dir": delta_index_dir,
+        }
+        _write_promote_state(index_dir, state)
+
+        # exact logical stats, per-shard lid offsets, disjointness — all
+        # from integer arithmetic over the two docmaps (pruned pyarrow
+        # column reads; the same sums GenerationSet serves from)
+        bdm = pq.read_table(
+            f"{index_dir}/docmap", columns=["docid", "shard", "local_id", "doclen"]
+        )
+        ddm = pq.read_table(
+            f"{delta_index_dir}/docmap", columns=["docid", "doclen"]
+        )
+        b_doc = bdm.column("docid").to_numpy()
+        d_doc = ddm.column("docid").to_numpy()
+        overlap = np.intersect1d(b_doc, d_doc)
+        if overlap.size:
+            raise ValueError(
+                f"{overlap.size} docids exist in both indexes (e.g. "
+                f"{int(overlap[0])}) — promotion is append-only; use "
+                "merge_deltas (upsert) or GenerationSet (shadowed serving)"
+            )
+        b_sh = bdm.column("shard").to_numpy()
+        b_lid = bdm.column("local_id").to_numpy()
+        offs: dict[int, int] = {}
+        for s in range(int(meta["n_shards"])):
+            m = b_sh == s
+            offs[s] = int(b_lid[m].max()) + 1 if m.any() else 0
+        n_new = int(meta["n_docs"]) + len(d_doc)
+        sum_dl = int(bdm.column("doclen").to_numpy().sum()) + int(
+            ddm.column("doclen").to_numpy().sum()
+        )
+        avgdl_new = sum_dl / n_new if n_new else 0.0
+        affected = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(f"{delta_index_dir}/segments")
+            if d.startswith("bucket=")
+        )
+
+        # spliced segments: one Spark task per affected bucket
+        shutil.rmtree(staged_seg, ignore_errors=True)
+        bdf = spark.createDataFrame(
+            [(int(b),) for b in affected], "bucket int"
+        ).repartition(len(affected), "bucket")
+        (
+            bdf.mapInArrow(
+                _make_bucket_splicer(index_dir, delta_index_dir, offs),
+                schema=SEGMENT_SCHEMA,
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staged_seg)
+        )
+
+        # delta-side occurrence rows and docmap rows, rewritten into the
+        # base lid space (O(delta)); base files are never read or copied
+        m_expr = _offsets_map_expr(offs)
+        (
+            spark.read.parquet(f"{delta_index_dir}/postings")
+            .withColumn(
+                "lid", (F.col("lid") + m_expr[F.col("shard")]).cast("long")
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staged_occ)
+        )
+        (
+            spark.read.parquet(f"{delta_index_dir}/docmap")
+            .withColumn(
+                "local_id",
+                (F.col("local_id") + m_expr[F.col("shard")]).cast("long"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staged_dm)
+        )
+        occ_files = {
+            str(b): sorted(
+                fn
+                for fn in os.listdir(f"{staged_occ}/bucket={b}")
+                if fn.endswith(".parquet")
+            )
+            for b in affected
+            if os.path.isdir(f"{staged_occ}/bucket={b}")
+        }
+        dm_files = sorted(
+            fn for fn in os.listdir(staged_dm) if fn.endswith(".parquet")
+        )
+        inflight.update(
+            {
+                "status": "staged",
+                "affected": affected,
+                "docs_added": int(len(d_doc)),
+                "n_docs": n_new,
+                "avgdl": avgdl_new,
+                "occ_files": occ_files,
+                "dm_files": dm_files,
+            }
+        )
+        _write_promote_state(index_dir, state)
+    _boom("staged")
+
+    # ---- COMMIT -----------------------------------------------------------
+    if inflight["status"] == "staged":
+        affected = inflight["affected"]
+        # invalidate BEFORE mutating (readers refuse a half-promoted index)
+        for b in affected:
+            p = os.path.join(index_dir, "manifests", f"bucket_{b}.json")
+            if os.path.exists(p):
+                os.remove(p)
+        finp = os.path.join(index_dir, "manifests", "finalize.json")
+        if os.path.exists(finp):
+            os.remove(finp)
+        _boom("invalidated")
+        for i, b in enumerate(affected):
+            _swap_bucket_dir(
+                f"{index_dir}/segments/bucket={b}", f"{staged_seg}/bucket={b}"
+            )
+            if i == 0:
+                _boom("mid_swap")
+        # hard-append the journaled occurrence/docmap files under
+        # deterministic names: a re-run after a crash skips what landed
+        fp8 = fp.replace(":", "")[:8]
+        for b_str, files in inflight["occ_files"].items():
+            dstdir = f"{index_dir}/postings/bucket={int(b_str)}"
+            os.makedirs(dstdir, exist_ok=True)
+            for fn in files:
+                dst = os.path.join(dstdir, f"promote-{fp8}-{fn}")
+                src = f"{staged_occ}/bucket={int(b_str)}/{fn}"
+                if not os.path.exists(dst):
+                    os.rename(src, dst)
+        for fn in inflight["dm_files"]:
+            dst = os.path.join(f"{index_dir}/docmap", f"promote-{fp8}-{fn}")
+            src = os.path.join(staged_dm, fn)
+            if not os.path.exists(dst):
+                os.rename(src, dst)
+        shutil.rmtree(staged_seg, ignore_errors=True)
+        shutil.rmtree(staged_occ, ignore_errors=True)
+        shutil.rmtree(staged_dm, ignore_errors=True)
+        meta.update({"n_docs": inflight["n_docs"], "avgdl": inflight["avgdl"]})
+        meta["occ_multifile_buckets"] = sorted(
+            set(meta.get("occ_multifile_buckets", [])) | set(affected)
+        )
+        with open(f"{index_dir}/stats.json", "w") as f:
+            json.dump(meta, f)
+        inflight["status"] = "swapped"
+        _write_promote_state(index_dir, state)
+    _boom("swapped")
+
+    # ---- FINALIZE -----------------------------------------------------------
+    affected = inflight["affected"]
+    chks = bucket_checksums(spark, f"{index_dir}/segments", affected)
+    for b in affected:
+        _write_manifest(
+            index_dir,
+            f"bucket_{b}.json",
+            {
+                "status": "complete",
+                "bucket": b,
+                "input_fingerprint": fp,
+                "promoted": True,
+                **chks[b],
+            },
+        )
+    # all bucket manifests are complete again, so this only re-derives
+    # term_stats/idf from segment metadata under the new n_docs — df(t)
+    # sums exactly across disjoint generations
+    encode_pending_buckets(spark, index_dir, fp)
+    state["promoted"][fp] = {
+        "delta_index_dir": delta_index_dir,
+        "docs_added": inflight["docs_added"],
+    }
+    result = {
+        "docs_added": inflight["docs_added"],
+        "affected_buckets": len(affected),
+        "n_docs": inflight["n_docs"],
+    }
+    state["inflight"] = None
+    _write_promote_state(index_dir, state)
+    return result

@@ -628,6 +628,34 @@ def build_segments(
     encode_pending_buckets(spark, index_dir, fp, buckets_per_job, progress)
 
 
+def _normalize_occurrence_buckets(
+    spark: SparkSession, index_dir: str, meta: dict, buckets: list[int]
+) -> None:
+    """Rewrite each bucket's occurrence rows with the build's
+    repartition(term, shard) + sort, restoring the one-file-per-group
+    invariant promotion's file appends relaxed, then clear its marker.
+    Crash-safe: staged write + rename-with-backup swap per bucket; a
+    re-run simply re-normalizes (idempotent)."""
+    from honeywell_search_engine_spark.index.maintenance import _swap_bucket_dir
+
+    for b in buckets:
+        src = f"{index_dir}/postings/bucket={b}"
+        staged = f"{index_dir}/postings_norm_bucket_{b}"
+        (
+            spark.read.parquet(src)
+            .repartition(F.col("term"), F.col("shard"))
+            .sortWithinPartitions("term", "shard", "lid", "pos")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        _swap_bucket_dir(src, staged)
+        meta["occ_multifile_buckets"] = [
+            x for x in meta.get("occ_multifile_buckets", []) if x != b
+        ]
+        with open(f"{index_dir}/stats.json", "w") as f:
+            json.dump(meta, f)
+
+
 def encode_pending_buckets(
     spark: SparkSession,
     index_dir: str,
@@ -650,6 +678,15 @@ def encode_pending_buckets(
         if (m := _read_manifest(index_dir, f"bucket_{b}.json")) is None
         or m.get("status") != "complete"
     ]
+    # promotion (index/promote.py) APPENDS delta occurrence files to its
+    # affected buckets; the no-shuffle encode below requires every
+    # (term, shard) group contiguous in ONE file. Normalize any marked
+    # bucket we are about to re-encode first (one pruned repartition+sort
+    # per bucket — only reachable after a crash mid-promotion or a manual
+    # manifest invalidation; the promote path itself never re-encodes).
+    multi = sorted(set(meta.get("occ_multifile_buckets", [])) & set(todo))
+    if multi:
+        _normalize_occurrence_buckets(spark, index_dir, meta, multi)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # a (term, shard) group must never be split across scan partitions.
     # Spark's actual split size is min(maxPartitionBytes, max(openCost,

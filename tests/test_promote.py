@@ -1,0 +1,401 @@
+"""Segment-splice promotion (index/promote.py): folding a delta
+generation index into the base by block-granular byte concatenation must
+be query-for-query bit-identical to an index built from scratch over the
+union corpus — and must interoperate with every maintenance path
+(tombstones/compact, merge_deltas, encode_pending_buckets' normalization
+of the multi-file occurrence layout)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from honeywell_search_engine_spark.index import codec
+from honeywell_search_engine_spark.index.corpus import (
+    docs_from_pages,
+    tokenized_docs,
+)
+from honeywell_search_engine_spark.index.promote import (
+    promote_generation,
+    should_promote,
+    splice_encoded,
+)
+from honeywell_search_engine_spark.index.segments import build_segments
+from honeywell_search_engine_spark.query.local import ServingIndex
+from honeywell_search_engine_spark.sources.pages import (
+    PAGES_SCHEMA,
+    generate_pages_pdf,
+    marker_term,
+)
+
+N_BUCKETS, N_SHARDS = 8, 4
+
+QUERIES = [
+    "data search",
+    "web engine",
+    "data",
+    "index query",
+    marker_term(0),
+    marker_term(2),
+    "zzzznotaterm",
+]
+
+
+def _write_pages(spark, pdf, lo, hi, path):
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(pdf.iloc[lo:hi], schema=PAGES_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def _build(spark, pages_dir, out_dir, **kw):
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+    build_segments(
+        tokenized_docs(docs_from_pages(pages)), out_dir, pages_dir,
+        n_buckets=N_BUCKETS, n_shards=N_SHARDS, buckets_per_job=N_BUCKETS,
+        **kw,
+    )
+
+
+def _all_results(idx: ServingIndex, k: int = 12) -> dict:
+    out = {}
+    for q in QUERIES:
+        out[("and", q)] = idx.search(q, k=k)
+        out[("or", q)] = idx.search_websearch(q.replace(" ", " OR ") if " " in q else q, k=k)
+    out[("ws", 1)] = idx.search_websearch('"web search" -spam', k=k)
+    out[("phrase", 1)] = idx.search_phrase("web search", k=k)
+    out[("near", 1)] = idx.search_near_unordered("data search", k=k, dist=4)
+    return out
+
+
+@pytest.fixture(scope="module")
+def promote_fixture(spark, tmp_path_factory):
+    """base over docs 0..250, delta generation over docs 250..400
+    (DISJOINT docids — the append-only crawl case), scratch oracle over
+    the union 0..400. Returns (root, base_idx, delta_idx, scratch_idx,
+    promoted_idx, pdf)."""
+    root = tmp_path_factory.mktemp("promote")
+    pdf = generate_pages_pdf(400)
+
+    base_pages = str(root / "pages_base")
+    delta_pages = str(root / "pages_delta")
+    union_pages = str(root / "pages_union")
+    _write_pages(spark, pdf, 0, 250, base_pages)
+    _write_pages(spark, pdf, 250, 400, delta_pages)
+    _write_pages(spark, pdf, 0, 400, union_pages)
+
+    base_idx = str(root / "idx_base")
+    delta_idx = str(root / "idx_delta")
+    scratch_idx = str(root / "idx_scratch")
+    _build(spark, base_pages, base_idx)
+    _build(spark, delta_pages, delta_idx)
+    _build(spark, union_pages, scratch_idx)
+
+    promoted_idx = str(root / "idx_promoted")
+    shutil.copytree(base_idx, promoted_idx)
+    summary = promote_generation(spark, promoted_idx, delta_idx)
+    assert summary["docs_added"] > 100
+    assert summary["affected_buckets"] >= 1
+    return root, base_idx, delta_idx, scratch_idx, promoted_idx, pdf
+
+
+# --------------------------------------------------------------------------
+# splice kernel unit tests (pure numpy, no Spark)
+# --------------------------------------------------------------------------
+
+
+def _mk_list(rng, n, hi, fmt, with_pos=True):
+    docids = np.sort(
+        rng.choice(np.arange(0, hi, dtype=np.uint64), size=n, replace=False)
+    )
+    tfs = rng.randint(1, 5, size=n).astype(np.uint64)
+    doclens = rng.randint(5, 300, size=n).astype(np.uint64)
+    pos = None
+    if with_pos:
+        pos = np.concatenate(
+            [
+                np.sort(
+                    rng.choice(
+                        np.arange(0, 500, dtype=np.uint64),
+                        size=int(t),
+                        replace=False,
+                    )
+                )
+                for t in tfs
+            ]
+        )
+    enc = codec.encode_postings(docids, tfs, doclens, 0.0, positions=pos, fmt=fmt)
+    return docids, tfs, doclens, pos, enc
+
+
+@pytest.mark.parametrize("fb,fd", [("vb", "vb"), ("pfor", "pfor"), ("pfor", "vb")])
+@pytest.mark.parametrize(
+    "nb,nd",
+    [(0, 3), (1, 1), (127, 128), (128, 5), (128, 300), (129, 128), (517, 131)],
+)
+def test_splice_equals_scratch_encode(nb, nd, fb, fd):
+    """splice_encoded == encode_postings over the concatenated raw arrays,
+    byte-for-byte including block metadata, for every seam shape: empty
+    base, sub-block base, exact block boundary (the pass-through fast
+    path), partial tail, multi-block, and mixed codecs."""
+    if nb == 0 and fb != fd:
+        pytest.skip("delta-only keeps its own codec")
+    rng = np.random.RandomState(nb * 1000 + nd)
+    if nb:
+        b_doc, b_tf, b_dl, b_pos, b_enc = _mk_list(rng, nb, nb * 4, fb)
+        off = int(b_doc[-1]) + 1 + int(rng.randint(0, 5))
+    else:
+        b_doc = np.zeros(0, dtype=np.uint64)
+        b_tf, b_dl = b_doc.copy(), b_doc.copy()
+        b_pos, b_enc, off = np.zeros(0, dtype=np.uint64), None, 7
+    d_doc, d_tf, d_dl, d_pos, d_enc = _mk_list(rng, nd, nd * 4, fd)
+
+    sp = splice_encoded(b_enc, d_enc, off)
+    e_doc = np.concatenate([b_doc, d_doc + np.uint64(off)])
+    exp = codec.encode_postings(
+        e_doc,
+        np.concatenate([b_tf, d_tf]),
+        np.concatenate([b_dl, d_dl]),
+        0.0,
+        positions=np.concatenate([b_pos, d_pos]),
+        fmt=(fb if nb else fd),
+    )
+    assert sp.n == exp.n and sp.fmt == exp.fmt
+    for f in ("bmax_docid", "bmax_u", "d_off", "t_off", "l_off", "p_off"):
+        assert np.array_equal(getattr(sp, f), getattr(exp, f)), f
+    for f in ("deltas", "tfs", "doclens", "positions"):
+        assert getattr(sp, f) == getattr(exp, f), f
+    # selective block decode stays exact over the spliced list
+    nblocks = sp.bmax_docid.size
+    sel = np.unique(rng.choice(nblocks, size=min(3, nblocks), replace=False))
+    blk = codec.decode_blocks(sp, sel, with_positions=True, flat_positions=True)
+    idx = np.concatenate(
+        [np.arange(b * codec.BLOCK, min((b + 1) * codec.BLOCK, sp.n)) for b in sel]
+    )
+    assert np.array_equal(blk.docids, e_doc[idx])
+
+
+def test_splice_rejects_interleaved_offset():
+    rng = np.random.RandomState(0)
+    *_, b_enc = _mk_list(rng, 50, 200, "vb")
+    *_, d_enc = _mk_list(rng, 10, 40, "vb")
+    with pytest.raises(ValueError, match="never interleave"):
+        splice_encoded(b_enc, d_enc, 3)
+
+
+def test_splice_rejects_mixed_positionality():
+    rng = np.random.RandomState(1)
+    *_, b_enc = _mk_list(rng, 50, 200, "vb", with_pos=True)
+    *_, d_enc = _mk_list(rng, 10, 40, "vb", with_pos=False)
+    with pytest.raises(ValueError, match="positional"):
+        splice_encoded(b_enc, d_enc, 500)
+
+
+# --------------------------------------------------------------------------
+# end-to-end promotion
+# --------------------------------------------------------------------------
+
+
+def test_promote_stats_match_scratch(promote_fixture):
+    _, _, _, scratch_idx, promoted_idx, _ = promote_fixture
+    p, s = ServingIndex(promoted_idx), ServingIndex(scratch_idx)
+    assert p.n_docs == s.n_docs
+    assert p.avgdl == pytest.approx(s.avgdl, rel=0, abs=1e-12)
+
+
+def test_promote_queries_bitexact_vs_scratch(promote_fixture):
+    _, _, _, scratch_idx, promoted_idx, _ = promote_fixture
+    p, s = ServingIndex(promoted_idx), ServingIndex(scratch_idx)
+    rp, rs = _all_results(p), _all_results(s)
+    assert rp == rs  # same docids AND bit-identical float64 scores
+
+
+def test_promote_term_stats_exact(promote_fixture):
+    import pyarrow.parquet as pq
+
+    _, _, _, scratch_idx, promoted_idx, _ = promote_fixture
+
+    def stats_map(idx):
+        t = pq.read_table(f"{idx}/term_stats")
+        return {
+            r["term"]: (r["df"], r["ctf"], r["idf"]) for r in t.to_pylist()
+        }
+
+    assert stats_map(promoted_idx) == stats_map(scratch_idx)
+
+
+def test_base_only_rows_passthrough_byte_identical(promote_fixture):
+    """Terms untouched by the delta keep their exact encoded bytes."""
+    import pyarrow.parquet as pq
+
+    _, base_idx, delta_idx, _, promoted_idx, _ = promote_fixture
+    delta_terms = set(
+        pq.read_table(f"{delta_idx}/term_stats", columns=["term"])
+        .column("term")
+        .to_pylist()
+    )
+
+    def rows(idx):
+        t = pq.read_table(f"{idx}/segments")
+        return {
+            (r["term"], r["shard"]): (
+                r["deltas"], r["tfs"], r["doclens"], r["positions"],
+                tuple(r["d_off"]), tuple(r["bmax_docid"]), r["n"],
+            )
+            for r in t.to_pylist()
+            if r["term"] not in delta_terms
+        }
+
+    before, after = rows(base_idx), rows(promoted_idx)
+    assert before and before == after
+
+
+def test_promote_noop_on_repeat(promote_fixture, spark):
+    _, _, delta_idx, _, promoted_idx, _ = promote_fixture
+    again = promote_generation(spark, promoted_idx, delta_idx)
+    assert again["docs_added"] == 0 and again["affected_buckets"] == 0
+
+
+def test_promote_rejects_overlapping_docids(promote_fixture, spark, tmp_path):
+    root, base_idx, *_ , pdf = promote_fixture
+    overlap_pages = str(tmp_path / "pages_overlap")
+    _write_pages(spark, pdf, 200, 300, overlap_pages)  # 200..250 overlap base
+    overlap_idx = str(tmp_path / "idx_overlap")
+    _build(spark, overlap_pages, overlap_idx)
+    target = str(tmp_path / "idx_target")
+    shutil.copytree(base_idx, target)
+    with pytest.raises(ValueError, match="docids exist in both"):
+        promote_generation(spark, target, overlap_idx)
+
+
+def test_should_promote_policy(promote_fixture):
+    _, base_idx, delta_idx, *_ = promote_fixture
+    assert not should_promote(base_idx, [])
+    # 150 delta docs vs ~250 base: over any reasonable ratio
+    assert should_promote(base_idx, [delta_idx], max_delta_ratio=0.2)
+    assert not should_promote(base_idx, [delta_idx], max_delta_ratio=5.0)
+    assert should_promote(
+        base_idx, [delta_idx] * 4, max_generations=3, max_delta_ratio=100.0
+    )
+
+
+@pytest.mark.parametrize(
+    "point", ["staged", "invalidated", "mid_swap", "swapped"]
+)
+def test_promote_killpoints_converge(promote_fixture, spark, tmp_path, point):
+    """A crash at any journal point, then a plain re-run, converges to the
+    same index as an uninterrupted promotion."""
+    _, base_idx, delta_idx, scratch_idx, _, _ = promote_fixture
+    target = str(tmp_path / f"idx_{point}")
+    shutil.copytree(base_idx, target)
+    with pytest.raises(RuntimeError, match=point):
+        promote_generation(spark, target, delta_idx, _fail_at=point)
+    summary = promote_generation(spark, target, delta_idx)
+    assert summary["docs_added"] > 100
+    p, s = ServingIndex(target), ServingIndex(scratch_idx)
+    assert p.n_docs == s.n_docs
+    assert p.search("data search", k=10) == s.search("data search", k=10)
+    assert p.search_phrase("web search", k=10) == s.search_phrase(
+        "web search", k=10
+    )
+
+
+def test_postpromote_compact_sheds_promoted_and_base_docs(
+    promote_fixture, spark, tmp_path
+):
+    """delete_docs + compact over a promoted index: compact re-reads the
+    multi-file occurrence layout (layout-agnostic sort), folds tombstones
+    from BOTH generations, and clears the multi-file markers."""
+    from honeywell_search_engine_spark.index.maintenance import (
+        compact,
+        delete_docs,
+    )
+
+    root, base_idx, delta_idx, scratch_idx, promoted_idx, pdf = promote_fixture
+    target = str(tmp_path / "idx_compact")
+    shutil.copytree(promoted_idx, target)
+    s = ServingIndex(scratch_idx)
+    victims = [d for d, _ in s.search("data", k=6)][:4]
+    assert victims
+    delete_docs(target, victims)
+    out = compact(spark, target)
+    assert out["compacted"] == len(victims)
+    with open(f"{target}/stats.json") as f:
+        assert not json.load(f).get("occ_multifile_buckets")
+
+    # oracle: scratch index with the same docs tombstoned + compacted
+    oracle = str(tmp_path / "idx_compact_oracle")
+    shutil.copytree(scratch_idx, oracle)
+    delete_docs(oracle, victims)
+    compact(spark, oracle)
+    p, o = ServingIndex(target), ServingIndex(oracle)
+    assert p.n_docs == o.n_docs
+    assert _all_results(p) == _all_results(o)
+
+
+def test_postpromote_merge_deltas_exact(promote_fixture, spark, tmp_path):
+    """merge_deltas on a promoted index (its STAGE reads the multi-file
+    occurrence layout) stays exact vs a scratch build over all three
+    corpora, and clears the affected buckets' multi-file markers."""
+    from honeywell_search_engine_spark.index.maintenance import merge_deltas
+    from honeywell_search_engine_spark.streaming.ingest import (
+        stream_postings_delta,
+    )
+
+    root, base_idx, delta_idx, scratch_idx, promoted_idx, pdf = promote_fixture
+    big = generate_pages_pdf(460)
+    extra_pages = str(tmp_path / "pages_extra")
+    _write_pages(spark, big, 400, 460, extra_pages)
+    union_pages = str(tmp_path / "pages_union460")
+    _write_pages(spark, big, 0, 460, union_pages)
+    scratch460 = str(tmp_path / "idx_scratch460")
+    _build(spark, union_pages, scratch460)
+
+    target = str(tmp_path / "idx_merge")
+    shutil.copytree(promoted_idx, target)
+    delta_stream = str(tmp_path / "delta_stream")
+    stream_postings_delta(
+        spark, extra_pages, delta_stream, n_buckets=N_BUCKETS, n_shards=N_SHARDS
+    )
+    out = merge_deltas(spark, target, delta_stream)
+    assert out["docs_added"] > 30
+    p, s = ServingIndex(target), ServingIndex(scratch460)
+    assert p.n_docs == s.n_docs
+    assert _all_results(p) == _all_results(s)
+
+
+def test_encode_pending_normalizes_multifile_bucket(
+    promote_fixture, spark, tmp_path
+):
+    """Invalidate one promoted bucket's manifest and re-encode from
+    occurrence rows: encode_pending_buckets must normalize the multi-file
+    layout first (else the no-shuffle scan would emit duplicate
+    (term, shard) rows) and converge to the same query results."""
+    from honeywell_search_engine_spark.index.segments import (
+        encode_pending_buckets,
+        input_fingerprint,
+    )
+
+    _, _, _, scratch_idx, promoted_idx, _ = promote_fixture
+    target = str(tmp_path / "idx_norm")
+    shutil.copytree(promoted_idx, target)
+    with open(f"{target}/stats.json") as f:
+        marked = json.load(f)["occ_multifile_buckets"]
+    assert marked
+    b = marked[0]
+    os.remove(f"{target}/manifests/bucket_{b}.json")
+    os.remove(f"{target}/manifests/finalize.json")
+    fp = input_fingerprint(spark, f"{target}/postings")
+    encode_pending_buckets(spark, target, fp, buckets_per_job=N_BUCKETS)
+    with open(f"{target}/stats.json") as f:
+        assert b not in json.load(f).get("occ_multifile_buckets", [])
+    # one (term, shard) row per group in the re-encoded bucket
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{target}/segments/bucket={b}", columns=["term", "shard"])
+    keys = list(zip(t.column("term").to_pylist(), t.column("shard").to_pylist()))
+    assert len(keys) == len(set(keys))
+    p, s = ServingIndex(target), ServingIndex(scratch_idx)
+    assert _all_results(p) == _all_results(s)
