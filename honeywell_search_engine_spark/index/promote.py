@@ -647,3 +647,49 @@ def promote_generation(
     state["inflight"] = None
     _write_promote_state(index_dir, state)
     return result
+
+
+def build_generation(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    base_index_dir: str,
+    lang: str = "en",
+    from_html: bool = False,
+) -> dict:
+    """Build a delta GENERATION INDEX over `pages_path` with the layout
+    (n_buckets / n_shards / stemmed / codec) copied from the base index —
+    the shape GenerationSet can serve and promote_generation can fold in.
+    One thin guard around build_segments so a generation can never be
+    built with mismatched moduli. Returns the base layout used."""
+    from honeywell_search_engine_spark.index.corpus import (
+        docs_from_pages,
+        extracted_docs_from_pages,
+        tokenized_docs,
+    )
+    from honeywell_search_engine_spark.index.segments import build_segments
+    from honeywell_search_engine_spark.sources.pages import read_pages
+
+    with open(f"{base_index_dir}/stats.json") as f:
+        meta = json.load(f)
+    pages = read_pages(spark, pages_path)
+    docs = (
+        extracted_docs_from_pages(pages, lang)
+        if from_html
+        else docs_from_pages(pages, lang)
+    )
+    build_segments(
+        tokenized_docs(docs, stem=bool(meta.get("stemmed", False))),
+        out_dir,
+        pages_path,
+        n_buckets=int(meta["n_buckets"]),
+        n_shards=int(meta["n_shards"]),
+        stemmed=bool(meta.get("stemmed", False)),
+        codec_fmt=meta.get("codec", codec.FMT_VB),
+    )
+    return {
+        "n_buckets": int(meta["n_buckets"]),
+        "n_shards": int(meta["n_shards"]),
+        "stemmed": bool(meta.get("stemmed", False)),
+        "codec": meta.get("codec", codec.FMT_VB),
+    }

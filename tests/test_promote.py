@@ -399,3 +399,39 @@ def test_encode_pending_normalizes_multifile_bucket(
     assert len(keys) == len(set(keys))
     p, s = ServingIndex(target), ServingIndex(scratch_idx)
     assert _all_results(p) == _all_results(s)
+
+
+def test_multi_generation_promote_chain(promote_fixture, spark, tmp_path):
+    """Two generations promoted in sequence (the tiered-compaction cadence)
+    — the second promotion lands on an already-promoted base whose lid
+    space has appended ranges and whose occurrence buckets are already
+    multi-file. Final index bit-identical to the scratch union, and
+    GenerationSet over (base, gen1, gen2) agrees with it BEFORE either
+    promotion."""
+    from honeywell_search_engine_spark.index.promote import build_generation
+    from honeywell_search_engine_spark.query.generations import GenerationSet
+
+    root, base_idx, _, scratch_idx, _, pdf = promote_fixture
+    g1_pages = str(tmp_path / "pages_g1")
+    g2_pages = str(tmp_path / "pages_g2")
+    _write_pages(spark, pdf, 250, 320, g1_pages)
+    _write_pages(spark, pdf, 320, 400, g2_pages)
+    g1_idx = str(tmp_path / "idx_g1")
+    g2_idx = str(tmp_path / "idx_g2")
+    layout = build_generation(spark, g1_pages, g1_idx, base_idx)
+    assert layout["n_buckets"] == N_BUCKETS and layout["n_shards"] == N_SHARDS
+    build_generation(spark, g2_pages, g2_idx, base_idx)
+
+    s = ServingIndex(scratch_idx)
+    gs = GenerationSet([base_idx, g1_idx, g2_idx])
+    assert gs.n_docs == s.n_docs
+    assert gs.search("data search", k=10) == s.search("data search", k=10)
+
+    target = str(tmp_path / "idx_chain")
+    shutil.copytree(base_idx, target)
+    r1 = promote_generation(spark, target, g1_idx)
+    r2 = promote_generation(spark, target, g2_idx)
+    assert r1["docs_added"] > 0 and r2["docs_added"] > 0
+    p = ServingIndex(target)
+    assert p.n_docs == s.n_docs
+    assert _all_results(p) == _all_results(s)
