@@ -43,6 +43,18 @@ class CachedSearcher:
 
             self._local = ServingIndex(index.path)
 
+    def reload(self, index: SegmentIndex | None = None) -> "CachedSearcher":
+        """Refresh after on-disk maintenance: drop every memoized result
+        (they may reflect the pre-maintenance corpus) and reload the local
+        serving node. The Spark-miss path caches DataFrames inside its
+        SegmentIndex — pass a freshly constructed one to swap it."""
+        self._lru.clear()
+        if index is not None:
+            self.index = index
+        if self._local is not None:
+            self._local.reload()
+        return self
+
     def _get(self, key, compute):
         if key in self._lru:
             self._lru.move_to_end(key)

@@ -150,6 +150,34 @@ class ServingIndex:
         # generations) instead of this instance's segment metadata
         self._df_global = None
 
+    def reload(self) -> "ServingIndex":
+        """Re-open the index in place after maintenance mutated it on disk
+        (promote_generation / merge_deltas / compact): re-reads stats,
+        docmap, and tombstones, and drops every cache (term-row LRU,
+        decoded-postings LRU, df memo, hot-document LRU) — no process
+        restart. Posting rows are read lazily per query, so between the
+        on-disk swap and this call an UNCACHED term would pair new
+        postings with old stats: for strict consistency either promote
+        into a versioned directory and open a fresh node on it, or drain
+        the node around the maintenance window; reload() is the
+        refresh-in-place hook for deployments that accept that brief
+        window. A GenerationSet member should not be reloaded directly
+        (the injected global stats/shadows would be lost) — re-open the
+        GenerationSet instead."""
+        docs = getattr(self, "_docs_path", None)
+        id_col = getattr(self, "_docs_id_col", "docid")
+        text_col = getattr(self, "_docs_text_col", "text")
+        self.__init__(
+            self.path,
+            term_cache_capacity=self._term_cap,
+            decode_through=self.decode_through,
+            dec_cache_bytes=self._dec_budget,
+            shards=self._shards,
+        )
+        if docs is not None:
+            self.attach_docs(docs, id_col=id_col, text_col=text_col)
+        return self
+
     # ---- translation ----------------------------------------------------
 
     def _lids_by_shard(self, docids) -> dict[int, np.ndarray]:
@@ -815,6 +843,17 @@ class ShardRouter:
     # payloads), so any node answers exactly; no scatter-gather. The
     # router routes them to one node — this is the real topology too:
     # autocomplete boxes hit any serving node, not all of them.
+
+    def reload(self) -> "ShardRouter":
+        """Refresh every node from the on-disk index (see
+        ServingIndex.reload) — fan out over the same thread pool so the
+        router's refresh gap tracks the slowest node, not the sum."""
+        if self._pool is None:
+            for n in self.nodes:
+                n.reload()
+        else:
+            list(self._pool.map(lambda n: n.reload(), self.nodes))
+        return self
 
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         return self.nodes[0].suggest(prefix, k=k)

@@ -435,3 +435,39 @@ def test_multi_generation_promote_chain(promote_fixture, spark, tmp_path):
     p = ServingIndex(target)
     assert p.n_docs == s.n_docs
     assert _all_results(p) == _all_results(s)
+
+
+def test_serving_reload_after_promote(promote_fixture, spark, tmp_path):
+    """A live serving node picks up a promotion via reload() with no
+    process restart: ServingIndex, a 2-node ShardRouter, and a
+    CachedSearcher all serve the promoted corpus exactly afterwards (and
+    the cache's pre-promotion memos are dropped)."""
+    from honeywell_search_engine_spark.query.cache import CachedSearcher
+    from honeywell_search_engine_spark.query.local import ShardRouter
+    from honeywell_search_engine_spark.index.segments import SegmentIndex
+
+    _, base_idx, delta_idx, scratch_idx, _, _ = promote_fixture
+    target = str(tmp_path / "idx_reload")
+    shutil.copytree(base_idx, target)
+    live = ServingIndex(target)
+    router = ShardRouter(target, n_nodes=2)
+    cache = CachedSearcher(SegmentIndex(spark, target))
+    before = live.search("data search", k=10)
+    assert cache.search("data search", k=10) == before
+
+    promote_generation(spark, target, delta_idx)
+    # cached term rows + old stats still serve the old view for this query
+    assert live.search("data search", k=10) == before
+    assert cache.search("data search", k=10) == before
+
+    s = ServingIndex(scratch_idx)
+    live.reload()
+    router.reload()
+    cache.reload(index=SegmentIndex(spark, target))
+    expected = s.search("data search", k=10)
+    assert expected != before  # the promotion actually changed the answer
+    assert live.search("data search", k=10) == expected
+    assert router.search("data search", k=10) == expected
+    assert cache.search("data search", k=10) == expected
+    assert live.n_docs == s.n_docs and live.avgdl == s.avgdl
+    assert _all_results(live) == _all_results(s)
