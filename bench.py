@@ -861,6 +861,32 @@ def main() -> None:
             promote_generation,
         )
 
+        # encode-work asymmetry from segment metadata alone: postings the
+        # splice re-encodes (seam block of matched lists + the delta side;
+        # block 0 of delta-only lists) vs postings whose bytes pass
+        # through untouched — THE number that scales (wall-clock at 60k
+        # docs is Spark-scheduling-floor-bound for both paths)
+        bt = _pq.read_table(f"{idx_dir}/segments", columns=["term", "shard", "n"])
+        dt = _pq.read_table(
+            f"{gen_delta_idx}/segments", columns=["term", "shard", "n"]
+        )
+        base_n = dict(
+            zip(
+                zip(bt.column("term").to_pylist(), bt.column("shard").to_pylist()),
+                bt.column("n").to_pylist(),
+            )
+        )
+        re_enc = 0
+        for key, nd in zip(
+            zip(dt.column("term").to_pylist(), dt.column("shard").to_pylist()),
+            dt.column("n").to_pylist(),
+        ):
+            bn = base_n.get(key)
+            re_enc += (bn % 128 + nd) if bn else min(nd, 128)
+        tot = int(sum(base_n.values())) + int(sum(dt.column("n").to_pylist()))
+        extra["promote_reencoded_postings"] = int(re_enc)
+        extra["promote_passthrough_frac"] = round(1 - re_enc / tot, 4)
+
         promo_dir = f"{WORK}/idx_promote"
         shutil.rmtree(promo_dir, ignore_errors=True)
         shutil.copytree(idx_dir, promo_dir)
@@ -872,7 +898,9 @@ def main() -> None:
         log(f"[bench] promote_generation: {ps['docs_added']} docs spliced in "
             f"{promote_sec:.1f}s = {extra['promote_docs_per_sec']} docs/s "
             f"({ps['affected_buckets']} buckets rewritten; vs eager merge "
-            f"{extra['merge_docs_per_sec']} docs/s)")
+            f"{extra['merge_docs_per_sec']} docs/s; "
+            f"{extra['promote_passthrough_frac']:.1%} of postings "
+            f"passed through byte-identical)")
         shutil.rmtree(promo_dir, ignore_errors=True)
         shutil.rmtree(gen_delta_idx, ignore_errors=True)
     spark.stop()
@@ -906,7 +934,7 @@ def main() -> None:
         "bytes_per_posting_payload", "bytes_per_posting_on_disk",
         "merge_docs_per_sec", "compact_sec",
         "gen_ingest_docs_per_sec", "gen_serving_warm_p95_sec",
-        "promote_docs_per_sec",
+        "promote_docs_per_sec", "promote_passthrough_frac",
     ]
     compact = dict(out)
     compact["extra"] = {

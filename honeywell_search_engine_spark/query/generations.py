@@ -38,6 +38,16 @@ Deployment note: tombstones (`delete_docs`) should be issued against
 every generation directory (a docid lives in exactly one live
 generation, so extra tombstones are no-ops); each member instance loads
 its own directory's tombstones as usual.
+
+Compaction cadence (index/promote.py): when `should_promote` fires,
+fold generations into the base oldest-first with `promote_generation` —
+O(delta + seams) when the generation's docids are disjoint from the
+base's (the append-only crawl case). A generation that RE-INGESTED base
+docids (non-empty shadow set here) cannot be spliced: either
+merge_deltas the raw delta (upsert), or delete_docs(shadowed docids) on
+the base + compact first, then promote. After any promotion, refresh
+live serving with ServingIndex.reload()/ShardRouter.reload() or re-open
+the GenerationSet over the remaining generations.
 """
 
 from __future__ import annotations
