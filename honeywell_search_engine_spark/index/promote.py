@@ -282,11 +282,17 @@ def _make_bucket_splicer(index_dir: str, delta_dir: str, offs: dict[int, int]):
     ServingIndex — on a cluster these paths are shared storage). Emits the
     spliced bucket's full segment rows; Spark's committer makes the staged
     write atomic. Bucket = task granularity; a hot bucket can be split by
-    shard with the same kernel if it ever dominates."""
+    shard with the same kernel if it ever dominates.
+
+    Memory shape: the BASE side streams batch-by-batch (a bucket's segment
+    payload can be GBs at 10^12 docs and must never materialize whole);
+    only the DELTA side — delta-sized by definition — is held keyed in
+    memory, and its matched entries are popped as the base stream passes
+    them."""
 
     def splice_bucket(batches):
         import pyarrow as pa
-        import pyarrow.parquet as pq
+        import pyarrow.dataset as ds
 
         from honeywell_search_engine_spark.index.segments import (
             PA_SEGMENT_SCHEMA,
@@ -296,27 +302,39 @@ def _make_bucket_splicer(index_dir: str, delta_dir: str, offs: dict[int, int]):
             for b in batch.column("bucket").to_pylist():
                 base_p = f"{index_dir}/segments/bucket={b}"
                 delta_p = f"{delta_dir}/segments/bucket={b}"
-                base_rows = (
-                    pq.read_table(base_p).to_pylist()
-                    if os.path.isdir(base_p)
-                    else []
-                )
-                delta_rows = pq.read_table(delta_p).to_pylist()
-                dmap = {(r["term"], r["shard"]): r for r in delta_rows}
-                out = []
-                for r in base_rows:
-                    dr = dmap.pop((r["term"], r["shard"]), None)
-                    if dr is None:
-                        r["bucket"] = int(b)  # byte-identical passthrough
-                        out.append(r)
-                    else:
-                        out.append(_row_splice(r, dr, offs[int(r["shard"])], b))
-                for (_t, s), dr in dmap.items():
-                    out.append(_row_splice(None, dr, offs[int(s)], b))
-                out.sort(key=lambda r: (r["term"], r["shard"]))
-                for i in range(0, len(out), 1024):
+                dmap = {
+                    (r["term"], r["shard"]): r
+                    for r in ds.dataset(delta_p, format="parquet")
+                    .to_table()
+                    .to_pylist()
+                }
+                if os.path.isdir(base_p):
+                    scanner = ds.dataset(base_p, format="parquet").scanner(
+                        batch_size=1024
+                    )
+                    for base_batch in scanner.to_batches():
+                        out = []
+                        for r in base_batch.to_pylist():
+                            dr = dmap.pop((r["term"], r["shard"]), None)
+                            if dr is None:
+                                r["bucket"] = int(b)  # byte-identical passthrough
+                                out.append(r)
+                            else:
+                                out.append(
+                                    _row_splice(r, dr, offs[int(r["shard"])], b)
+                                )
+                        if out:
+                            yield pa.RecordBatch.from_pylist(
+                                out, schema=PA_SEGMENT_SCHEMA
+                            )
+                rest = sorted(dmap.items())  # delta-only terms
+                for i in range(0, len(rest), 1024):
                     yield pa.RecordBatch.from_pylist(
-                        out[i : i + 1024], schema=PA_SEGMENT_SCHEMA
+                        [
+                            _row_splice(None, dr, offs[int(s)], b)
+                            for (_t, s), dr in rest[i : i + 1024]
+                        ],
+                        schema=PA_SEGMENT_SCHEMA,
                     )
 
     return splice_bucket
@@ -403,8 +421,6 @@ def promote_generation(
     and term_stats. Re-running after a crash at any point converges
     (tests/test_promote.py kill-point tests). `_fail_at` is the test-only
     injection hook ("staged" | "invalidated" | "mid_swap" | "swapped")."""
-    import pyarrow.parquet as pq
-
     from honeywell_search_engine_spark.index.maintenance import (
         _repair_dir_swaps,
         _swap_bucket_dir,
@@ -442,6 +458,21 @@ def promote_generation(
             f"generation at {delta_index_dir} carries tombstones — "
             "compact it before promoting"
         )
+    # maintenance ops on one index are externally serialized; still refuse
+    # the detectable races — an unfinished merge or a staged compaction
+    # owns the same segment/postings dirs this promotion would swap
+    ms = _read_manifest(index_dir, "merge_state.json") or {}
+    if ms.get("inflight"):
+        raise ValueError(
+            f"a merge of {ms['inflight'].get('delta_dir')} is in flight on "
+            f"{index_dir} — finish it (re-run merge_deltas) before promoting"
+        )
+    cs = _read_manifest(index_dir, "compact_state.json")
+    if cs and cs.get("status") == "staged":
+        raise ValueError(
+            f"a staged compaction is pending on {index_dir} — finish it "
+            "(re-run compact) before promoting"
+        )
 
     fp = input_fingerprint(spark, f"{delta_index_dir}/segments")
     state = _read_promote_state(index_dir)
@@ -472,33 +503,33 @@ def promote_generation(
         _write_promote_state(index_dir, state)
 
         # exact logical stats, per-shard lid offsets, disjointness — all
-        # from integer arithmetic over the two docmaps (pruned pyarrow
-        # column reads; the same sums GenerationSet serves from)
-        bdm = pq.read_table(
-            f"{index_dir}/docmap", columns=["docid", "shard", "local_id", "doclen"]
+        # as Spark aggregates over the two docmaps: the driver sees only
+        # n_shards offset rows and two 1-row sums, never a docmap
+        # materialization (at 10^12 docs the docmap itself is TB-scale)
+        base_dm = spark.read.parquet(f"{index_dir}/docmap")
+        delta_dm = spark.read.parquet(f"{delta_index_dir}/docmap")
+        ov = (
+            base_dm.select("docid")
+            .join(delta_dm.select("docid"), "docid")
+            .limit(1)
+            .collect()
         )
-        ddm = pq.read_table(
-            f"{delta_index_dir}/docmap", columns=["docid", "doclen"]
-        )
-        b_doc = bdm.column("docid").to_numpy()
-        d_doc = ddm.column("docid").to_numpy()
-        overlap = np.intersect1d(b_doc, d_doc)
-        if overlap.size:
+        if ov:
             raise ValueError(
-                f"{overlap.size} docids exist in both indexes (e.g. "
-                f"{int(overlap[0])}) — promotion is append-only; use "
-                "merge_deltas (upsert) or GenerationSet (shadowed serving)"
+                f"docids exist in both indexes (e.g. {int(ov[0]['docid'])})"
+                " — promotion is append-only; use merge_deltas (upsert) or"
+                " GenerationSet (shadowed serving)"
             )
-        b_sh = bdm.column("shard").to_numpy()
-        b_lid = bdm.column("local_id").to_numpy()
-        offs: dict[int, int] = {}
-        for s in range(int(meta["n_shards"])):
-            m = b_sh == s
-            offs[s] = int(b_lid[m].max()) + 1 if m.any() else 0
-        n_new = int(meta["n_docs"]) + len(d_doc)
-        sum_dl = int(bdm.column("doclen").to_numpy().sum()) + int(
-            ddm.column("doclen").to_numpy().sum()
-        )
+        offs: dict[int, int] = {s: 0 for s in range(int(meta["n_shards"]))}
+        for r in base_dm.groupBy("shard").agg(F.max("local_id").alias("mx")).collect():
+            offs[int(r["shard"])] = int(r["mx"]) + 1
+        brow = base_dm.agg(F.sum("doclen").alias("s")).collect()[0]
+        drow = delta_dm.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")
+        ).collect()[0]
+        n_delta = int(drow["n"])
+        n_new = int(meta["n_docs"]) + n_delta
+        sum_dl = int(brow["s"] or 0) + int(drow["s"] or 0)
         avgdl_new = sum_dl / n_new if n_new else 0.0
         affected = sorted(
             int(d.split("=", 1)[1])
@@ -559,7 +590,7 @@ def promote_generation(
             {
                 "status": "staged",
                 "affected": affected,
-                "docs_added": int(len(d_doc)),
+                "docs_added": n_delta,
                 "n_docs": n_new,
                 "avgdl": avgdl_new,
                 "occ_files": occ_files,

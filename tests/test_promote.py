@@ -471,3 +471,54 @@ def test_serving_reload_after_promote(promote_fixture, spark, tmp_path):
     assert cache.search("data search", k=10) == expected
     assert live.n_docs == s.n_docs and live.avgdl == s.avgdl
     assert _all_results(live) == _all_results(s)
+
+
+def test_promote_refuses_concurrent_maintenance(promote_fixture, spark, tmp_path):
+    """An unfinished merge or a staged compaction owns the same dirs a
+    promotion would swap — promote must refuse until they finish."""
+    from honeywell_search_engine_spark.index.segments import _write_manifest
+
+    _, base_idx, delta_idx, *_ = promote_fixture
+    target = str(tmp_path / "idx_guard")
+    shutil.copytree(base_idx, target)
+    _write_manifest(
+        target, "merge_state.json",
+        {"merged_batches": {}, "inflight": {"status": "staging",
+                                            "delta_dir": "/somewhere"}},
+    )
+    with pytest.raises(ValueError, match="merge .* in flight"):
+        promote_generation(spark, target, delta_idx)
+    _write_manifest(target, "merge_state.json",
+                    {"merged_batches": {}, "inflight": None})
+    _write_manifest(target, "compact_state.json", {"status": "staged"})
+    with pytest.raises(ValueError, match="staged compaction"):
+        promote_generation(spark, target, delta_idx)
+
+
+def test_reload_preserves_attached_docs(promote_fixture, spark, tmp_path):
+    """reload() re-attaches the forward text store: full response rows
+    keep working after a promote + reload, and match a fresh node over
+    the scratch union index with the union docs attached."""
+    from honeywell_search_engine_spark.index.corpus import docs_from_pages
+    from honeywell_search_engine_spark.sources.pages import read_pages
+
+    root, base_idx, delta_idx, scratch_idx, _, _ = promote_fixture
+    union_docs = str(tmp_path / "docs_union")
+    (
+        docs_from_pages(read_pages(spark, str(root / "pages_union")))
+        .select("docid", "text")
+        .write.parquet(union_docs)
+    )
+    target = str(tmp_path / "idx_reload_docs")
+    shutil.copytree(base_idx, target)
+    live = ServingIndex(target)
+    live.attach_docs(union_docs)
+    assert live.search_response("data search", k=5)
+
+    promote_generation(spark, target, delta_idx)
+    live.reload()
+    fresh = ServingIndex(scratch_idx)
+    fresh.attach_docs(union_docs)
+    assert live.search_response("data search", k=5) == fresh.search_response(
+        "data search", k=5
+    )
