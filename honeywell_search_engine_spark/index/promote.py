@@ -724,3 +724,75 @@ def build_generation(
         "stemmed": bool(meta.get("stemmed", False)),
         "codec": meta.get("codec", codec.FMT_VB),
     }
+
+
+def build_generation_from_delta(
+    spark: SparkSession,
+    delta_dir: str,
+    out_dir: str,
+    base_index_dir: str,
+    batch_ids: list[int] | None = None,
+) -> dict:
+    """Build a generation INDEX directly from streamed occurrence deltas
+    (streaming/ingest.stream_postings_delta) — no page re-read, no
+    re-tokenize. This closes the continuous-indexing loop: ONE streaming
+    job drains new pages into delta batches; from those batches you either
+    merge eagerly (merge_deltas, upserts) or build a generation here and
+    serve it immediately (GenerationSet), promoting later
+    (promote_generation).
+
+    The token stream is reconstructed exactly: delta `pos` values are the
+    token-array ordinals the analyzer emitted, so sorting each document's
+    (pos, term) rows rebuilds the original tokens array and build_segments
+    re-derives byte-identical occurrence rows — the resulting index equals
+    build_generation over the same pages row-for-row (pinned in tests).
+    Latest-batch-wins per docid (merge_deltas' upsert rule) when a docid
+    was re-streamed across the selected batches.
+
+    Streaming deltas are always unstemmed (the analyzer contract of
+    stream_postings_delta), so a stemmed base refuses — rebuild from pages
+    with build_generation in that case."""
+    from pyspark.sql import Window
+
+    from honeywell_search_engine_spark.index.segments import build_segments
+    from honeywell_search_engine_spark.streaming.ingest import delta_postings
+
+    with open(f"{base_index_dir}/stats.json") as f:
+        meta = json.load(f)
+    if meta.get("stemmed", False):
+        raise ValueError(
+            "streamed deltas are unstemmed; a stemmed base needs "
+            "build_generation over the pages themselves"
+        )
+    rows = delta_postings(spark, delta_dir)
+    if batch_ids is not None:
+        rows = rows.filter(F.col("delta_batch").isin([int(b) for b in batch_ids]))
+    w = Window.partitionBy("docid")
+    rows = (
+        rows.withColumn("_mx", F.max("delta_batch").over(w))
+        .filter(F.col("delta_batch") == F.col("_mx"))
+        .select("docid", "doclen", "pos", "term")
+    )
+    tok = (
+        rows.groupBy("docid", "doclen")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))).alias("_pt")
+        )
+        .select(
+            "docid",
+            "doclen",
+            F.expr("transform(_pt, x -> x.term)").alias("tokens"),
+        )
+    )
+    build_segments(
+        tok,
+        out_dir,
+        delta_dir,
+        n_buckets=int(meta["n_buckets"]),
+        n_shards=int(meta["n_shards"]),
+        stemmed=False,
+        codec_fmt=meta.get("codec", codec.FMT_VB),
+    )
+    with open(f"{out_dir}/stats.json") as f:
+        gmeta = json.load(f)
+    return {"docs": int(gmeta["n_docs"]), "delta_dir": delta_dir}

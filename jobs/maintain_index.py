@@ -21,6 +21,11 @@ Subcommands:
              seams) encode work; base blocks pass through byte-identical.
     compact  --index IDX
              physically remove tombstoned documents and rewrite stats.
+    generation --index BASE --out GEN_IDX (--pages PAGES | --delta DELTA_DIR)
+             build a generation index with the base's layout, from a pages
+             table or directly from streamed delta batches (no page
+             re-read) — serve it with run_queries --delta-index, fold it
+             in later with `promote`.
     policy   --index IDX --generation GEN_IDX [GEN_IDX ...]
              print whether should_promote() fires for the given
              generations (exit code 0 = promote now, 3 = keep serving
@@ -65,13 +70,23 @@ def main(argv=None) -> int:
     cp = sub.add_parser("compact")
     cp.add_argument("--index", required=True)
 
+    gp = sub.add_parser("generation")
+    gp.add_argument("--index", required=True,
+                    help="base index (layout template + stats)")
+    gp.add_argument("--out", required=True, help="generation index output dir")
+    g_src = gp.add_mutually_exclusive_group(required=True)
+    g_src.add_argument("--pages", help="build from a pages table")
+    g_src.add_argument("--delta",
+                       help="build from streamed delta batches "
+                            "(streaming/ingest.py output; no page re-read)")
+
     yp = sub.add_parser("policy")
     yp.add_argument("--index", required=True)
     yp.add_argument("--generation", nargs="+", required=True)
     yp.add_argument("--max-generations", type=int, default=3)
     yp.add_argument("--max-delta-ratio", type=float, default=0.2)
 
-    for p in (mp, pp, cp, yp):
+    for p in (mp, pp, cp, yp, gp):
         p.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -99,6 +114,17 @@ def main(argv=None) -> int:
         )
 
         out = promote_generation(spark, args.index, args.generation)
+    elif args.cmd == "generation":
+        from honeywell_search_engine_spark.index.promote import (
+            build_generation,
+            build_generation_from_delta,
+        )
+
+        out = (
+            build_generation_from_delta(spark, args.delta, args.out, args.index)
+            if args.delta
+            else build_generation(spark, args.pages, args.out, args.index)
+        )
     else:
         from honeywell_search_engine_spark.index.maintenance import compact
 

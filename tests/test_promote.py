@@ -522,3 +522,68 @@ def test_reload_preserves_attached_docs(promote_fixture, spark, tmp_path):
     assert live.search_response("data search", k=5) == fresh.search_response(
         "data search", k=5
     )
+
+
+def test_build_generation_from_delta_equals_pages_build(
+    promote_fixture, spark, tmp_path
+):
+    """A generation built straight from the streamed delta batches equals
+    the generation built from the pages themselves ROW-FOR-ROW (the pos
+    ordinals reconstruct the exact token stream), and promoting it yields
+    the same scratch-exact index."""
+    import pyarrow.parquet as pq
+
+    from honeywell_search_engine_spark.index.promote import (
+        build_generation_from_delta,
+    )
+    from honeywell_search_engine_spark.streaming.ingest import (
+        stream_postings_delta,
+    )
+
+    root, base_idx, delta_idx, scratch_idx, _, _ = promote_fixture
+    delta_stream = str(tmp_path / "delta_stream")
+    stream_postings_delta(
+        spark, str(root / "pages_delta"), delta_stream,
+        n_buckets=N_BUCKETS, n_shards=N_SHARDS,
+    )
+    gen_idx = str(tmp_path / "idx_gen_from_delta")
+    out = build_generation_from_delta(spark, delta_stream, gen_idx, base_idx)
+    assert out["docs"] > 100
+
+    def seg_rows(idx):
+        t = pq.read_table(f"{idx}/segments")
+        return {
+            (r["term"], r["shard"]): (
+                r["n"], r["ctf"], r["deltas"], r["tfs"], r["doclens"],
+                r["positions"], tuple(r["d_off"]), tuple(r["bmax_docid"]),
+            )
+            for r in t.to_pylist()
+        }
+
+    assert seg_rows(gen_idx) == seg_rows(delta_idx)  # == pages-built gen
+
+    target = str(tmp_path / "idx_promote_from_stream")
+    shutil.copytree(base_idx, target)
+    promote_generation(spark, target, gen_idx)
+    p, s = ServingIndex(target), ServingIndex(scratch_idx)
+    assert p.n_docs == s.n_docs
+    assert _all_results(p) == _all_results(s)
+
+
+def test_build_generation_from_delta_refuses_stemmed_base(
+    promote_fixture, spark, tmp_path
+):
+    from honeywell_search_engine_spark.index.promote import (
+        build_generation_from_delta,
+    )
+
+    _, base_idx, *_ = promote_fixture
+    stem_base = str(tmp_path / "idx_stem_meta")
+    shutil.copytree(base_idx, stem_base)
+    with open(f"{stem_base}/stats.json") as f:
+        meta = json.load(f)
+    meta["stemmed"] = True
+    with open(f"{stem_base}/stats.json", "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="unstemmed"):
+        build_generation_from_delta(spark, "/nowhere", "/nowhere2", stem_base)
