@@ -861,6 +861,54 @@ def main() -> None:
             promote_generation,
         )
 
+        # head-term splice microbench (pure numpy, no Spark scheduling
+        # noise): appending a 10k-posting delta to a 10M-posting list —
+        # the head-term shape at 10^10+ docs — via splice_encoded vs
+        # re-encoding the union from scratch (what merge_deltas does).
+        # THE isolated demonstration of the O(delta+seam) claim.
+        import numpy as np
+
+        from honeywell_search_engine_spark.index import codec as _codec
+        from honeywell_search_engine_spark.index.promote import splice_encoded
+
+        _rng = np.random.RandomState(4242)
+        _nb, _nd = 10_000_000, 10_000
+        _b_doc = np.cumsum(
+            _rng.randint(1, 4, size=_nb).astype(np.uint64), dtype=np.uint64
+        )
+        _d_doc = np.cumsum(
+            _rng.randint(1, 4, size=_nd).astype(np.uint64), dtype=np.uint64
+        )
+        _b_tf = _rng.randint(1, 4, size=_nb).astype(np.uint64)
+        _d_tf = _rng.randint(1, 4, size=_nd).astype(np.uint64)
+        _b_dl = _rng.randint(20, 300, size=_nb).astype(np.uint64)
+        _d_dl = _rng.randint(20, 300, size=_nd).astype(np.uint64)
+        _b_enc = _codec.encode_postings(_b_doc, _b_tf, _b_dl, 0.0, fmt="pfor")
+        _d_enc = _codec.encode_postings(_d_doc, _d_tf, _d_dl, 0.0, fmt="pfor")
+        _off = int(_b_doc[-1]) + 1
+        def _best_of(fn, reps=3):
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                fn()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        t_sp = _best_of(lambda: splice_encoded(_b_enc, _d_enc, _off))
+        _u_doc = np.concatenate([_b_doc, _d_doc + np.uint64(_off)])
+        _u_tf = np.concatenate([_b_tf, _d_tf])
+        _u_dl = np.concatenate([_b_dl, _d_dl])
+        t_re = _best_of(
+            lambda: _codec.encode_postings(_u_doc, _u_tf, _u_dl, 0.0, fmt="pfor")
+        )
+        extra["splice_head_term_sec"] = round(t_sp, 5)
+        extra["splice_head_term_reencode_sec"] = round(t_re, 4)
+        extra["splice_head_term_speedup"] = round(t_re / t_sp, 1)
+        log(f"[bench] head-term splice (10M-list + 10k delta, pure kernel): "
+            f"splice {t_sp*1000:.2f} ms vs full re-encode {t_re*1000:.0f} ms "
+            f"= {extra['splice_head_term_speedup']}x")
+
         # encode-work asymmetry from segment metadata alone: postings the
         # splice re-encodes (seam block of matched lists + the delta side;
         # block 0 of delta-only lists) vs postings whose bytes pass
@@ -935,6 +983,7 @@ def main() -> None:
         "merge_docs_per_sec", "compact_sec",
         "gen_ingest_docs_per_sec", "gen_serving_warm_p95_sec",
         "promote_docs_per_sec", "promote_passthrough_frac",
+        "splice_head_term_speedup",
     ]
     compact = dict(out)
     compact["extra"] = {
