@@ -899,15 +899,25 @@ def main() -> None:
         _u_doc = np.concatenate([_b_doc, _d_doc + np.uint64(_off)])
         _u_tf = np.concatenate([_b_tf, _d_tf])
         _u_dl = np.concatenate([_b_dl, _d_dl])
-        t_re = _best_of(
-            lambda: _codec.encode_postings(_u_doc, _u_tf, _u_dl, 0.0, fmt="pfor")
-        )
+        # FAIR baseline: the segment encoder's mega-batched runs path
+        # (codec.pfor_encode_runs — what merge_deltas actually pays per
+        # stream), not the per-block encode_postings loop
+        _u_del = np.diff(_u_doc, prepend=np.uint64(0)).astype(np.uint64)
+        _rs = np.array([0], dtype=np.int64)
+        _re_ = np.array([_u_doc.size], dtype=np.int64)
+
+        def _runs_reencode():
+            _codec.pfor_encode_runs(_u_del, _rs, _re_)
+            _codec.pfor_encode_runs(_u_tf - np.uint64(1), _rs, _re_)
+            _codec.pfor_encode_runs(_u_dl, _rs, _re_)
+
+        t_re = _best_of(_runs_reencode)
         extra["splice_head_term_sec"] = round(t_sp, 5)
         extra["splice_head_term_reencode_sec"] = round(t_re, 4)
         extra["splice_head_term_speedup"] = round(t_re / t_sp, 1)
         log(f"[bench] head-term splice (10M-list + 10k delta, pure kernel): "
-            f"splice {t_sp*1000:.2f} ms vs full re-encode {t_re*1000:.0f} ms "
-            f"= {extra['splice_head_term_speedup']}x")
+            f"splice {t_sp*1000:.2f} ms vs mega-batched re-encode of the "
+            f"3 streams {t_re*1000:.0f} ms = {extra['splice_head_term_speedup']}x")
 
         # encode-work asymmetry from segment metadata alone: postings the
         # splice re-encodes (seam block of matched lists + the delta side;
