@@ -77,7 +77,13 @@ from pyspark.sql import SparkSession, functions as F
 from honeywell_search_engine_spark.index import codec
 from honeywell_search_engine_spark.index.codec import BLOCK, EncodedList
 
-__all__ = ["promote_generation", "splice_encoded", "should_promote"]
+__all__ = [
+    "build_generation",
+    "build_generation_from_delta",
+    "promote_generation",
+    "should_promote",
+    "splice_encoded",
+]
 
 
 # --------------------------------------------------------------------------
