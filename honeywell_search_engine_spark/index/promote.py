@@ -304,6 +304,22 @@ def _make_bucket_splicer(index_dir: str, delta_dir: str, offs: dict[int, int]):
             PA_SEGMENT_SCHEMA,
         )
 
+        def _with_bucket(base_batch, b):
+            """Base batch -> output batch WITHOUT a Python round-trip: the
+            file columns stay zero-copy Arrow arrays; only the constant
+            bucket partition column is appended. Unmatched rows are the
+            overwhelming majority of every bucket, so this is the hot
+            path of the whole promotion."""
+            cols = [
+                base_batch.column(f.name)
+                for f in PA_SEGMENT_SCHEMA
+                if f.name != "bucket"
+            ]
+            cols.append(
+                pa.array([int(b)] * base_batch.num_rows, type=pa.int32())
+            )
+            return pa.RecordBatch.from_arrays(cols, schema=PA_SEGMENT_SCHEMA)
+
         for batch in batches:
             for b in batch.column("bucket").to_pylist():
                 base_p = f"{index_dir}/segments/bucket={b}"
@@ -319,20 +335,29 @@ def _make_bucket_splicer(index_dir: str, delta_dir: str, offs: dict[int, int]):
                         batch_size=1024
                     )
                     for base_batch in scanner.to_batches():
-                        out = []
-                        for r in base_batch.to_pylist():
-                            dr = dmap.pop((r["term"], r["shard"]), None)
-                            if dr is None:
-                                r["bucket"] = int(b)  # byte-identical passthrough
-                                out.append(r)
-                            else:
-                                out.append(
-                                    _row_splice(r, dr, offs[int(r["shard"])], b)
-                                )
-                        if out:
-                            yield pa.RecordBatch.from_pylist(
-                                out, schema=PA_SEGMENT_SCHEMA
+                        keys = list(
+                            zip(
+                                base_batch.column("term").to_pylist(),
+                                base_batch.column("shard").to_pylist(),
                             )
+                        )
+                        hit = [i for i, k in enumerate(keys) if k in dmap]
+                        if not hit:
+                            yield _with_bucket(base_batch, b)
+                            continue
+                        miss = [i for i in range(len(keys)) if keys[i] not in dmap]
+                        if miss:
+                            yield _with_bucket(base_batch.take(pa.array(miss)), b)
+                        spliced = []
+                        for i in hit:
+                            dr = dmap.pop(keys[i])
+                            r = base_batch.slice(i, 1).to_pylist()[0]
+                            spliced.append(
+                                _row_splice(r, dr, offs[int(r["shard"])], b)
+                            )
+                        yield pa.RecordBatch.from_pylist(
+                            spliced, schema=PA_SEGMENT_SCHEMA
+                        )
                 rest = sorted(dmap.items())  # delta-only terms
                 for i in range(0, len(rest), 1024):
                     yield pa.RecordBatch.from_pylist(
@@ -369,6 +394,22 @@ def _write_promote_state(index_dir: str, state: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(state, f)
     os.replace(tmp, _state_path(index_dir))
+
+
+def _base_epoch(spark: SparkSession, index_dir: str) -> str:
+    """Cheap identity of the base's document state: docmap file listing +
+    stats.json content. Every operation whose completion would invalidate
+    a staged promotion (merge_deltas, compact, another promotion) rewrites
+    or appends to the docmap AND rewrites stats.json; tombstone-only
+    changes (delete_docs) keep the epoch — staged splices don't embed
+    tombstones, kernels read dead lists at query time."""
+    import zlib
+
+    from honeywell_search_engine_spark.index.segments import input_fingerprint
+
+    with open(f"{index_dir}/stats.json", "rb") as f:
+        sj = zlib.crc32(f.read())
+    return f"{input_fingerprint(spark, f'{index_dir}/docmap')}|{sj:08x}"
 
 
 def _offsets_map_expr(offs: dict[int, int]):
@@ -499,19 +540,24 @@ def promote_generation(
     staged_occ = f"{index_dir}/promote_staged_occ"
     staged_dm = f"{index_dir}/promote_staged_docmap"
 
+    # a staged promotion's artifacts embed the base as it was at STAGE
+    # time (lid offsets, spliced bytes, stats sums). If a merge/compact
+    # completed between the crash and this resume, committing them would
+    # clobber that work — detect via the base epoch journaled at STAGE
+    # and restage from scratch instead.
+    if inflight and inflight["status"] == "staged":
+        if inflight.get("base_epoch") != _base_epoch(spark, index_dir):
+            shutil.rmtree(staged_seg, ignore_errors=True)
+            shutil.rmtree(staged_occ, ignore_errors=True)
+            shutil.rmtree(staged_dm, ignore_errors=True)
+            inflight["status"] = "staging"
+            _write_promote_state(index_dir, state)
+
     # ---- STAGE ------------------------------------------------------------
     if inflight is None or inflight["status"] == "staging":
-        state["inflight"] = inflight = {
-            "status": "staging",
-            "fp": fp,
-            "delta_index_dir": delta_index_dir,
-        }
-        _write_promote_state(index_dir, state)
-
-        # exact logical stats, per-shard lid offsets, disjointness — all
-        # as Spark aggregates over the two docmaps: the driver sees only
-        # n_shards offset rows and two 1-row sums, never a docmap
-        # materialization (at 10^12 docs the docmap itself is TB-scale)
+        # validate BEFORE journaling: a doomed generation (overlapping
+        # docids) must not leave an un-completable inflight record that
+        # wedges every later promotion behind it
         base_dm = spark.read.parquet(f"{index_dir}/docmap")
         delta_dm = spark.read.parquet(f"{delta_index_dir}/docmap")
         ov = (
@@ -521,11 +567,26 @@ def promote_generation(
             .collect()
         )
         if ov:
+            if inflight is not None:  # doomed record from an older version
+                state["inflight"] = None
+                _write_promote_state(index_dir, state)
             raise ValueError(
                 f"docids exist in both indexes (e.g. {int(ov[0]['docid'])})"
                 " — promotion is append-only; use merge_deltas (upsert) or"
                 " GenerationSet (shadowed serving)"
             )
+        state["inflight"] = inflight = {
+            "status": "staging",
+            "fp": fp,
+            "delta_index_dir": delta_index_dir,
+            "base_epoch": _base_epoch(spark, index_dir),
+        }
+        _write_promote_state(index_dir, state)
+
+        # exact logical stats and per-shard lid offsets — all as Spark
+        # aggregates over the two docmaps: the driver sees only n_shards
+        # offset rows and two 1-row sums, never a docmap materialization
+        # (at 10^12 docs the docmap itself is TB-scale)
         offs: dict[int, int] = {s: 0 for s in range(int(meta["n_shards"]))}
         for r in base_dm.groupBy("shard").agg(F.max("local_id").alias("mx")).collect():
             offs[int(r["shard"])] = int(r["mx"]) + 1

@@ -641,6 +641,13 @@ def _normalize_occurrence_buckets(
     for b in buckets:
         src = f"{index_dir}/postings/bucket={b}"
         staged = f"{index_dir}/postings_norm_bucket_{b}"
+        # repair a crash inside a PRIOR normalize's swap window: between
+        # _swap_bucket_dir's two renames the live dir is missing and the
+        # data sits in .bak — restore it before reading, or the scan below
+        # fails and the stray bucket=N.bak dir poisons partition inference
+        bak = src + ".bak"
+        if not os.path.isdir(src) and os.path.isdir(bak):
+            os.rename(bak, src)
         (
             spark.read.parquet(src)
             .repartition(F.col("term"), F.col("shard"))

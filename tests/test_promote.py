@@ -587,3 +587,87 @@ def test_build_generation_from_delta_refuses_stemmed_base(
         json.dump(meta, f)
     with pytest.raises(ValueError, match="unstemmed"):
         build_generation_from_delta(spark, "/nowhere", "/nowhere2", stem_base)
+
+
+def test_promote_restages_when_base_changed_after_crash(
+    promote_fixture, spark, tmp_path
+):
+    """A promotion that crashed after STAGE must NOT commit its stale
+    staged artifacts over a merge that completed in between — the base
+    epoch check forces a restage against the merged base, and the final
+    index equals a scratch build over all three corpora."""
+    from honeywell_search_engine_spark.index.maintenance import merge_deltas
+    from honeywell_search_engine_spark.streaming.ingest import (
+        stream_postings_delta,
+    )
+
+    root, base_idx, delta_idx, scratch_idx, _, _ = promote_fixture
+    target = str(tmp_path / "idx_epoch")
+    shutil.copytree(base_idx, target)
+    with pytest.raises(RuntimeError, match="staged"):
+        promote_generation(spark, target, delta_idx, _fail_at="staged")
+
+    big = generate_pages_pdf(430)
+    extra_pages = str(tmp_path / "pages_extra430")
+    _write_pages(spark, big, 400, 430, extra_pages)
+    delta_stream = str(tmp_path / "delta_stream430")
+    stream_postings_delta(
+        spark, extra_pages, delta_stream, n_buckets=N_BUCKETS, n_shards=N_SHARDS
+    )
+    merged = merge_deltas(spark, target, delta_stream)
+    assert merged["docs_added"] > 0
+
+    out = promote_generation(spark, target, delta_idx)  # resume -> restage
+    assert out["docs_added"] > 100
+
+    union_pages = str(tmp_path / "pages_union430")
+    _write_pages(spark, big, 0, 430, union_pages)
+    scratch430 = str(tmp_path / "idx_scratch430")
+    _build(spark, union_pages, scratch430)
+    p, s = ServingIndex(target), ServingIndex(scratch430)
+    assert p.n_docs == s.n_docs
+    assert _all_results(p) == _all_results(s)
+
+
+def test_failed_overlap_validation_does_not_wedge(promote_fixture, spark, tmp_path):
+    """A doomed promotion attempt (overlapping docids) must not leave an
+    inflight record that blocks promoting a valid generation afterwards."""
+    root, base_idx, delta_idx, scratch_idx, _, pdf = promote_fixture
+    overlap_pages = str(tmp_path / "pages_ovl")
+    _write_pages(spark, pdf, 200, 300, overlap_pages)
+    overlap_idx = str(tmp_path / "idx_ovl")
+    _build(spark, overlap_pages, overlap_idx)
+    target = str(tmp_path / "idx_unwedged")
+    shutil.copytree(base_idx, target)
+    with pytest.raises(ValueError, match="docids exist in both"):
+        promote_generation(spark, target, overlap_idx)
+    out = promote_generation(spark, target, delta_idx)  # must not be wedged
+    assert out["docs_added"] > 100
+    p, s = ServingIndex(target), ServingIndex(scratch_idx)
+    assert p.search("data search", k=10) == s.search("data search", k=10)
+
+
+def test_normalize_repairs_crashed_swap(promote_fixture, spark, tmp_path):
+    """encode_pending_buckets' normalization recovers a bucket stranded
+    mid-swap by a crashed prior normalization (live dir missing, data in
+    .bak) instead of failing on the missing path."""
+    from honeywell_search_engine_spark.index.segments import (
+        encode_pending_buckets,
+        input_fingerprint,
+    )
+
+    _, _, _, scratch_idx, promoted_idx, _ = promote_fixture
+    target = str(tmp_path / "idx_bak")
+    shutil.copytree(promoted_idx, target)
+    with open(f"{target}/stats.json") as f:
+        b = json.load(f)["occ_multifile_buckets"][0]
+    # simulate the crash window: live bucket dir renamed away to .bak
+    os.rename(f"{target}/postings/bucket={b}", f"{target}/postings/bucket={b}.bak")
+    os.remove(f"{target}/manifests/bucket_{b}.json")
+    os.remove(f"{target}/manifests/finalize.json")
+    fp = input_fingerprint(spark, f"{target}/postings")
+    encode_pending_buckets(spark, target, fp, buckets_per_job=N_BUCKETS)
+    assert os.path.isdir(f"{target}/postings/bucket={b}")
+    assert not os.path.isdir(f"{target}/postings/bucket={b}.bak")
+    p, s = ServingIndex(target), ServingIndex(scratch_idx)
+    assert _all_results(p) == _all_results(s)
