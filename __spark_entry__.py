@@ -75,6 +75,45 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _rng(spark: SparkSession, df: DataFrame, *keys: str) -> DataFrame:
+    """Range-partitioned spread (r7, guide §2.4): for a gate whose final
+    output is ordered by `keys` (or whose aggregation/window groups on
+    them), ONE repartitionByRange up front replaces BOTH the round-robin
+    spread exchange AND the final global-sort exchange — RangePartitioning
+    on the keys satisfies the downstream ClusteredDistribution (group/
+    window) and OrderedDistribution (sort) requirements, so the sort
+    becomes partition-local and, critically, the expensive mid-plan
+    expressions are no longer re-executed by the global sort's range-
+    boundary sampling pass (the sampler now re-reads only the parquet
+    scan). Scale-adaptive: partition count follows the session
+    parallelism, the pattern is exactly how a cluster-size output sort
+    would be laid out at 100 TB."""
+    return df.repartitionByRange(spark.sparkContext.defaultParallelism, *keys)
+
+
+def _docs_rng(spark: SparkSession, sf_dir: str, *keys: str) -> DataFrame:
+    return _rng(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), *keys)
+
+
+def _embeddings_rng(spark: SparkSession, sf_dir: str, *keys: str) -> DataFrame:
+    return _rng(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), *keys)
+
+
+def _events_rng(spark: SparkSession, sf_dir: str, *keys: str) -> DataFrame:
+    return _rng(spark, spark.read.parquet(f"{sf_dir}/events.parquet"), *keys)
+
+
+def _sorted1(df: DataFrame, *cols: str) -> DataFrame:
+    """Exact total order over a k-bounded (tag-union / top-k) output
+    WITHOUT a global-sort range exchange: one round-robin shuffle of the
+    few result rows to a single partition + a local sort produces the
+    identical fully-sorted rows, and the upstream plan executes once
+    instead of twice (no range-boundary sampling pass). Only for outputs
+    whose size is k-bounded by construction — corpus-sized listings keep
+    the range pattern (_rng)."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def _bm25_sql(query: str, k: int = 10, mode: str = "and") -> str:
     from honeywell_search_engine_spark.functions.analyzer import analyze_query
 
@@ -241,9 +280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- search core (SURVEY §2: F4/F5, A7/A8, K1/K4/K5, T1/T3) ----------
     q["corpus_stats"] = lambda s, d: search.corpus_stats_row(_docs(s, d))
-    q["doclens"] = lambda s, d: search.doc_tokens(_docs(s, d), "doc_id", "text").select(
-        F.col("docid").cast("long"), "doclen"
-    ).orderBy("docid")
+    q["doclens"] = lambda s, d: search.doc_tokens(
+        _docs_rng(s, d, "doc_id"), "doc_id", "text"
+    ).select(F.col("docid").cast("long"), "doclen").orderBy("docid")
     q["term_stats_top100"] = lambda s, d: search.term_stats_table(_docs(s, d))
     q["bm25_single"] = lambda s, d: _bm25_spark(s, d, "spark")
     q["bm25_conj"] = lambda s, d: _bm25_spark(s, d, FLAGSHIP_QUERY)
@@ -255,8 +294,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_stemmed"] = lambda s, d: search.bm25_inflight(
         _docs(s, d), STEMMED_QUERY, 10, stem=True
     )
-    q["match_and"] = lambda s, d: search.match_all_terms(_docs(s, d), "spark merge vector")
-    q["match_or"] = lambda s, d: search.match_any_terms(_docs(s, d), "spark vector")
+    q["match_and"] = lambda s, d: search.match_all_terms(
+        _docs_rng(s, d, "doc_id"), "spark merge vector"
+    )
+    q["match_or"] = lambda s, d: search.match_any_terms(
+        _docs_rng(s, d, "doc_id"), "spark vector"
+    )
     # FULL websearch_to_tsquery surface in ONE tagged gate (reference
     # fusion.py:42): '-term' negation, the 'or' keyword (disjunction of
     # conjunctive groups, AND binds tighter), negated quoted phrases
@@ -301,10 +344,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).orderBy("op", "docid")
 
     # --- text analysis (training-data ops) --------------------------------
-    q["fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d), "doc_id", "text").orderBy("docid")
-    q["token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d), "doc_id", "text").orderBy("docid")
-    q["quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d), "doc_id", "text").orderBy("docid")
-    q["langid"] = lambda s, d: textstats.langid_en(_docs(s, d), "doc_id", "text").orderBy("docid")
+    q["fingerprints"] = lambda s, d: textstats.fingerprints(
+        _docs_rng(s, d, "doc_id"), "doc_id", "text"
+    ).orderBy("docid")
+    q["token_counts"] = lambda s, d: textstats.token_counts(
+        _docs_rng(s, d, "doc_id"), "doc_id", "text"
+    ).orderBy("docid")
+    q["quality_scores"] = lambda s, d: textstats.quality_scores(
+        _docs_rng(s, d, "doc_id"), "doc_id", "text"
+    ).orderBy("docid")
+    q["langid"] = lambda s, d: textstats.langid_en(
+        _docs_rng(s, d, "doc_id"), "doc_id", "text"
+    ).orderBy("docid")
     q["corpus_filter"] = lambda s, d: textstats.clean_corpus(_docs(s, d))
     # CCNet-style LM quality signal: per-doc mean token logprob under the
     # corpus unigram LM (add-alpha smoothing) — low = boilerplate/gibberish
@@ -373,64 +424,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_dupes"] = lambda s, d: dedup.exact_duplicates(
         _docs(s, d), "doc_id", "text"
     ).withColumn("dupe_docids", F.array_join("dupe_docids", ","))
-    q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_docs(s, d), "doc_id", "text").orderBy("docid")
+    q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(
+        _docs_rng(s, d, "doc_id"), "doc_id", "text"
+    ).orderBy("docid")
     q["ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), "doc_id", "text", n=3, threshold=0.04, max_docid=150
     )
     q["minhash_lsh_candidates"] = lambda s, d: dedup.minhash_lsh_candidates(_docs(s, d), "doc_id", "text")
-    q["simhash"] = lambda s, d: dedup.simhash64(_docs(s, d), "doc_id", "text").orderBy("docid")
+    q["simhash"] = lambda s, d: dedup.simhash64(
+        _docs_rng(s, d, "doc_id"), "doc_id", "text"
+    ).orderBy("docid")
     q["simhash_candidates"] = lambda s, d: dedup.simhash_candidates(
         _docs(s, d), "doc_id", "text", max_hamming=8
     )
 
     # --- similarity search over embeddings ---------------------------------
     def _query_vec(s, d):
-        row = _embeddings(s, d).filter(F.col("vec_id") == 0).select("embedding").collect()[0]
-        return [float(x) for x in row["embedding"]]
+        # the one-row query vector via a direct pyarrow filtered read —
+        # identical float32 -> float64 values, no Spark job (r7; the old
+        # .collect() cost a full scheduled job before the timed query ran)
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(f"{d}/embeddings.parquet", format="parquet").to_table(
+            filter=pads.field("vec_id") == 0, columns=["embedding"]
+        )
+        return [float(x) for x in t.column("embedding")[0].as_py()]
 
     # ANN surface in ONE tagged gate: exact brute-force baseline, sign-LSH
     # (multi-probe hamming<=2), IVF (nprobe=4, exact cosines inside probed
     # cells), and attribute-FILTERED exact top-k (label=1 only — the
     # metadata-filter + ANN compose every vector store needs; at scale the
-    # filter composes with the IVF cell scan, pruned twice)
-    q["knn_all"] = lambda s, d: _tag_union(
-        [
-            (
-                "bruteforce",
-                similarity.cosine_topk_bruteforce(
-                    _embeddings(s, d).filter(F.col("vec_id") != 0),
-                    _query_vec(s, d),
-                    k=10,
-                ),
-            ),
-            (
-                "lsh",
-                similarity.cosine_ann_lsh(
-                    _embeddings(s, d).filter(F.col("vec_id") != 0),
-                    _query_vec(s, d),
-                    k=10,
-                ),
-            ),
-            (
-                "ivf",
-                similarity.cosine_ann_ivf(
-                    _embeddings(s, d).filter(F.col("vec_id") != 0),
-                    _query_vec(s, d),
-                    k=10,
-                ),
-            ),
-            (
-                "filtered",
-                similarity.cosine_topk_bruteforce(
-                    _embeddings(s, d).filter(
-                        (F.col("vec_id") != 0) & (F.col("label") == 1)
+    # filter composes with the IVF cell scan, pruned twice).
+    # r7: the branches read the table WITHOUT the round-robin spread — a
+    # 64-dim dot per row is far cheaper than the extra exchange+stage per
+    # branch (measured 0.36s -> 0.15s per branch at sf0.1), and on a real
+    # lake the scan arrives already split; the query vector is a direct
+    # pyarrow one-row read instead of a scheduled Spark job.
+    def _knn_all(s, d):
+        qv = _query_vec(s, d)
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        rest = emb.filter(F.col("vec_id") != 0)
+        return _sorted1(
+            _tag_union(
+                [
+                    ("bruteforce", similarity.cosine_topk_bruteforce(rest, qv, k=10)),
+                    ("lsh", similarity.cosine_ann_lsh(rest, qv, k=10)),
+                    ("ivf", similarity.cosine_ann_ivf(rest, qv, k=10)),
+                    (
+                        "filtered",
+                        similarity.cosine_topk_bruteforce(
+                            emb.filter(
+                                (F.col("vec_id") != 0) & (F.col("label") == 1)
+                            ),
+                            qv,
+                            k=10,
+                        ),
                     ),
-                    _query_vec(s, d),
-                    k=10,
-                ),
+                ]
             ),
-        ]
-    ).orderBy("op", "rnk")
+            "op",
+            "rnk",
+        )
+
+    q["knn_all"] = _knn_all
     q["embedding_norms"] = lambda s, d: _embeddings(s, d).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.round(
@@ -479,7 +535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- relational operators over events (SURVEY §2.3-2.5) ----------------
     q["latest_dedup"] = lambda s, d: relational.latest_dedup(
-        _events(s, d).select("user_id", "event_type", "ts", "event_id"),
+        _events_rng(s, d, "user_id", "event_type").select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
         ["user_id", "event_type"],
         "ts",
         tie_col="event_id",
@@ -487,7 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_id", "event_type"
     )
     q["topk_per_group"] = lambda s, d: relational.topk_per_group(
-        _events(s, d).select("user_id", "event_id", "value"),
+        _events_rng(s, d, "user_id").select("user_id", "event_id", "value"),
         "user_id",
         "value",
         k=2,
@@ -640,25 +698,36 @@ def _rrf_fusion(s: SparkSession, d: str) -> DataFrame:
 
 
 def _fusion_confidence(s: SparkSession, d: str) -> DataFrame:
-    """J3+R4: three pseudo-channels from events, full-outer fused, linear
-    confidence (reference fusion.py:101-114 + search.py:157-158)."""
-    ev = _events(s, d)
-    sem = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.round(F.avg("value") / 100.0, 6).alias("sem_score"))
+    """J3+R4: three pseudo-channels from events, fused, linear confidence
+    (reference fusion.py:101-114 + search.py:157-158).
+
+    r7 plan rewrite (guide §2.3/§2.4): the three per-channel groupBys +
+    two full-outer joins scanned and round-robin-shuffled the events table
+    three times (6 exchanges, 3 scans). The fused table — one row per user
+    having >=1 of the three event types, per-channel avg or NULL — is
+    exactly ONE conditional aggregation over the 3-type slice: same rows,
+    same doubles (identical value multiset per (user, channel); avg
+    ignores nulls), now 1 projected+filtered scan and 1 range exchange
+    that also serves the final ORDER BY (no sampling re-execution). The
+    full-outer operator itself (relational.fusion_merge, J3) remains
+    exercised by the guardrail_fallback gate. Equivalence oracle-verified
+    (hash-identical at sf0.001/sf0.01)."""
+
+    def chan(et, name):
+        return F.round(
+            F.avg(F.when(F.col("event_type") == et, F.col("value"))) / 100.0, 6
+        ).alias(name)
+
+    ev = (
+        s.read.parquet(f"{d}/events.parquet")
+        .select("user_id", "event_type", "value")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
     )
-    lex = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.round(F.avg("value") / 100.0, 6).alias("lex_score"))
+    fused = _rng(s, ev, "user_id").groupBy("user_id").agg(
+        chan("view", "sem_score"),
+        chan("click", "lex_score"),
+        chan("purchase", "tri_score"),
     )
-    tri = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.round(F.avg("value") / 100.0, 6).alias("tri_score"))
-    )
-    fused = relational.fusion_merge(sem, lex, tri, "user_id")
     return (
         relational.linear_confidence(fused)
         .select("user_id", "confidence")

@@ -51,6 +51,14 @@ def doc_term_freqs(
     )
 
 
+def _inrow_tf(tokens_col_name: str, term: str):
+    """tf of a literal `term` computed in-row over the token array — no
+    explode, no shuffle. Closure factory (NOT a default-arg capture: a
+    2-param lambda is read as an (element, index) HOF — the engine-wide
+    pitfall, see rerank_topk's NB)."""
+    return F.size(F.filter(tokens_col_name, lambda x: x == F.lit(term)))
+
+
 def bm25_inflight(
     docs: DataFrame,
     query: str,
@@ -66,9 +74,22 @@ def bm25_inflight(
     scores over the query terms it contains, no all-present filter) —
     the candidate generator for the rerank stage.
 
-    Plan shape: tokenize -> tf hash-agg -> term filter (only the ≤12 query
-    terms survive into the join) -> broadcast df/idf -> conjunctive
-    group-filter -> deterministic ordered sum -> TakeOrderedAndProject(k).
+    Plan shape (round-7 rewrite, guide §2.4 "remove shuffles outright"):
+    the query terms are LITERALS, so per-term tf is an in-row
+    size(filter(tokens, = t)) — no explode, no (docid, term) hash
+    aggregate, no exchange. Global stats (n_docs, Σdoclen, per-term df)
+    ride ONE scalar aggregate over the same token arrays, broadcast back
+    via crossJoin; the only remaining exchanges are the top-k merge
+    (TakeOrderedAndProject) and the k-row rank window. The previous
+    explode+groupBy formulation shuffled the full (docid, term) tf table
+    three times (stats subtree, df subtree, probe subtree) for bit-equal
+    results — plan diff in plans/r07/bm25_single_{before,after}.txt.
+
+    Float identity with the old plan and the DuckDB oracle: per-doc
+    contributions are summed in lexicographic term order (uterms is
+    sorted), absent terms contribute literal 0.0 (x + 0.0 == x exactly for
+    the strictly-positive BM25 parts), and df/n_docs/avgdl are the same
+    exact integers and double division.
 
     `stem=True` Porter-stems both the corpus token stream and the query
     (reference T8/T9: Postgres stems tsvector AND tsquery with the same
@@ -87,63 +108,62 @@ def bm25_inflight(
     if not terms:
         return empty
     n_terms = len(terms)
+    # distinct terms in lexicographic order — the summation-order contract
+    # (the old plan's sort_array(collect_list(struct(term, part))))
+    uterms = sorted(set(terms))
 
-    tf = doc_term_freqs(docs, id_col, text_col, stem=stem)
-    # corpus stats WITHOUT a second tokenize pass: total tokens == sum(tf)
-    # over the tf table (zero-token docs contribute 0 either way), and the
-    # doc count is a tokenizer-free scan of the input — so the full
-    # tokenize/regex pipeline runs exactly ONCE in this plan (round-1
-    # verdict, What's wrong #5)
-    stats = (
-        tf.agg(F.sum("tf").alias("_total"))
-        .crossJoin(F.broadcast(docs.agg(F.count("*").alias("n_docs"))))
-        .select(
-            "n_docs",
-            (F.col("_total").cast("double") / F.col("n_docs")).alias("avgdl"),
-        )
+    toks = doc_tokens(docs, id_col, text_col, stem=stem)
+    base = toks.select(
+        "docid",
+        "doclen",
+        *[_inrow_tf("tokens", t).alias(f"_tf{j}") for j, t in enumerate(uterms)],
     )
-    qtf = tf.filter(F.col("term").isin(terms))
-    df_per_term = qtf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        qtf.join(F.broadcast(df_per_term), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log1p(
-                (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
+    # ONE corpus pass for every global stat: doc count, total tokens
+    # (== sum(tf) over the old tf table — zero-token docs contribute 0
+    # either way), and per-term df (docs with tf > 0, the old
+    # groupBy(term).count as the same exact integer)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doclen").alias("_total"),
+        *[
+            F.sum(
+                F.when(F.col(f"_tf{j}") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_df{j}")
+            for j in range(len(uterms))
+        ],
+    ).select(
+        "n_docs",
+        (F.col("_total").cast("double") / F.col("n_docs")).alias("avgdl"),
+        *[F.col(f"_df{j}") for j in range(len(uterms))],
+    )
+    nt = None
+    for j in range(len(uterms)):
+        p = F.when(F.col(f"_tf{j}") > 0, 1).otherwise(0)
+        nt = p if nt is None else nt + p
+    cand = base.filter(nt == n_terms if mode == "and" else nt >= 1)
+    score = None
+    for j in range(len(uterms)):
+        idf = F.log1p(
+            (F.col("n_docs").cast("double") - F.col(f"_df{j}") + F.lit(0.5))
+            / (F.col(f"_df{j}") + F.lit(0.5))
         )
-        .withColumn(
-            "part",
-            F.col("idf")
-            * (
-                F.col("tf").cast("double")
-                * F.lit(K1 + 1.0)
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(K1)
-                    * (
-                        F.lit(1.0 - B)
-                        + F.lit(B)
-                        * F.col("doclen").cast("double")
-                        / F.col("avgdl")
-                    )
+        tfd = F.col(f"_tf{j}").cast("double")
+        part = idf * (
+            tfd
+            * F.lit(K1 + 1.0)
+            / (
+                tfd
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("doclen").cast("double") / F.col("avgdl")
                 )
-            ),
+            )
         )
-        .groupBy("docid")
-        .agg(
-            F.count("*").alias("nt"),
-            F.sort_array(F.collect_list(F.struct("term", "part"))).alias("parts"),
-        )
-        .filter(F.col("nt") == n_terms if mode == "and" else F.col("nt") >= 1)
-        .select(
-            "docid",
-            F.aggregate("parts", F.lit(0.0), lambda a, x: a + x["part"]).alias(
-                "score"
-            ),
-        )
+        contrib = F.when(F.col(f"_tf{j}") > 0, part).otherwise(F.lit(0.0))
+        score = contrib if score is None else score + contrib
+    scored = cand.crossJoin(F.broadcast(stats)).select(
+        "docid", score.alias("score")
     )
     topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("docid"))
@@ -163,12 +183,20 @@ def match_all_terms(
     terms = analyze_query(query)
     if not terms:
         return spark.createDataFrame([], "docid long")
-    tf = doc_term_freqs(docs, id_col, text_col)
+    # literal terms -> in-row conjunction of array_contains: no explode, no
+    # (docid, term) aggregate, no exchange (r7; the old group-filter
+    # formulation shuffled the query-term tf rows for the same result set).
+    # Duplicate query terms keep the old impossible-match semantics: nt
+    # counted DISTINCT matched terms, so nt == len(terms) was unsatisfiable.
+    cond = None
+    for t in dict.fromkeys(terms):
+        c = F.array_contains("tokens", t)
+        cond = c if cond is None else cond & c
+    if len(set(terms)) != len(terms):
+        cond = F.lit(False)
     return (
-        tf.filter(F.col("term").isin(terms))
-        .groupBy("docid")
-        .agg(F.count("*").alias("nt"))
-        .filter(F.col("nt") == len(terms))
+        doc_tokens(docs, id_col, text_col)
+        .filter(cond)
         .select(F.col("docid").cast("long"))
         .orderBy("docid")
     )
@@ -189,21 +217,25 @@ def match_websearch(
     pos, neg = parse_websearch(query)
     if not pos or set(pos) & set(neg):
         return spark.createDataFrame([], "docid long")
-    tf = doc_term_freqs(docs, id_col, text_col)
-    matched = (
-        tf.filter(F.col("term").isin(pos))
-        .groupBy("docid")
-        .agg(F.count("*").alias("nt"))
-        .filter(F.col("nt") == len(pos))
-        .select("docid")
+    # in-row conjunction + negation (r7): all positive terms present, no
+    # negated term present — one pass over the token array per doc, no
+    # explode/aggregate/anti-join exchanges. Same result set as the old
+    # tf group-filter + left-anti formulation (duplicate positives kept
+    # impossible via the distinct-count contract, as in match_all_terms).
+    cond = None
+    for t in dict.fromkeys(pos):
+        c = F.array_contains("tokens", t)
+        cond = c if cond is None else cond & c
+    if len(set(pos)) != len(pos):
+        cond = F.lit(False)
+    for t in dict.fromkeys(neg):
+        cond = cond & ~F.array_contains("tokens", t)
+    return (
+        doc_tokens(docs, id_col, text_col)
+        .filter(cond)
+        .select(F.col("docid").cast("long"))
+        .orderBy("docid")
     )
-    if neg:
-        matched = matched.join(
-            tf.filter(F.col("term").isin(neg)).select("docid").distinct(),
-            "docid",
-            "left_anti",
-        )
-    return matched.select(F.col("docid").cast("long")).orderBy("docid")
 
 
 def match_any_terms(
@@ -215,11 +247,17 @@ def match_any_terms(
     terms = analyze_query(query)
     if not terms:
         return spark.createDataFrame([], "docid long, n_matched long")
-    tf = doc_term_freqs(docs, id_col, text_col)
+    # in-row distinct-presence count (r7): n_matched = how many DISTINCT
+    # query terms the doc contains — identical to the old tf group-count
+    # (rows were per distinct (docid, term)), without the explode/shuffle.
+    nm = None
+    for t in dict.fromkeys(terms):
+        p = F.when(F.array_contains("tokens", t), 1).otherwise(0)
+        nm = p if nm is None else nm + p
     return (
-        tf.filter(F.col("term").isin(terms))
-        .groupBy("docid")
-        .agg(F.count("*").alias("n_matched"))
+        doc_tokens(docs, id_col, text_col)
+        .withColumn("n_matched", nm.cast("long"))
+        .filter(F.col("n_matched") > 0)
         .select(F.col("docid").cast("long"), "n_matched")
         .orderBy("docid")
     )
