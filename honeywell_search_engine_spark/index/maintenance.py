@@ -233,6 +233,7 @@ def compact(spark: SparkSession, index_dir: str, _fail_at: str | None = None) ->
         "status": "staged",
         "n_docs": new_n,
         "avgdl": new_avgdl,
+        "sum_doclen": int(row["s"] or 0),
         "n_removed": n_removed,
         "tombstone_files": ts_files,
     }
@@ -255,6 +256,10 @@ def _finish_compact(
         if i == 0 and _fail_at == "mid_swap":
             raise RuntimeError("injected failure at mid_swap")
     meta.update({"n_docs": st["n_docs"], "avgdl": st["avgdl"]})
+    if "sum_doclen" in st:
+        meta["sum_doclen"] = st["sum_doclen"]
+    else:  # journal from a pre-r7 version: drop rather than keep stale
+        meta.pop("sum_doclen", None)
     # the postings rewrite above re-sorted every bucket into single
     # contiguous files, so promotion's multi-file markers are all cleared
     meta.pop("occ_multifile_buckets", None)
@@ -530,6 +535,7 @@ def merge_deltas(
                 "docs_added": n_added,
                 "n_docs": new_n,
                 "avgdl": new_avgdl,
+                "sum_doclen": int(srow["s"] or 0),
             }
         )
         _write_merge_state(index_dir, state)
@@ -558,6 +564,10 @@ def merge_deltas(
         if os.path.isdir(docmap_staged):
             _swap_bucket_dir(f"{index_dir}/docmap", docmap_staged)
         meta.update({"n_docs": inflight["n_docs"], "avgdl": inflight["avgdl"]})
+        if "sum_doclen" in inflight:
+            meta["sum_doclen"] = inflight["sum_doclen"]
+        else:
+            meta.pop("sum_doclen", None)
         if "occ_multifile_buckets" in meta:
             # STAGE re-sorted the affected buckets into contiguous files,
             # clearing any promotion-appended multi-file markers on them

@@ -660,6 +660,7 @@ def promote_generation(
                 "docs_added": n_delta,
                 "n_docs": n_new,
                 "avgdl": avgdl_new,
+                "sum_doclen": sum_dl,
                 "occ_files": occ_files,
                 "dm_files": dm_files,
             }
@@ -668,7 +669,22 @@ def promote_generation(
     _boom("staged")
 
     # ---- COMMIT -----------------------------------------------------------
-    if inflight["status"] == "staged":
+    if inflight["status"] in ("staged", "committing"):
+        if inflight["status"] == "staged":
+            # Point of no return: the base mutates from here on (manifest
+            # removal, bucket swaps, docmap/occ renames, stats.json), and
+            # any of those changes the base epoch. Journal 'committing'
+            # FIRST so a crash inside the window resumes the commit below —
+            # the epoch-mismatch restage above applies only to a PRE-commit
+            # 'staged' record. Without this, a crash between the first
+            # rename and the 'swapped' journal line left status='staged'
+            # with a changed epoch: the restage rmtree'd the staged dirs
+            # (destroying un-renamed docmap files) and the overlap
+            # validation then refused the promotion's own half-commit,
+            # permanently wedging it (round-6 advice, high).
+            inflight["status"] = "committing"
+            _write_promote_state(index_dir, state)
+        _boom("committing")
         affected = inflight["affected"]
         # invalidate BEFORE mutating (readers refuse a half-promoted index)
         for b in affected:
@@ -701,10 +717,16 @@ def promote_generation(
             src = os.path.join(staged_dm, fn)
             if not os.path.exists(dst):
                 os.rename(src, dst)
+        # the r6-advice window: docmap renamed, stats/state not yet written
+        _boom("committed_files")
         shutil.rmtree(staged_seg, ignore_errors=True)
         shutil.rmtree(staged_occ, ignore_errors=True)
         shutil.rmtree(staged_dm, ignore_errors=True)
         meta.update({"n_docs": inflight["n_docs"], "avgdl": inflight["avgdl"]})
+        if "sum_doclen" in inflight:
+            meta["sum_doclen"] = inflight["sum_doclen"]
+        else:
+            meta.pop("sum_doclen", None)
         meta["occ_multifile_buckets"] = sorted(
             set(meta.get("occ_multifile_buckets", [])) | set(affected)
         )

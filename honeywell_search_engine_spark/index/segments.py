@@ -600,6 +600,11 @@ def build_segments(
                 {
                     "n_docs": cs.n_docs,
                     "avgdl": cs.avgdl,
+                    # exact integer Σdoclen: lets GenerationSet derive the
+                    # logical stats of a generation union without reading
+                    # any docmap column (r7; maintained by merge/compact/
+                    # promote in lockstep with n_docs/avgdl)
+                    "sum_doclen": int(stats_row["sum_dl"] or 0),
                     "n_buckets": n_buckets,
                     "n_shards": n_shards,
                     "stemmed": stemmed,

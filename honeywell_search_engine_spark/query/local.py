@@ -66,7 +66,13 @@ def _succ_prefix(prefix: str) -> str | None:
     for i in range(len(prefix) - 1, -1, -1):
         cp = ord(prefix[i])
         if cp < 0x10FFFF:
-            return prefix[:i] + chr(cp + 1)
+            # skip the surrogate block: chr(0xD800..0xDFFF) is a lone
+            # surrogate that cannot be UTF-8 encoded when pyarrow builds
+            # the `term < ub` filter (a prefix ending in U+D7FF would
+            # otherwise raise instead of suggesting) — the next valid
+            # scalar after U+D7FF is U+E000 (r6 advice, low)
+            nxt = 0xE000 if 0xD800 <= cp + 1 <= 0xDFFF else cp + 1
+            return prefix[:i] + chr(nxt)
     return None
 
 
@@ -689,7 +695,11 @@ class ServingIndex:
     # ---- full response rows (reference API row, Spark-free) --------------
 
     def attach_docs(
-        self, docs_path: str, id_col: str = "docid", text_col: str = "text"
+        self,
+        docs_path: str,
+        id_col: str = "docid",
+        text_col: str = "text",
+        doc_cache_entries: int = 4096,
     ) -> None:
         """Attach the forward text store (a docs parquet with
         (id_col, text_col)) — search_response fetches the k hit
@@ -705,32 +715,47 @@ class ServingIndex:
         self._docs_id_col = id_col
         self._docs_text_col = text_col
         self._docs_ds = ds.dataset(docs_path, format="parquet")
-        self._doc_lru: OrderedDict[int, str] = OrderedDict()
-        self._doc_cap = 4096
+        self._doc_lru: OrderedDict[int, str | None] = OrderedDict()
+        self._doc_cap = int(doc_cache_entries)
 
-    def _fetch_texts(self, docids: list[int]) -> dict[int, str]:
+    def _fetch_texts(
+        self, docids: list[int], found_only: bool = False
+    ) -> dict[int, str]:
         """docid -> text through the document LRU; only cache misses hit
-        the parquet store, in ONE pushed id-filter read."""
+        the parquet store, in ONE pushed id-filter read. The LRU caches
+        absence as None (negative lookups are as hot as hits under Zipf
+        traffic); by default an absent id resolves to "" (the Spark
+        path's left-join null→default), while `found_only=True` omits it
+        — the distinction GenerationSet needs for newest-wins over
+        per-generation stores where an EMPTY newest text must still win
+        (r6 advice, low)."""
         from honeywell_search_engine_spark.query import respond
 
         out: dict[int, str] = {}
         missing = []
+        _ABSENT = self._doc_lru  # unique sentinel, never a cached value
         for d in docids:
-            t = self._doc_lru.get(d)
-            if t is None:
+            t = self._doc_lru.get(d, _ABSENT)
+            if t is _ABSENT:
                 missing.append(d)
             else:
                 self._doc_lru.move_to_end(d)
-                out[d] = t
+                if t is not None:
+                    out[d] = t
+                elif not found_only:
+                    out[d] = ""
         if missing:
             fetched = respond.fetch_texts(
                 self._docs_path, missing, self._docs_id_col,
                 self._docs_text_col, dataset=self._docs_ds,
             )
             for d in missing:
-                t = fetched.get(d, "")
-                out[d] = t
+                t = fetched.get(d)  # None ⇔ id absent from the store
                 self._doc_lru[d] = t
+                if t is not None:
+                    out[d] = t
+                elif not found_only:
+                    out[d] = ""
             while len(self._doc_lru) > self._doc_cap:
                 self._doc_lru.popitem(last=False)
         return out
@@ -869,14 +894,18 @@ class ShardRouter:
         return self.nodes[0].did_you_mean(query, spell_dir, max_edit)
 
     def attach_docs(
-        self, docs_path: str, id_col: str = "docid", text_col: str = "text"
+        self,
+        docs_path: str,
+        id_col: str = "docid",
+        text_col: str = "text",
+        doc_cache_entries: int = 4096,
     ) -> None:
         """Attach the forward text store to every node (the docs table is
         lake-global; each node could equally fetch only its own shards'
         docs — the router composes from the merged hit set, so it fetches
         via one node)."""
         for n in self.nodes:
-            n.attach_docs(docs_path, id_col, text_col)
+            n.attach_docs(docs_path, id_col, text_col, doc_cache_entries)
 
     def search_response(
         self,

@@ -282,11 +282,23 @@ def test_should_promote_policy(promote_fixture):
 
 
 @pytest.mark.parametrize(
-    "point", ["staged", "invalidated", "mid_swap", "swapped"]
+    "point",
+    [
+        "staged",
+        "committing",
+        "invalidated",
+        "mid_swap",
+        "committed_files",
+        "swapped",
+    ],
 )
 def test_promote_killpoints_converge(promote_fixture, spark, tmp_path, point):
     """A crash at any journal point, then a plain re-run, converges to the
-    same index as an uninterrupted promotion."""
+    same index as an uninterrupted promotion. 'committing' and
+    'committed_files' pin the round-6 advice window: the base has begun
+    mutating (manifests/renames/stats), the journal does not yet say
+    'swapped' — the resume must CONTINUE the commit, never apply the
+    epoch-mismatch restage to its own half-commit."""
     _, base_idx, delta_idx, scratch_idx, _, _ = promote_fixture
     target = str(tmp_path / f"idx_{point}")
     shutil.copytree(base_idx, target)
