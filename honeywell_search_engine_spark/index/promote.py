@@ -253,20 +253,29 @@ def splice_encoded(
 # --------------------------------------------------------------------------
 
 
-def _row_splice(brow: dict | None, drow: dict, off: int, bucket: int) -> dict:
+def _row_splice_chain(
+    brow: dict | None, chain: list[tuple[dict, int]], bucket: int
+) -> dict:
+    """Chain-splice a base segment row with one row per generation
+    (oldest → newest, each with its per-shard lid offset already
+    resolved). Function composition of splice_encoded — byte-identical
+    to promoting the generations sequentially (each later splice sees
+    exactly the encoded list the previous one produced)."""
     from honeywell_search_engine_spark.query.wand import _enc_from_row
 
-    out = splice_encoded(
-        _enc_from_row(brow) if brow is not None else None,
-        _enc_from_row(drow),
-        off,
-    )
-    src = brow if brow is not None else drow
+    out = _enc_from_row(brow) if brow is not None else None
+    ctf = int(brow["ctf"]) if brow is not None else 0
+    src = brow
+    for drow, off in chain:
+        out = splice_encoded(out, _enc_from_row(drow), off)
+        ctf += int(drow["ctf"])
+        if src is None:
+            src = drow
     return {
         "term": src["term"],
         "shard": int(src["shard"]),
         "n": out.n,
-        "ctf": int((brow["ctf"] if brow is not None else 0) + drow["ctf"]),
+        "ctf": ctf,
         "bmax_docid": out.bmax_docid.tolist(),
         "bmax_u": out.bmax_u.tolist(),
         "d_off": out.d_off.tolist(),
@@ -282,18 +291,26 @@ def _row_splice(brow: dict | None, drow: dict, off: int, bucket: int) -> dict:
     }
 
 
-def _make_bucket_splicer(index_dir: str, delta_dir: str, offs: dict[int, int]):
+def _make_bucket_splicer(
+    index_dir: str, deltas: list[tuple[str, dict[int, int]]]
+):
     """mapInArrow kernel: one task per bucket id, direct pyarrow reads of
-    both indexes' bucket files (the same executor-local read doctrine as
+    the indexes' bucket files (the same executor-local read doctrine as
     ServingIndex — on a cluster these paths are shared storage). Emits the
     spliced bucket's full segment rows; Spark's committer makes the staged
     write atomic. Bucket = task granularity; a hot bucket can be split by
     shard with the same kernel if it ever dominates.
 
+    `deltas` is a list of (generation dir, per-shard lid offsets) ordered
+    oldest → newest — K generations fold in ONE base pass (r7, round-6
+    verdict #6): each (term, shard) list chain-splices through every
+    generation holding it, byte-identical to K sequential promotions
+    (the offsets are the exact lids each sequential step would assign).
+
     Memory shape: the BASE side streams batch-by-batch (a bucket's segment
     payload can be GBs at 10^12 docs and must never materialize whole);
-    only the DELTA side — delta-sized by definition — is held keyed in
-    memory, and its matched entries are popped as the base stream passes
+    only the DELTA sides — delta-sized by definition — are held keyed in
+    memory, and their matched entries are popped as the base stream passes
     them."""
 
     def splice_bucket(batches):
@@ -323,13 +340,26 @@ def _make_bucket_splicer(index_dir: str, delta_dir: str, offs: dict[int, int]):
         for batch in batches:
             for b in batch.column("bucket").to_pylist():
                 base_p = f"{index_dir}/segments/bucket={b}"
-                delta_p = f"{delta_dir}/segments/bucket={b}"
-                dmap = {
-                    (r["term"], r["shard"]): r
-                    for r in ds.dataset(delta_p, format="parquet")
-                    .to_table()
-                    .to_pylist()
-                }
+                gen_maps: list[tuple[dict, dict]] = []
+                for delta_dir, offs in deltas:
+                    delta_p = f"{delta_dir}/segments/bucket={b}"
+                    if not os.path.isdir(delta_p):
+                        continue  # this generation has no rows here
+                    dmap = {
+                        (r["term"], r["shard"]): r
+                        for r in ds.dataset(delta_p, format="parquet")
+                        .to_table()
+                        .to_pylist()
+                    }
+                    gen_maps.append((dmap, offs))
+
+                def _chain_for(key):
+                    return [
+                        (m.pop(key), offs[int(key[1])])
+                        for m, offs in gen_maps
+                        if key in m
+                    ]
+
                 if os.path.isdir(base_p):
                     scanner = ds.dataset(base_p, format="parquet").scanner(
                         batch_size=1024
@@ -341,29 +371,35 @@ def _make_bucket_splicer(index_dir: str, delta_dir: str, offs: dict[int, int]):
                                 base_batch.column("shard").to_pylist(),
                             )
                         )
-                        hit = [i for i, k in enumerate(keys) if k in dmap]
+                        hit = [
+                            i
+                            for i, k in enumerate(keys)
+                            if any(k in m for m, _ in gen_maps)
+                        ]
                         if not hit:
                             yield _with_bucket(base_batch, b)
                             continue
-                        miss = [i for i in range(len(keys)) if keys[i] not in dmap]
+                        hitset = set(hit)
+                        miss = [i for i in range(len(keys)) if i not in hitset]
                         if miss:
                             yield _with_bucket(base_batch.take(pa.array(miss)), b)
                         spliced = []
                         for i in hit:
-                            dr = dmap.pop(keys[i])
                             r = base_batch.slice(i, 1).to_pylist()[0]
                             spliced.append(
-                                _row_splice(r, dr, offs[int(r["shard"])], b)
+                                _row_splice_chain(r, _chain_for(keys[i]), b)
                             )
                         yield pa.RecordBatch.from_pylist(
                             spliced, schema=PA_SEGMENT_SCHEMA
                         )
-                rest = sorted(dmap.items())  # delta-only terms
+                # generation-only terms (absent from the base), oldest
+                # generation's row leads each chain
+                rest = sorted({k for m, _ in gen_maps for k in m})
                 for i in range(0, len(rest), 1024):
                     yield pa.RecordBatch.from_pylist(
                         [
-                            _row_splice(None, dr, offs[int(s)], b)
-                            for (_t, s), dr in rest[i : i + 1024]
+                            _row_splice_chain(None, _chain_for(k), b)
+                            for k in rest[i : i + 1024]
                         ],
                         schema=PA_SEGMENT_SCHEMA,
                     )
@@ -418,6 +454,33 @@ def _offsets_map_expr(offs: dict[int, int]):
     )
 
 
+#: above this shard count the per-shard lid offsets ride a broadcast join
+#: instead of a literal CASE/map expression — a 4k+-entry Catalyst literal
+#: map bloats the plan (analysis cost is per-query, the expression tree is
+#: O(n_shards)) while a broadcast hash join stays O(1) in plan size
+#: (round-6 verdict residual #5). Overridable for tests.
+OFFSETS_MAP_MAX = 4096
+
+
+def _apply_lid_offsets(spark, df, offs: dict[int, int], col: str):
+    """df[col] += offs[shard], preserving column order. Literal-map
+    expression for small shard counts; broadcast join above
+    OFFSETS_MAP_MAX."""
+    if len(offs) <= OFFSETS_MAP_MAX:
+        m = _offsets_map_expr(offs)
+        return df.withColumn(col, (F.col(col) + m[F.col("shard")]).cast("long"))
+    cols = df.columns
+    odf = spark.createDataFrame(
+        sorted((int(s), int(v)) for s, v in offs.items()),
+        "shard int, _off long",
+    )
+    return (
+        df.join(F.broadcast(odf), "shard")
+        .withColumn(col, (F.col(col) + F.col("_off")).cast("long"))
+        .select(*cols)
+    )
+
+
 def should_promote(
     base_dir: str,
     generation_dirs: list[str],
@@ -450,24 +513,36 @@ def should_promote(
 def promote_generation(
     spark: SparkSession,
     index_dir: str,
-    delta_index_dir: str,
+    delta_index_dir: str | list[str],
     _fail_at: str | None = None,
 ) -> dict:
-    """Fold the generation index at `delta_index_dir` into `index_dir` via
-    the segment splice (module docstring). Requirements: same n_shards /
-    n_buckets / stemmed flag, delta finalized and tombstone-free, and the
-    delta's docids DISJOINT from the base's (append-only ingest; re-crawls
-    go through merge_deltas' upsert or GenerationSet shadowing instead).
+    """Fold the generation index(es) at `delta_index_dir` — one path or a
+    list ordered OLDEST → NEWEST — into `index_dir` via the segment splice
+    (module docstring). Requirements: same n_shards / n_buckets / stemmed
+    flag, every generation finalized and tombstone-free, and the
+    generations' docids DISJOINT from the base's and from each other
+    (append-only ingest; re-crawls go through merge_deltas' upsert or
+    GenerationSet shadowing instead).
 
-    Idempotent per delta (fingerprint registry) and crash-safe under the
-    same journal discipline as merge_deltas: STAGE writes everything next
-    to the live index without touching it; COMMIT invalidates manifests
-    first (readers refuse rather than trust stale metadata), then swaps
-    segment bucket dirs and hard-appends the journaled occurrence/docmap
-    files under deterministic names; FINALIZE recomputes bucket checksums
-    and term_stats. Re-running after a crash at any point converges
-    (tests/test_promote.py kill-point tests). `_fail_at` is the test-only
-    injection hook ("staged" | "invalidated" | "mid_swap" | "swapped")."""
+    A LIST folds K generations in ONE base pass (r7, round-6 verdict #6):
+    per (term, shard) list the chain of generation rows splices
+    sequentially with the exact lid offsets K separate promotions would
+    assign, so the result is bit-identical to the sequential chain
+    (pinned in test_one_pass_multi_generation_promote) at 1/K of the
+    fixed per-promotion Spark jobs and ONE read+rewrite of each affected
+    base bucket instead of K.
+
+    Idempotent per generation (fingerprint registry — already-promoted
+    generations in the list are skipped) and crash-safe under the same
+    journal discipline as merge_deltas: STAGE writes everything next
+    to the live index without touching it; COMMIT journals 'committing',
+    invalidates manifests (readers refuse rather than trust stale
+    metadata), then swaps segment bucket dirs and hard-appends the
+    journaled occurrence/docmap files under deterministic names; FINALIZE
+    recomputes bucket checksums and term_stats. Re-running after a crash
+    at any point converges (tests/test_promote.py kill-point tests).
+    `_fail_at` is the test-only injection hook ("staged" | "committing" |
+    "invalidated" | "mid_swap" | "committed_files" | "swapped")."""
     from honeywell_search_engine_spark.index.maintenance import (
         _repair_dir_swaps,
         _swap_bucket_dir,
@@ -486,25 +561,34 @@ def promote_generation(
         if _fail_at == point:
             raise RuntimeError(f"injected failure at {point}")
 
+    delta_dirs = (
+        [delta_index_dir]
+        if isinstance(delta_index_dir, str)
+        else [str(p) for p in delta_index_dir]
+    )
+    if not delta_dirs:
+        raise ValueError("promote_generation needs at least one generation")
+
     _repair_dir_swaps(index_dir)
     with open(f"{index_dir}/stats.json") as f:
         meta = json.load(f)
-    with open(f"{delta_index_dir}/stats.json") as f:
-        dmeta = json.load(f)
-    for k in ("n_shards", "n_buckets", "stemmed"):
-        if meta.get(k) != dmeta.get(k):
+    for d in delta_dirs:
+        with open(f"{d}/stats.json") as f:
+            dmeta = json.load(f)
+        for k in ("n_shards", "n_buckets", "stemmed"):
+            if meta.get(k) != dmeta.get(k):
+                raise ValueError(
+                    f"generation layout mismatch on {k}: "
+                    f"base={meta.get(k)} delta={dmeta.get(k)}"
+                )
+        fin = _read_manifest(d, "finalize.json")
+        if not fin or fin.get("status") != "complete":
+            raise ValueError(f"generation at {d} is not finalized")
+        if load_tombstones(d):
             raise ValueError(
-                f"generation layout mismatch on {k}: "
-                f"base={meta.get(k)} delta={dmeta.get(k)}"
+                f"generation at {d} carries tombstones — "
+                "compact it before promoting"
             )
-    fin = _read_manifest(delta_index_dir, "finalize.json")
-    if not fin or fin.get("status") != "complete":
-        raise ValueError(f"generation at {delta_index_dir} is not finalized")
-    if load_tombstones(delta_index_dir):
-        raise ValueError(
-            f"generation at {delta_index_dir} carries tombstones — "
-            "compact it before promoting"
-        )
     # maintenance ops on one index are externally serialized; still refuse
     # the detectable races — an unfinished merge or a staged compaction
     # owns the same segment/postings dirs this promotion would swap
@@ -521,20 +605,25 @@ def promote_generation(
             "(re-run compact) before promoting"
         )
 
-    fp = input_fingerprint(spark, f"{delta_index_dir}/segments")
+    fps = {d: input_fingerprint(spark, f"{d}/segments") for d in delta_dirs}
     state = _read_promote_state(index_dir)
     inflight = state.get("inflight")
-    if inflight and inflight.get("fp") != fp:
-        raise ValueError(
-            f"promotion of {inflight.get('delta_index_dir')} is in flight; "
-            "re-run it first"
-        )
-    if not inflight and fp in state["promoted"]:
+    # idempotency per generation: already-promoted members are skipped
+    # (unconditional, so a resume with the same argument reconstructs the
+    # same filtered list and matches the inflight fingerprint)
+    delta_dirs = [d for d in delta_dirs if fps[d] not in state["promoted"]]
+    if not delta_dirs:
         return {
             "docs_added": 0,
             "affected_buckets": 0,
             "n_docs": meta["n_docs"],
         }
+    fp = "+".join(fps[d] for d in delta_dirs)
+    if inflight and inflight.get("fp") != fp:
+        raise ValueError(
+            f"promotion of {inflight.get('delta_index_dir')} is in flight; "
+            "re-run it first"
+        )
 
     staged_seg = f"{index_dir}/segments_promoted"
     staged_occ = f"{index_dir}/promote_staged_occ"
@@ -559,10 +648,14 @@ def promote_generation(
         # docids) must not leave an un-completable inflight record that
         # wedges every later promotion behind it
         base_dm = spark.read.parquet(f"{index_dir}/docmap")
-        delta_dm = spark.read.parquet(f"{delta_index_dir}/docmap")
+        gen_dms = [spark.read.parquet(f"{d}/docmap") for d in delta_dirs]
+        deltas_ids = None
+        for dm in gen_dms:
+            t = dm.select("docid")
+            deltas_ids = t if deltas_ids is None else deltas_ids.unionByName(t)
         ov = (
             base_dm.select("docid")
-            .join(delta_dm.select("docid"), "docid")
+            .join(deltas_ids, "docid")
             .limit(1)
             .collect()
         )
@@ -575,43 +668,105 @@ def promote_generation(
                 " — promotion is append-only; use merge_deltas (upsert) or"
                 " GenerationSet (shadowed serving)"
             )
+        if len(delta_dirs) > 1:
+            dup = (
+                deltas_ids.groupBy("docid")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                if inflight is not None:
+                    state["inflight"] = None
+                    _write_promote_state(index_dir, state)
+                raise ValueError(
+                    f"docid {int(dup[0]['docid'])} exists in more than one "
+                    "generation — re-ingests go through merge_deltas "
+                    "(upsert) or GenerationSet (shadowed serving)"
+                )
         state["inflight"] = inflight = {
             "status": "staging",
             "fp": fp,
-            "delta_index_dir": delta_index_dir,
+            "delta_index_dir": (
+                delta_dirs[0] if len(delta_dirs) == 1 else delta_dirs
+            ),
             "base_epoch": _base_epoch(spark, index_dir),
         }
         _write_promote_state(index_dir, state)
 
-        # exact logical stats and per-shard lid offsets — all as Spark
-        # aggregates over the two docmaps: the driver sees only n_shards
-        # offset rows and two 1-row sums, never a docmap materialization
-        # (at 10^12 docs the docmap itself is TB-scale)
-        offs: dict[int, int] = {s: 0 for s in range(int(meta["n_shards"]))}
-        for r in base_dm.groupBy("shard").agg(F.max("local_id").alias("mx")).collect():
-            offs[int(r["shard"])] = int(r["mx"]) + 1
-        brow = base_dm.agg(F.sum("doclen").alias("s")).collect()[0]
-        drow = delta_dm.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")
-        ).collect()[0]
-        n_delta = int(drow["n"])
+        # exact logical stats and per-shard lid offsets — ONE fused Spark
+        # job over the union of all K+1 docmaps (r7; was 3 jobs per
+        # generation: base max-lid, base Σdoclen, delta count+Σdoclen —
+        # each a fixed scheduling cost). The driver sees only
+        # (K+1)×n_shards aggregate rows, never a docmap materialization
+        # (at 10^12 docs the docmap itself is TB-scale).
+        udm = base_dm.select(
+            F.lit(0).alias("_src"), "shard", "local_id", "doclen"
+        )
+        for i, dm in enumerate(gen_dms):
+            udm = udm.unionByName(
+                dm.select(
+                    F.lit(i + 1).alias("_src"), "shard", "local_id", "doclen"
+                )
+            )
+        agg_rows = (
+            udm.groupBy("_src", "shard")
+            .agg(
+                F.max("local_id").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doclen").alias("s"),
+            )
+            .collect()
+        )
+        base_off: dict[int, int] = {
+            s: 0 for s in range(int(meta["n_shards"]))
+        }
+        gen_mx: list[dict[int, int]] = [{} for _ in delta_dirs]
+        n_per_gen = [0] * len(delta_dirs)
+        base_sum = delta_sum = 0
+        for r in agg_rows:
+            src = int(r["_src"])
+            if src == 0:
+                base_off[int(r["shard"])] = int(r["mx"]) + 1
+                base_sum += int(r["s"] or 0)
+            else:
+                gen_mx[src - 1][int(r["shard"])] = int(r["mx"])
+                n_per_gen[src - 1] += int(r["n"])
+                delta_sum += int(r["s"] or 0)
+        # offsets per generation = exactly the next-free lid a SEQUENTIAL
+        # promotion chain would hand it (base, then each older generation's
+        # appended range)
+        offs_list: list[dict[int, int]] = []
+        run = dict(base_off)
+        for i in range(len(delta_dirs)):
+            offs_list.append(dict(run))
+            for shard, m in gen_mx[i].items():
+                run[shard] = run[shard] + m + 1
+        n_delta = sum(n_per_gen)
         n_new = int(meta["n_docs"]) + n_delta
-        sum_dl = int(brow["s"] or 0) + int(drow["s"] or 0)
+        sum_dl = base_sum + delta_sum
         avgdl_new = sum_dl / n_new if n_new else 0.0
         affected = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(f"{delta_index_dir}/segments")
-            if d.startswith("bucket=")
+            {
+                int(e.split("=", 1)[1])
+                for d in delta_dirs
+                for e in os.listdir(f"{d}/segments")
+                if e.startswith("bucket=")
+            }
         )
 
-        # spliced segments: one Spark task per affected bucket
+        # spliced segments: one Spark task per affected bucket, ALL
+        # generations folded in this single base pass
         shutil.rmtree(staged_seg, ignore_errors=True)
         bdf = spark.createDataFrame(
             [(int(b),) for b in affected], "bucket int"
         ).repartition(len(affected), "bucket")
         (
             bdf.mapInArrow(
-                _make_bucket_splicer(index_dir, delta_index_dir, offs),
+                _make_bucket_splicer(
+                    index_dir, list(zip(delta_dirs, offs_list))
+                ),
                 schema=SEGMENT_SCHEMA,
             )
             .write.mode("overwrite")
@@ -620,27 +775,23 @@ def promote_generation(
         )
 
         # delta-side occurrence rows and docmap rows, rewritten into the
-        # base lid space (O(delta)); base files are never read or copied
-        m_expr = _offsets_map_expr(offs)
-        (
-            spark.read.parquet(f"{delta_index_dir}/postings")
-            .withColumn(
-                "lid", (F.col("lid") + m_expr[F.col("shard")]).cast("long")
+        # base lid space (O(Σdelta)); base files are never read or copied
+        occ_u = dm_u = None
+        for d, offs_i in zip(delta_dirs, offs_list):
+            o = _apply_lid_offsets(
+                spark, spark.read.parquet(f"{d}/postings"), offs_i, "lid"
             )
-            .write.mode("overwrite")
+            m = _apply_lid_offsets(
+                spark, spark.read.parquet(f"{d}/docmap"), offs_i, "local_id"
+            )
+            occ_u = o if occ_u is None else occ_u.unionByName(o)
+            dm_u = m if dm_u is None else dm_u.unionByName(m)
+        (
+            occ_u.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(staged_occ)
         )
-        (
-            spark.read.parquet(f"{delta_index_dir}/docmap")
-            .withColumn(
-                "local_id",
-                (F.col("local_id") + m_expr[F.col("shard")]).cast("long"),
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(staged_dm)
-        )
+        dm_u.coalesce(1).write.mode("overwrite").parquet(staged_dm)
         occ_files = {
             str(b): sorted(
                 fn
@@ -658,6 +809,7 @@ def promote_generation(
                 "status": "staged",
                 "affected": affected,
                 "docs_added": n_delta,
+                "docs_per_gen": n_per_gen,
                 "n_docs": n_new,
                 "avgdl": avgdl_new,
                 "sum_doclen": sum_dl,
@@ -755,10 +907,12 @@ def promote_generation(
     # term_stats/idf from segment metadata under the new n_docs — df(t)
     # sums exactly across disjoint generations
     encode_pending_buckets(spark, index_dir, fp)
-    state["promoted"][fp] = {
-        "delta_index_dir": delta_index_dir,
-        "docs_added": inflight["docs_added"],
-    }
+    per_gen = inflight.get("docs_per_gen") or [inflight["docs_added"]]
+    for d, n in zip(delta_dirs, per_gen):
+        state["promoted"][fps[d]] = {
+            "delta_index_dir": d,
+            "docs_added": int(n),
+        }
     result = {
         "docs_added": inflight["docs_added"],
         "affected_buckets": len(affected),

@@ -234,14 +234,19 @@ def rerank_hits_py(
         early = (
             1.0 / (1.0 + min(pos[t][0] for t in present)) if present else 0.0
         )
-        gaps = [
-            abs(x - y)
-            for a in range(len(qterms))
-            for b in range(a + 1, len(qterms))
-            for x in pos[qterms[a]]
-            for y in pos[qterms[b]]
-        ]
-        prox = 1.0 / (1.0 + min(gaps)) if gaps else 0.0
+        # min cross-term position gap via ONE merged sorted scan — linear
+        # in Σ positions, value-identical to the old all-pairs min
+        # (adjacent-cross-pair argument; mirror of the Spark expression,
+        # see operators/serving.rerank_topk r7 note). Duplicate query
+        # terms get distinct tags so equal positions still yield gap 0.
+        events = sorted(
+            (p, j) for j, t in enumerate(qterms) for p in pos[t]
+        )
+        best = None
+        for (p1, t1), (p2, t2) in zip(events, events[1:]):
+            if t1 != t2 and (best is None or p2 - p1 < best):
+                best = p2 - p1
+        prox = 1.0 / (1.0 + best) if best is not None else 0.0
         bm25_n = (
             (score_r[docid] - mn) / (mx - mn) if mx > mn else 1.0
         )

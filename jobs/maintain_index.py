@@ -65,7 +65,9 @@ def main(argv=None) -> int:
 
     pp = sub.add_parser("promote")
     pp.add_argument("--index", required=True)
-    pp.add_argument("--generation", required=True)
+    # repeatable, oldest first: K generations fold in ONE base pass
+    # (bit-identical to K sequential promotions at 1/K the fixed jobs)
+    pp.add_argument("--generation", required=True, action="append")
 
     cp = sub.add_parser("compact")
     cp.add_argument("--index", required=True)

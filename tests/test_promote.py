@@ -683,3 +683,121 @@ def test_normalize_repairs_crashed_swap(promote_fixture, spark, tmp_path):
     assert not os.path.isdir(f"{target}/postings/bucket={b}.bak")
     p, s = ServingIndex(target), ServingIndex(scratch_idx)
     assert _all_results(p) == _all_results(s)
+
+
+def test_one_pass_multi_generation_promote(promote_fixture, spark, tmp_path):
+    """r6 verdict #6: promote_generation([g1, g2]) folds K generations in
+    ONE base pass and must be bit-identical to the sequential chain —
+    same query results on every mode, same content checksums, same
+    stats, and per-generation idempotency afterwards."""
+    from honeywell_search_engine_spark.index.promote import build_generation
+    from honeywell_search_engine_spark.index.segments import bucket_checksums
+
+    root, base_idx, _, scratch_idx, _, pdf = promote_fixture
+    g1_pages = str(tmp_path / "pages_g1")
+    g2_pages = str(tmp_path / "pages_g2")
+    _write_pages(spark, pdf, 250, 320, g1_pages)
+    _write_pages(spark, pdf, 320, 400, g2_pages)
+    g1_idx = str(tmp_path / "idx_g1")
+    g2_idx = str(tmp_path / "idx_g2")
+    build_generation(spark, g1_pages, g1_idx, base_idx)
+    build_generation(spark, g2_pages, g2_idx, base_idx)
+
+    seq = str(tmp_path / "idx_seq")
+    one = str(tmp_path / "idx_onepass")
+    shutil.copytree(base_idx, seq)
+    shutil.copytree(base_idx, one)
+    r1 = promote_generation(spark, seq, g1_idx)
+    r2 = promote_generation(spark, seq, g2_idx)
+    ro = promote_generation(spark, one, [g1_idx, g2_idx])
+    assert ro["docs_added"] == r1["docs_added"] + r2["docs_added"]
+    assert ro["n_docs"] == r2["n_docs"]
+
+    with open(f"{seq}/stats.json") as f:
+        st_seq = json.load(f)
+    with open(f"{one}/stats.json") as f:
+        st_one = json.load(f)
+    for k in ("n_docs", "avgdl", "sum_doclen"):
+        assert st_seq[k] == st_one[k], k
+
+    buckets = list(range(N_BUCKETS))
+    cs = bucket_checksums(spark, f"{seq}/segments", buckets)
+    co = bucket_checksums(spark, f"{one}/segments", buckets)
+    assert cs == co  # content-hash identical segment bytes per bucket
+
+    p_seq, p_one, s = ServingIndex(seq), ServingIndex(one), ServingIndex(scratch_idx)
+    assert p_one.n_docs == p_seq.n_docs == s.n_docs
+    assert _all_results(p_one) == _all_results(p_seq) == _all_results(s)
+
+    # per-generation idempotency: a later single promote of g1 no-ops
+    again = promote_generation(spark, one, g1_idx)
+    assert again["docs_added"] == 0
+    # and mixed lists skip the promoted members
+    again2 = promote_generation(spark, one, [g1_idx, g2_idx])
+    assert again2["docs_added"] == 0
+
+
+def test_one_pass_multi_generation_rejects_cross_gen_reingest(
+    promote_fixture, spark, tmp_path
+):
+    """Two generations carrying the SAME docid cannot be spliced (the
+    append-only contract is per-docid across the whole list) — refused
+    loudly before journaling."""
+    from honeywell_search_engine_spark.index.promote import build_generation
+
+    root, base_idx, _, _, _, pdf = promote_fixture
+    g1_pages = str(tmp_path / "pages_g1")
+    gdup_pages = str(tmp_path / "pages_gdup")
+    _write_pages(spark, pdf, 250, 320, g1_pages)
+    _write_pages(spark, pdf, 300, 360, gdup_pages)  # overlaps g1 docids
+    g1_idx = str(tmp_path / "idx_g1")
+    gdup_idx = str(tmp_path / "idx_gdup")
+    build_generation(spark, g1_pages, g1_idx, base_idx)
+    build_generation(spark, gdup_pages, gdup_idx, base_idx)
+    target = str(tmp_path / "idx_dup")
+    shutil.copytree(base_idx, target)
+    with pytest.raises(ValueError, match="more than one generation"):
+        promote_generation(spark, target, [g1_idx, gdup_idx])
+    # not wedged: a valid promotion still goes through
+    out = promote_generation(spark, target, g1_idx)
+    assert out["docs_added"] > 0
+
+
+def test_offsets_broadcast_join_above_threshold(
+    promote_fixture, spark, tmp_path, monkeypatch
+):
+    """r6 verdict #5: above OFFSETS_MAP_MAX shards the lid-offset rewrite
+    rides a broadcast join, not a literal Catalyst map — same rows, no
+    map expression in the plan."""
+    from honeywell_search_engine_spark.index import promote as P
+
+    df = spark.createDataFrame(
+        [(s, l, 7) for s in range(N_SHARDS) for l in range(3)],
+        "shard int, lid long, pos int",
+    )
+    offs = {s: 100 * (s + 1) for s in range(N_SHARDS)}
+    exp = sorted(
+        (s, l + offs[s], 7) for s in range(N_SHARDS) for l in range(3)
+    )
+
+    small = P._apply_lid_offsets(spark, df, offs, "lid")
+    assert "map(" in small._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(tuple(r) for r in small.collect()) == exp
+    assert small.columns == df.columns
+
+    monkeypatch.setattr(P, "OFFSETS_MAP_MAX", 0)
+    big = P._apply_lid_offsets(spark, df, offs, "lid")
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "map(" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert sorted(tuple(r) for r in big.collect()) == exp
+    assert big.columns == df.columns
+
+    # an end-to-end promotion under the forced-join regime stays exact
+    _, base_idx, delta_idx, scratch_idx, _, _ = promote_fixture
+    target = str(tmp_path / "idx_bcast")
+    shutil.copytree(base_idx, target)
+    promote_generation(spark, target, delta_idx)
+    assert _all_results(ServingIndex(target)) == _all_results(
+        ServingIndex(scratch_idx)
+    )

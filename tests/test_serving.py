@@ -408,3 +408,83 @@ def test_respond_mirrors_fuzz_vs_spark(spark):
             if qts:
                 assert respond.highlights_py(t, qts) == hl[i], (q, i)
             assert respond.has_oie_py(t, qts) == tri.get(i, 0) if qts else True
+
+
+def test_rerank_proximity_merged_scan_exact_and_linear():
+    """r6 verdict #3: the rerank proximity feature must equal the
+    all-pairs min |a-b| over cross-term position pairs (reference
+    formulation) while costing linear-in-positions. Randomized docs pin
+    value identity against a brute-force reference; an adversarial
+    high-tf doc (2k occurrences × 3 terms ⇒ 12M pairs brute-force) pins
+    the cost bound."""
+    import random
+    import time
+
+    from honeywell_search_engine_spark.functions.analyzer import tokenize
+    from honeywell_search_engine_spark.query.respond import (
+        RERANK_WEIGHTS,
+        rerank_hits_py,
+        round_half_up,
+    )
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "filler", "noise"]
+    qterms = ["alpha", "beta", "gamma"]
+
+    def brute_rerank(hits, texts):
+        score_r = {d: round_half_up(s, 6) for d, s in hits}
+        mn, mx = min(score_r.values()), max(score_r.values())
+        rows = []
+        for docid, _ in hits:
+            toks = tokenize(texts.get(docid, ""))
+            dl = len(toks)
+            pos = {t: [i for i, w in enumerate(toks) if w == t] for t in qterms}
+            present = [t for t in qterms if pos[t]]
+            cov = len(present) / float(len(qterms))
+            tfsum = float(sum(len(pos[t]) for t in qterms))
+            density = tfsum / dl if dl > 0 else 0.0
+            early = (
+                1.0 / (1.0 + min(pos[t][0] for t in present)) if present else 0.0
+            )
+            gaps = [
+                abs(x - y)
+                for a in range(len(qterms))
+                for b in range(a + 1, len(qterms))
+                for x in pos[qterms[a]]
+                for y in pos[qterms[b]]
+            ]
+            prox = 1.0 / (1.0 + min(gaps)) if gaps else 0.0
+            bm25_n = (score_r[docid] - mn) / (mx - mn) if mx > mn else 1.0
+            rr = round_half_up(
+                RERANK_WEIGHTS["bm25_n"] * bm25_n
+                + RERANK_WEIGHTS["cov"] * cov
+                + RERANK_WEIGHTS["prox"] * prox
+                + RERANK_WEIGHTS["density"] * density
+                + RERANK_WEIGHTS["early"] * early,
+                6,
+            )
+            rows.append((docid, rr))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return [
+            (rnk, d, rr, score_r[d])
+            for rnk, (d, rr) in enumerate(rows[:10], start=1)
+        ]
+
+    for trial in range(30):
+        n_docs = rng.randint(1, 8)
+        hits, texts = [], {}
+        for d in range(1, n_docs + 1):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+            texts[d] = " ".join(toks)
+            hits.append((d, rng.uniform(0.1, 5.0)))
+        assert rerank_hits_py(hits, texts, qterms) == brute_rerank(hits, texts)
+
+    # adversarial: interleaved high-tf doc — must stay far below the
+    # quadratic regime (12M pair evaluations) in wall clock
+    big = " ".join(["alpha beta gamma"] * 2000)
+    hits = [(1, 2.0), (2, 1.0)]
+    texts = {1: big, 2: "alpha beta gamma"}
+    t0 = time.time()
+    out = rerank_hits_py(hits, texts, qterms)
+    assert time.time() - t0 < 1.0
+    assert out[0][1] == 1  # adjacent terms: prox = 1/(1+1), top rank by score
