@@ -387,7 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # can't sort/hash an array<double> column (round-4 red row); the full
     # dense vector is still verified cell-by-cell, j = 0..63 per doc
     q["text_embeddings"] = lambda s, d: (
-        embedder.text_embeddings(_docs(s, d))
+        embedder.text_embeddings(_docs_rng(s, d, "doc_id"))
         .select("docid", F.posexplode("embedding").alias("j", "v"))
         .orderBy("docid", "j")
     )
@@ -487,7 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["knn_all"] = _knn_all
-    q["embedding_norms"] = lambda s, d: _embeddings(s, d).select(
+    q["embedding_norms"] = lambda s, d: _embeddings_rng(s, d, "vec_id").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.round(
             F.sqrt(
@@ -585,18 +585,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- scoring / NLP scalar operators ------------------------------------
     q["token_overlap"] = lambda s, d: search.token_overlap_score(
-        _docs(s, d), FLAGSHIP_QUERY
+        _docs_rng(s, d, "doc_id"), FLAGSHIP_QUERY
     )
     # string projection of the array (concat_ws): the driver's canonicalizer
     # hashes scalar columns only — array<string> cells are unhashable
     q["highlights"] = lambda s, d: search.highlight_terms(
-        _docs(s, d), FLAGSHIP_QUERY
+        _docs_rng(s, d, "doc_id"), FLAGSHIP_QUERY
     ).select("docid", F.concat_ws(" ", "highlights").alias("highlights"))
-    q["naive_triples"] = lambda s, d: search.naive_triples(_docs(s, d))
+    q["naive_triples"] = lambda s, d: search.naive_triples(_docs_rng(s, d, "doc_id"))
 
     # --- serving-layer composition (R8 / T11 / F6+R5 / history sink) -------
-    q["snippets"] = lambda s, d: serving.best_snippet(_docs(s, d), FLAGSHIP_QUERY)
-    q["intent_expansion"] = lambda s, d: _docs(s, d).select(
+    q["snippets"] = lambda s, d: serving.best_snippet(
+        _docs_rng(s, d, "doc_id"), FLAGSHIP_QUERY
+    )
+    q["intent_expansion"] = lambda s, d: _docs_rng(s, d, "doc_id").select(
         F.col("doc_id").cast("long").alias("docid"),
         serving.expand_intent_col(F.substring("text", 1, 80)).alias("expanded"),
     ).orderBy("docid")
