@@ -713,7 +713,13 @@ def _fusion_confidence(s: SparkSession, d: str) -> DataFrame:
     that also serves the final ORDER BY (no sampling re-execution). The
     full-outer operator itself (relational.fusion_merge, J3) remains
     exercised by the guardrail_fallback gate. Equivalence oracle-verified
-    (hash-identical at sf0.001/sf0.01)."""
+    (hash-identical at sf0.001/sf0.01).
+
+    Precondition shared with the old form on real data: user_id is
+    non-null (the events contract). A hypothetical NULL user_id would
+    group into one row here but stay as per-channel unmatched rows under
+    SQL full-outer-join null semantics — the conditional aggregation is
+    the documented semantics for this gate."""
 
     def chan(et, name):
         return F.round(

@@ -108,6 +108,17 @@ def _rewrite_kernel(dead_bc, avgdl: float):
 _COMPACT_DIRS = ("segments", "term_stats", "docmap", "postings")
 
 
+def _carry_sum_doclen(meta: dict, src: dict) -> None:
+    """Carry the journaled exact Σdoclen into stats.json metadata, or DROP
+    a stale value when the journal predates the field (r7) — GenerationSet
+    trusts `sum_doclen` as exact, so a stats writer must never leave an
+    out-of-date one behind."""
+    if "sum_doclen" in src:
+        meta["sum_doclen"] = src["sum_doclen"]
+    else:
+        meta.pop("sum_doclen", None)
+
+
 def _repair_dir_swaps(index_dir: str) -> None:
     """Restore any artifact dir a crashed swap left missing: rename-with-
     backup (_swap_bucket_dir) can only strand a dir between its two renames,
@@ -256,10 +267,7 @@ def _finish_compact(
         if i == 0 and _fail_at == "mid_swap":
             raise RuntimeError("injected failure at mid_swap")
     meta.update({"n_docs": st["n_docs"], "avgdl": st["avgdl"]})
-    if "sum_doclen" in st:
-        meta["sum_doclen"] = st["sum_doclen"]
-    else:  # journal from a pre-r7 version: drop rather than keep stale
-        meta.pop("sum_doclen", None)
+    _carry_sum_doclen(meta, st)
     # the postings rewrite above re-sorted every bucket into single
     # contiguous files, so promotion's multi-file markers are all cleared
     meta.pop("occ_multifile_buckets", None)
@@ -564,10 +572,7 @@ def merge_deltas(
         if os.path.isdir(docmap_staged):
             _swap_bucket_dir(f"{index_dir}/docmap", docmap_staged)
         meta.update({"n_docs": inflight["n_docs"], "avgdl": inflight["avgdl"]})
-        if "sum_doclen" in inflight:
-            meta["sum_doclen"] = inflight["sum_doclen"]
-        else:
-            meta.pop("sum_doclen", None)
+        _carry_sum_doclen(meta, inflight)
         if "occ_multifile_buckets" in meta:
             # STAGE re-sorted the affected buckets into contiguous files,
             # clearing any promotion-appended multi-file markers on them

@@ -544,6 +544,7 @@ def promote_generation(
     `_fail_at` is the test-only injection hook ("staged" | "committing" |
     "invalidated" | "mid_swap" | "committed_files" | "swapped")."""
     from honeywell_search_engine_spark.index.maintenance import (
+        _carry_sum_doclen,
         _repair_dir_swaps,
         _swap_bucket_dir,
     )
@@ -875,10 +876,7 @@ def promote_generation(
         shutil.rmtree(staged_occ, ignore_errors=True)
         shutil.rmtree(staged_dm, ignore_errors=True)
         meta.update({"n_docs": inflight["n_docs"], "avgdl": inflight["avgdl"]})
-        if "sum_doclen" in inflight:
-            meta["sum_doclen"] = inflight["sum_doclen"]
-        else:
-            meta.pop("sum_doclen", None)
+        _carry_sum_doclen(meta, inflight)
         meta["occ_multifile_buckets"] = sorted(
             set(meta.get("occ_multifile_buckets", [])) | set(affected)
         )

@@ -59,6 +59,20 @@ def _inrow_tf(tokens_col_name: str, term: str):
     return F.size(F.filter(tokens_col_name, lambda x: x == F.lit(term)))
 
 
+def _all_terms_present(terms: list[str]):
+    """In-row conjunction: every distinct term present in `tokens`.
+    Duplicate terms keep the group-filter contract (nt counted DISTINCT
+    matched terms, so nt == len(terms) was unsatisfiable) — shared by
+    match_all_terms and match_websearch so the subtle rule lives once."""
+    cond = None
+    for t in dict.fromkeys(terms):
+        c = F.array_contains("tokens", t)
+        cond = c if cond is None else cond & c
+    if len(set(terms)) != len(terms):
+        cond = F.lit(False)
+    return cond
+
+
 def bm25_inflight(
     docs: DataFrame,
     query: str,
@@ -124,7 +138,11 @@ def bm25_inflight(
     # groupBy(term).count as the same exact integer)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("doclen").alias("_total"),
+        # greatest(doclen, 0): identical for every real document (doclen
+        # >= 0) while pinning the NULL-text edge in BOTH ANSI modes —
+        # size(NULL) is -1 under legacy sizeOfNull and NULL under ANSI;
+        # either must contribute 0 like the old sum(tf) formulation did
+        F.sum(F.greatest(F.col("doclen"), F.lit(0))).alias("_total"),
         *[
             F.sum(
                 F.when(F.col(f"_tf{j}") > 0, F.lit(1)).otherwise(F.lit(0))
@@ -185,18 +203,10 @@ def match_all_terms(
         return spark.createDataFrame([], "docid long")
     # literal terms -> in-row conjunction of array_contains: no explode, no
     # (docid, term) aggregate, no exchange (r7; the old group-filter
-    # formulation shuffled the query-term tf rows for the same result set).
-    # Duplicate query terms keep the old impossible-match semantics: nt
-    # counted DISTINCT matched terms, so nt == len(terms) was unsatisfiable.
-    cond = None
-    for t in dict.fromkeys(terms):
-        c = F.array_contains("tokens", t)
-        cond = c if cond is None else cond & c
-    if len(set(terms)) != len(terms):
-        cond = F.lit(False)
+    # formulation shuffled the query-term tf rows for the same result set)
     return (
         doc_tokens(docs, id_col, text_col)
-        .filter(cond)
+        .filter(_all_terms_present(terms))
         .select(F.col("docid").cast("long"))
         .orderBy("docid")
     )
@@ -220,14 +230,8 @@ def match_websearch(
     # in-row conjunction + negation (r7): all positive terms present, no
     # negated term present — one pass over the token array per doc, no
     # explode/aggregate/anti-join exchanges. Same result set as the old
-    # tf group-filter + left-anti formulation (duplicate positives kept
-    # impossible via the distinct-count contract, as in match_all_terms).
-    cond = None
-    for t in dict.fromkeys(pos):
-        c = F.array_contains("tokens", t)
-        cond = c if cond is None else cond & c
-    if len(set(pos)) != len(pos):
-        cond = F.lit(False)
+    # tf group-filter + left-anti formulation.
+    cond = _all_terms_present(pos)
     for t in dict.fromkeys(neg):
         cond = cond & ~F.array_contains("tokens", t)
     return (

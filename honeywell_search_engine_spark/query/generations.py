@@ -111,16 +111,25 @@ def _logical_stats(paths: list[str]) -> tuple[int, int, list[np.ndarray]]:
         seen = dup_ids[:0]
         for i in range(len(paths) - 1, -1, -1):
             cand = id_arrays[i][np.isin(id_arrays[i], dup_ids)]
+            if cand.size != np.unique(cand).size:
+                # a docmap carrying the same docid twice is malformed
+                # (builders assign unique docids; promote/merge refuse
+                # overlaps) — fail loud rather than serve double-counted
+                # stats and duplicate hits
+                raise ValueError(
+                    f"docmap at {paths[i]} contains duplicate docids"
+                )
             sh = cand[np.isin(cand, seen)]
             shadows[i] = sh
             n_docs -= int(sh.size)
             if sh.size:
-                t = pq.read_table(
-                    f"{paths[i]}/docmap", columns=["docid", "doclen"]
+                # doclen-only read: the docid column is already in memory
+                dls = (
+                    pq.read_table(f"{paths[i]}/docmap", columns=["doclen"])
+                    .column("doclen")
+                    .to_numpy(zero_copy_only=False)
                 )
-                ids = t.column("docid").to_numpy(zero_copy_only=False)
-                dls = t.column("doclen").to_numpy(zero_copy_only=False)
-                total -= int(dls[np.isin(ids, sh)].sum())
+                total -= int(dls[np.isin(id_arrays[i], sh)].sum())
             seen = np.union1d(seen, cand)
     return n_docs, total, shadows
 
@@ -291,10 +300,10 @@ class GenerationSet:
             # is genuinely empty — a re-ingest that blanked a document
             # must not serve the older generation's stale text (r6
             # advice, low)
-            got = g._fetch_texts(remaining, found_only=True)
-            for d, t in got.items():
-                if d not in out:
-                    out[d] = t
+            # got's keys are a subset of `remaining`, which excludes
+            # everything already resolved — newest-wins is enforced by
+            # the reversed iteration order alone
+            out.update(g._fetch_texts(remaining, found_only=True))
             remaining = [d for d in remaining if d not in out]
         for d in remaining:
             out[d] = ""

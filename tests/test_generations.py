@@ -390,3 +390,28 @@ def test_attach_docs_cache_entries_knob(gen_fixture, spark, tmp_path):
     sv.attach_docs(store, doc_cache_entries=2)
     sv._fetch_texts([int(d) for d in ids])
     assert len(sv._doc_lru) <= 2
+
+
+def test_logical_stats_rejects_intra_generation_duplicates(tmp_path):
+    """A docmap carrying the same docid twice is malformed (builders
+    assign unique docids); _logical_stats fails loud instead of serving
+    double-counted stats."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from honeywell_search_engine_spark.query.generations import _logical_stats
+
+    ids = np.array([1, 2, 2, 3], dtype=np.int64)
+    dls = np.array([5, 6, 7, 8], dtype=np.int64)
+    os.makedirs(f"{tmp_path}/idx/docmap", exist_ok=True)
+    pq.write_table(
+        pa.table({"docid": ids, "doclen": dls}),
+        f"{tmp_path}/idx/docmap/part-0.parquet",
+    )
+    with open(f"{tmp_path}/idx/stats.json", "w") as f:
+        json.dump({"n_docs": 4, "sum_doclen": 26, "avgdl": 6.5}, f)
+    with pytest.raises(ValueError, match="duplicate docids"):
+        _logical_stats([str(tmp_path / "idx")])
