@@ -53,10 +53,16 @@ def doc_term_freqs(
 
 def _inrow_tf(tokens_col_name: str, term: str):
     """tf of a literal `term` computed in-row over the token array — no
-    explode, no shuffle. Closure factory (NOT a default-arg capture: a
-    2-param lambda is read as an (element, index) HOF — the engine-wide
-    pitfall, see rerank_topk's NB)."""
-    return F.size(F.filter(tokens_col_name, lambda x: x == F.lit(term)))
+    explode, no shuffle. size − size(array_remove) rather than
+    size(filter(...)): higher-order functions are CodegenFallback
+    (interpreted per row, boxing every element) while ArrayRemove/Size
+    generate code — measured ~2× on the 3-term conjunctive query at the
+    driver-scale corpus. Same integer: array_remove drops ALL
+    occurrences of the literal (token arrays are null-free by
+    construction)."""
+    return F.size(tokens_col_name) - F.size(
+        F.array_remove(tokens_col_name, term)
+    )
 
 
 def _all_terms_present(terms: list[str]):
