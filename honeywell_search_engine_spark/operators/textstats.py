@@ -63,9 +63,10 @@ def quality_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.filter(words, lambda w: w.isin(*EN_FUNCTION_WORDS))
     )
     n_punct = F.length(c) - F.length(F.translate(c, _PUNCT, ""))
-    total_wchars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-    )
+    # Σ length(w) via length(array_join): same integer, fully codegen'd —
+    # the aggregate() HOF is CodegenFallback (interpreted per row; r7,
+    # ~1.6× on this column at driver scale)
+    total_wchars = F.length(F.array_join(words, "")).cast("long")
     nw = n_words.cast("double")
     stop_ratio = F.when(n_words > 0, n_stop / nw).otherwise(F.lit(0.0))
     punct_ratio = F.when(
