@@ -455,36 +455,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cells), and attribute-FILTERED exact top-k (label=1 only — the
     # metadata-filter + ANN compose every vector store needs; at scale the
     # filter composes with the IVF cell scan, pruned twice).
-    # r7: the branches read the table WITHOUT the round-robin spread — a
-    # 64-dim dot per row is far cheaper than the extra exchange+stage per
-    # branch (measured 0.36s -> 0.15s per branch at sf0.1), and on a real
-    # lake the scan arrives already split; the query vector is a direct
-    # pyarrow one-row read instead of a scheduled Spark job.
+    # r7: ONE fused pass (similarity.knn_all_ops) — cosine evaluated once
+    # per row, sig+cell in a single Arrow stage, per-op membership
+    # exploded, one WindowGroupLimit window assigns the per-branch ranks.
+    # Row-for-row identical to the 4-branch tag union (pinned in
+    # tests/test_entry_gate.py::test_knn_all_fused_equals_branch_union);
+    # the individual operators stay exercised by that test, the pytest
+    # recall/subset tests and the frozen bench's recall block. The query
+    # vector is a direct pyarrow one-row read, not a scheduled Spark job.
     def _knn_all(s, d):
         qv = _query_vec(s, d)
-        emb = s.read.parquet(f"{d}/embeddings.parquet")
-        rest = emb.filter(F.col("vec_id") != 0)
-        return _sorted1(
-            _tag_union(
-                [
-                    ("bruteforce", similarity.cosine_topk_bruteforce(rest, qv, k=10)),
-                    ("lsh", similarity.cosine_ann_lsh(rest, qv, k=10)),
-                    ("ivf", similarity.cosine_ann_ivf(rest, qv, k=10)),
-                    (
-                        "filtered",
-                        similarity.cosine_topk_bruteforce(
-                            emb.filter(
-                                (F.col("vec_id") != 0) & (F.col("label") == 1)
-                            ),
-                            qv,
-                            k=10,
-                        ),
-                    ),
-                ]
-            ),
-            "op",
-            "rnk",
+        rest = s.read.parquet(f"{d}/embeddings.parquet").filter(
+            F.col("vec_id") != 0
         )
+        return _sorted1(similarity.knn_all_ops(rest, qv, k=10), "op", "rnk")
 
     q["knn_all"] = _knn_all
     q["embedding_norms"] = lambda s, d: _embeddings_rng(s, d, "vec_id").select(

@@ -426,3 +426,102 @@ def pairwise_cosine_dupes(
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
         .orderBy("id_a", "id_b")
     )
+
+
+def knn_all_ops(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    probe_hamming: int = 2,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """The four ANN strategies (exact bruteforce, sign-LSH multi-probe,
+    IVF n_probe, attribute-filtered exact) over ONE scan — the fused
+    form of the knn_all gate (r7). Row-for-row identical to the tag
+    union of cosine_topk_bruteforce / cosine_ann_lsh / cosine_ann_ivf /
+    filtered-bruteforce (pinned in tests): the cosine is the same
+    expression evaluated once per row, sig and cell ride a single
+    Arrow-batched numpy matmul pair (one python stage instead of two),
+    per-op membership explodes k-bounded tags, and one WindowGroupLimit
+    window assigns the per-op ranks the four TakeOrdered branches
+    assigned. 4 scans + 2 python stages + 4 limit subtrees become
+    1 + 1 + 1.
+
+    Scale note: identical to the unfused operators — the production
+    paths at 10^12 rows remain the cell-partitioned/bucketed indexes;
+    this is the in-flight gate/audit form."""
+    import pandas as pd
+    from itertools import combinations
+
+    from pyspark.sql import types as T
+
+    q = [float(x) for x in query_vec]
+    dim = len(q)
+    planes = rp_planes_md5(dim, n_planes)
+    cents = ivf_centroids_md5(dim, n_centroids)
+    qnp = np.asarray(q, dtype=np.float64)
+    qsig_bits = (planes @ qnp > 0.0).astype(int)
+    qsig = int(sum(int(b) << p for p, b in enumerate(qsig_bits)))
+    accept = [qsig]
+    for h in range(1, probe_hamming + 1):
+        for flips in combinations(range(n_planes), h):
+            m = qsig
+            for p in flips:
+                m ^= 1 << p
+            accept.append(m)
+    qd = cents @ qnp
+    order = np.lexsort((np.arange(n_centroids), -qd))
+    probe = [int(c) for c in order[:n_probe]]
+
+    pows = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    planes_t = planes.T.copy()
+    cent_t = cents.T.copy()
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("sig", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+    ]))
+    def _sig_cell(vecs):
+        if len(vecs) == 0:
+            return pd.DataFrame({"sig": pd.Series([], dtype="int64"),
+                                 "cell": pd.Series([], dtype="int32")})
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (V @ planes_t) > 0.0
+        return pd.DataFrame({
+            "sig": ((bits * pows).sum(axis=1)).astype(np.int64),
+            "cell": np.argmax(V @ cent_t, axis=1).astype(np.int32),
+        })
+
+    acc = 0.0
+    for x in q:
+        acc += x * x
+    qn = float(np.sqrt(acc)) if acc else 1.0
+    qlit = F.array(*[F.lit(x) for x in q])
+    cos = _dot(F.col(vec_col), qlit) / (_norm(F.col(vec_col)) * F.lit(qn))
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("_label"),
+        cos.alias("cos"),
+        _sig_cell(F.col(vec_col)).alias("_sc"),
+    )
+    ops = F.array(
+        F.lit("bruteforce"),
+        F.when(F.col("_sc.sig").isin(accept), F.lit("lsh")),
+        F.when(F.col("_sc.cell").isin(probe), F.lit("ivf")),
+        F.when(F.col("_label") == 1, F.lit("filtered")),
+    )
+    tagged = base.select(
+        "vec_id", "cos", F.explode(ops).alias("op")
+    ).filter(F.col("op").isNotNull())
+    w = Window.partitionBy("op").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        tagged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("op", "rnk", "vec_id", F.round("cos", 6).alias("cos_r"))
+    )

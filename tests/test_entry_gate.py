@@ -233,3 +233,41 @@ def test_gate_board_within_driver_sample():
         "first 50 — merge gates into a tagged-union family instead"
     )
     assert set(e.oracle_sql()) <= set(q)
+
+
+def test_knn_all_fused_equals_branch_union(spark):
+    """r7: the fused knn_all kernel (similarity.knn_all_ops) must be
+    row-for-row identical to the tag union of the four individual
+    operators it replaced in the gate (which remain the documented
+    single-strategy surface)."""
+    from pyspark.sql import functions as F
+
+    from honeywell_search_engine_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    rest = emb.filter(F.col("vec_id") != 0)
+    old = []
+    for tag, df in [
+        ("bruteforce", sim.cosine_topk_bruteforce(rest, qv, k=10)),
+        ("lsh", sim.cosine_ann_lsh(rest, qv, k=10)),
+        ("ivf", sim.cosine_ann_ivf(rest, qv, k=10)),
+        (
+            "filtered",
+            sim.cosine_topk_bruteforce(
+                emb.filter((F.col("vec_id") != 0) & (F.col("label") == 1)),
+                qv,
+                k=10,
+            ),
+        ),
+    ]:
+        for r in df.collect():
+            old.append((tag, r["rnk"], r["vec_id"], r["cos_r"]))
+    new = [
+        (r["op"], r["rnk"], r["vec_id"], r["cos_r"])
+        for r in sim.knn_all_ops(rest, qv, k=10).collect()
+    ]
+    assert sorted(new) == sorted(old) and len(new) == 40
