@@ -103,6 +103,23 @@ def _events_rng(spark: SparkSession, sf_dir: str, *keys: str) -> DataFrame:
     return _rng(spark, spark.read.parquet(f"{sf_dir}/events.parquet"), *keys)
 
 
+def _docs_hash(spark: SparkSession, sf_dir: str, *keys: str) -> DataFrame:
+    """Hash-partitioned spread (r7, guide §2.4): for a gate whose
+    aggregation groups by a SUPERSET of `keys` but whose output is top-k
+    (TakeOrdered — no final key order for _rng to serve), ONE hash
+    repartition on the keys replaces BOTH the round-robin spread exchange
+    AND the grouping exchange: HashPartitioning on a subset of the
+    grouping keys satisfies the aggregate's ClusteredDistribution, so
+    e.g. the (docid, term) tf aggregate runs partition-local and the
+    token multiset never crosses the wire again (term_stats_top100:
+    exchanges 3 -> 2, -35% single / -65% with the InferFiltersFromGenerate
+    exclusion at the 10x corpus). Scale-adaptive: partition count follows
+    session parallelism; no sampling pass (unlike repartitionByRange)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism, *[F.col(k) for k in keys]
+    )
+
+
 def _sorted1(df: DataFrame, *cols: str) -> DataFrame:
     """Exact total order over a k-bounded (tag-union / top-k) output
     WITHOUT a global-sort range exchange: one round-robin shuffle of the
@@ -283,7 +300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doclens"] = lambda s, d: search.doc_tokens(
         _docs_rng(s, d, "doc_id"), "doc_id", "text"
     ).select(F.col("docid").cast("long"), "doclen").orderBy("docid")
-    q["term_stats_top100"] = lambda s, d: search.term_stats_table(_docs(s, d))
+    q["term_stats_top100"] = lambda s, d: search.term_stats_table(
+        _docs_hash(s, d, "doc_id")
+    )
     q["bm25_single"] = lambda s, d: _bm25_spark(s, d, "spark")
     q["bm25_conj"] = lambda s, d: _bm25_spark(s, d, FLAGSHIP_QUERY)
     # Porter-stemmed BM25 (T8/T9 parity: reference stems via Postgres
@@ -359,12 +378,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_filter"] = lambda s, d: textstats.clean_corpus(_docs(s, d))
     # CCNet-style LM quality signal: per-doc mean token logprob under the
     # corpus unigram LM (add-alpha smoothing) — low = boilerplate/gibberish
+    # _docs_rng: RangePartitioning(doc_id) serves the (docid, term) tf
+    # aggregate AND the per-doc sum AND the final docid order — exchanges
+    # 13 -> 8, -51% at the 10x corpus (r7 late)
     q["unigram_logprob"] = lambda s, d: textstats.unigram_logprob(
-        _docs(s, d), "doc_id", "text"
+        _docs_rng(s, d, "doc_id"), "doc_id", "text"
     )
-    # Gopher repetition rules (in-row HOFs, zero shuffles)
+    # Gopher repetition rules (in-row HOFs, zero shuffles); _docs_rng so
+    # the final-sort sampling pass re-reads the scan, not the O(n^2)
+    # bigram/trigram HOF projection (the fingerprints pattern)
     q["repetition_scores"] = lambda s, d: textstats.repetition_scores(
-        _docs(s, d), "doc_id", "text"
+        _docs_rng(s, d, "doc_id"), "doc_id", "text"
     )
     # domain-level curation stats (drop dup-heavy sources before row ops)
     q["source_stats"] = lambda s, d: textstats.source_stats(_docs(s, d))

@@ -65,6 +65,24 @@ def _inrow_tf(tokens_col_name: str, term: str):
     )
 
 
+def _stage_pin(cond):
+    """Keep an expensive row predicate in the stage where it is written:
+    OR-ing an always-false NON-DETERMINISTIC term (monotonically_
+    increasing_id() is never < -1) stops PushDownPredicates from sinking
+    the filter below a repartition, without changing its value (X OR
+    false ≡ X, including the NULL row-drop case). Why it matters: the
+    sandbox's corpora are single parquet files, so a predicate pushed
+    below the spread exchange runs the whole tokenize+match on the scan's
+    1-2 input splits — and the pushdown rewrite also substitutes the
+    token-array expression into every conjunct, leaving 3-8 copies of the
+    tokenizer in the Filter node (match_and at the 10x corpus: 2.19 s
+    pushed vs 0.67 s pinned, identical rows). On a pre-split lake the pin
+    is placement-neutral: without a repartition the filter already runs
+    fused with the scan stage, and these array predicates are never
+    parquet-pushable, so no source-level pruning is lost."""
+    return cond | (F.monotonically_increasing_id() < F.lit(-1))
+
+
 def _all_terms_present(terms: list[str]):
     """In-row conjunction: every distinct term present in `tokens`.
     Duplicate terms keep the group-filter contract (nt counted DISTINCT
@@ -164,7 +182,7 @@ def bm25_inflight(
     for j in range(len(uterms)):
         p = F.when(F.col(f"_tf{j}") > 0, 1).otherwise(0)
         nt = p if nt is None else nt + p
-    cand = base.filter(nt == n_terms if mode == "and" else nt >= 1)
+    cand = base.filter(_stage_pin(nt == n_terms if mode == "and" else nt >= 1))
     score = None
     for j in range(len(uterms)):
         idf = F.log1p(
@@ -212,7 +230,7 @@ def match_all_terms(
     # formulation shuffled the query-term tf rows for the same result set)
     return (
         doc_tokens(docs, id_col, text_col)
-        .filter(_all_terms_present(terms))
+        .filter(_stage_pin(_all_terms_present(terms)))
         .select(F.col("docid").cast("long"))
         .orderBy("docid")
     )
@@ -242,7 +260,7 @@ def match_websearch(
         cond = cond & ~F.array_contains("tokens", t)
     return (
         doc_tokens(docs, id_col, text_col)
-        .filter(cond)
+        .filter(_stage_pin(cond))
         .select(F.col("docid").cast("long"))
         .orderBy("docid")
     )
@@ -267,7 +285,7 @@ def match_any_terms(
     return (
         doc_tokens(docs, id_col, text_col)
         .withColumn("n_matched", nm.cast("long"))
-        .filter(F.col("n_matched") > 0)
+        .filter(_stage_pin(F.col("n_matched") > 0))
         .select(F.col("docid").cast("long"), "n_matched")
         .orderBy("docid")
     )
@@ -328,7 +346,7 @@ def match_websearch_or(
             g = g & c
         pred = g if pred is None else pred | g
     return (
-        docs.filter(pred)
+        docs.filter(_stage_pin(pred))
         .select(F.col(id_col).cast("long").alias("docid"))
         .orderBy("docid")
     )
@@ -356,7 +374,7 @@ def match_phrase(
         docs.select(
             F.col(id_col).cast("long").alias("docid"), n_occ.alias("n_occ")
         )
-        .filter(F.col("n_occ") > 0)
+        .filter(_stage_pin(F.col("n_occ") > 0))
         .orderBy("docid")
     )
 
@@ -411,7 +429,7 @@ def match_near(
         docs.select(
             F.col(id_col).cast("long").alias("docid"), n_starts.alias("n_starts")
         )
-        .filter(F.col("n_starts") > 0)
+        .filter(_stage_pin(F.col("n_starts") > 0))
         .orderBy("docid")
     )
 

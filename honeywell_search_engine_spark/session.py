@@ -38,6 +38,20 @@ def get_spark(
         # session); measured ~+30% sustained q/s vs FIFO under 8 client
         # threads, no effect on single-job workloads
         .config("spark.scheduler.mode", "FAIR")
+        # InferFiltersFromGenerate synthesizes `size(gen) > 0 AND
+        # isnotnull(gen)` below every explode. With collapsed projections
+        # `gen` is the FULL tokenize/shingle expression, so the inferred
+        # filter re-evaluates it 1-2 extra times per row (it cannot skip
+        # the work — it must compute the array to test it; explode already
+        # emits nothing for empty arrays) and predicate pushdown parks it
+        # under the spread exchange, serializing the duplicated work onto
+        # the scan's 1-2 input partitions. Semantics-preserving removal:
+        # term_stats_top100 -26% at sf0.1 / -47% at the 10x corpus; every
+        # oracle gate re-validated hash-identical with the rule off.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -133,3 +133,72 @@ def test_docmap_assignment_single_job_no_collect(spark, pages_path):
     assert after == before, "lid assignment must be lazy (no eager job)"
     assert has_broadcast_join(dm)
     assert dm.count() > 0  # and it still computes
+
+
+def test_match_filter_stays_above_spread_exchange(spark):
+    """_stage_pin (r7 late): the expensive match predicate must NOT be
+    pushed below a repartition — on the sandbox's single-file corpora the
+    pushed form runs the whole tokenize+match on the scan's 1-2 input
+    splits and duplicates the tokenizer into every conjunct (match_and at
+    the 10x corpus: 2.19 s pushed vs 0.67 s pinned, identical rows)."""
+    from honeywell_search_engine_spark.operators.search import match_all_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = match_all_terms(docs.repartition(4), "spark merge vector")
+    plan = physical_plan(df)
+    # the pinned Filter must sit ABOVE the spread exchange (the text
+    # below the RoundRobin node is just the scan); its condition may
+    # still show per-conjunct copies of the tokenizer — those are CSE'd
+    # at runtime within the one Filter operator
+    below_spread = plan.split("Exchange RoundRobinPartitioning", 1)[1]
+    assert "- Filter" not in below_spread, (
+        "match predicate was pushed below the spread exchange"
+    )
+
+
+def test_bm25_candidate_filter_stays_above_spread_exchange(spark):
+    """Same contract for bm25_inflight's candidate (presence) filter."""
+    from honeywell_search_engine_spark.operators.search import bm25_inflight
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = bm25_inflight(docs.repartition(4), "merge spark", k=10)
+    plan = physical_plan(df)
+    # the candidate filter must not sink below either subtree's spread
+    for seg in plan.split("Exchange RoundRobinPartitioning")[1:]:
+        scan_part = seg.split("FileScan", 1)[0]
+        assert "- Filter" not in scan_part, (
+            "bm25 candidate filter was pushed below the spread exchange"
+        )
+
+
+def test_term_stats_hash_feed_single_group_exchange(spark):
+    """A docid-partitioned feed must satisfy the (docid, term) tf
+    aggregate's ClusteredDistribution (subset rule): the whole
+    term_stats plan then holds exactly TWO shuffles — the feed
+    repartition and the per-term aggregate — and the token multiset
+    never crosses the wire (r7 late: exchanges 3 -> 2, -62% at 10x)."""
+    from pyspark.sql import functions as F
+
+    from honeywell_search_engine_spark.operators.search import term_stats_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = term_stats_table(docs.repartition(4, F.col("doc_id")))
+    plan = physical_plan(df)
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_session_excludes_infer_filters_from_generate(spark):
+    """get_spark sessions must exclude InferFiltersFromGenerate: the
+    inferred size(gen)>0 filter re-evaluates the full generator
+    expression per row (for chunk_stats that expression is the Arrow
+    chunking UDF — the old plan ran ArrowEvalPython twice)."""
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules", ""
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    df = docs.select(F.explode(toks).alias("t"))
+    plan = physical_plan(df)
+    assert plan.count("regexp_extract_all") == 1, plan
