@@ -1273,12 +1273,17 @@ def bm25_topk_wand(
             run_shard, schema="shard int, lid long, score double"
         )
     # rehydrate lids -> global docids (docmap broadcast-join), then the
-    # exact global order: (-score, docid) over per-shard top-k+ties
-    return (
-        index.rehydrate(per_shard)
-        .orderBy(F.desc("score"), F.asc("docid"))
-        .limit(k)
-        .select("docid", "score")
+    # exact global order: (-score, docid) over per-shard top-k+ties.
+    # ONE templated spark.sql call for the whole tail — the DataFrame-op
+    # chain cost ~35 ms of py4j round trips per point query (r7 late);
+    # identical plan (kernel output broadcasts, ORDER BY + LIMIT plans
+    # as TakeOrderedAndProject)
+    return index.spark.sql(
+        "SELECT /*+ BROADCAST(p) */ dm.docid AS docid, p.score AS score "
+        "FROM {p} p JOIN " + index._dm_view + " dm "
+        "ON p.shard = dm.shard AND p.lid = dm.lid "
+        f"ORDER BY p.score DESC, dm.docid ASC LIMIT {int(k)}",
+        p=per_shard,
     )
 
 

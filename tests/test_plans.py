@@ -202,3 +202,41 @@ def test_session_excludes_infer_filters_from_generate(spark):
     df = docs.select(F.explode(toks).alias("t"))
     plan = physical_plan(df)
     assert plan.count("regexp_extract_all") == 1, plan
+
+
+def test_segment_index_point_query_session(spark, seg_index):
+    """SegmentIndex (r7 late) runs its queries on an isolated session
+    clone with AQE off — point queries' single-digit-row exchanges gain
+    nothing from adaptive stage materialization (~40 ms/query fixed
+    cost measured). Builder-level conf must be inherited; the caller's
+    session must keep AQE; isolate_session=False opts out."""
+    from honeywell_search_engine_spark.index.segments import SegmentIndex
+
+    q = seg_index.spark
+    assert q is not spark
+    assert q.sparkContext is spark.sparkContext
+    assert q.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert q.conf.get("spark.sql.shuffle.partitions") == spark.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    raw = SegmentIndex(spark, seg_index.path, isolate_session=False)
+    assert raw.spark is spark
+
+
+def test_wand_sql_tail_plan_shape(seg_index):
+    """The SQL-built wand query must keep the plan the DataFrame chain
+    produced: partition-pruned segment scan with the term filter pushed,
+    broadcast idf join, and a TakeOrderedAndProject tail (never a global
+    Sort) — the py4j trim is a construction change, not a plan change."""
+    from honeywell_search_engine_spark.query.wand import bm25_topk_wand
+
+    df = bm25_topk_wand(seg_index, "data search", k=10)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Sort ") == 0 or "Sort [" not in plan.split(
+        "TakeOrderedAndProject"
+    )[0]
+    scan_part = plan.split("PushedFilters", 1)[1][:200] if "PushedFilters" in plan else ""
+    assert "term" in scan_part
